@@ -1,0 +1,122 @@
+package graft.fixtures
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Reference-shaped fixtures (SURVEY.md §1, FIXTURES.md §B) derived
+  * deterministically from the driver parquet tables, with matching DuckDB
+  * CTE fragments so every query over them stays oracle-checkable.
+  *
+  * Data model mirrors the reference's file-inventory universe
+  * (adls_copy_utils.py:76-86, copy-acls.sh:64, copy-acls.py:95-104):
+  *   - inventory: name, parent_directory, is_folder, owner, grp, perms, length
+  *   - ACL record: file, owner, grp, acl array<string> ("[scope:]type:id:perms")
+  *   - identity map: itype, source, target (small broadcastable dimension)
+  */
+object RefFixtures {
+
+  /** File rows of the inventory (one per lineitem row; names unique on
+    * (l_partkey, l_orderkey, l_linenumber, l_suppkey)). */
+  def invFiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir).select(
+      concat(lit("/data/part="), col("l_partkey"), lit("/f-"), col("l_orderkey"),
+        lit("-"), col("l_linenumber"), lit("-"), col("l_suppkey"), lit(".dat")).as("name"),
+      concat(lit("/data/part="), col("l_partkey")).as("parent_directory"),
+      lit(false).as("is_folder"),
+      concat(lit("user"), col("l_suppkey")).as("owner"),
+      concat(lit("grp"), col("l_partkey") % 7).as("grp"),
+      when(col("l_returnflag") === "R", lit("rwxr-x---"))
+        .otherwise(lit("rw-r--r--")).as("perms"),
+      floor(col("l_extendedprice") * 100).cast("long").as("length"))
+
+  /** Full inventory: file rows plus one synthetic folder row per distinct
+    * parent directory (the hdi_isfolder convention, adls_copy_utils.py:79). */
+  def inventory(spark: SparkSession, sfDir: String): DataFrame = {
+    val files = invFiles(spark, sfDir)
+    val folders = files.select(col("parent_directory")).distinct().select(
+      col("parent_directory").as("name"),
+      lit("/data").as("parent_directory"),
+      lit(true).as("is_folder"),
+      lit("userroot").as("owner"),
+      lit("grproot").as("grp"),
+      lit("rwxr-xr-x").as("perms"),
+      lit(0L).as("length"))
+    files.unionByName(folders)
+  }
+
+  /** ACL records (copy-acls.sh:64 shape): per file a 4-entry ACL covering
+    * the 3-field, scoped 4-field, and empty-id grammars (copy-acls.py:14-20). */
+  def aclRecords(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir).select(
+      concat(lit("/data/part="), col("l_partkey"), lit("/f-"), col("l_orderkey"),
+        lit("-"), col("l_linenumber"), lit("-"), col("l_suppkey"), lit(".dat")).as("file"),
+      concat(lit("user"), col("l_suppkey")).as("owner"),
+      concat(lit("grp"), col("l_partkey") % 7).as("grp"),
+      array(
+        concat(lit("user:user"), col("l_suppkey"), lit(":rwx")),
+        concat(lit("group:grp"), col("l_partkey") % 7, lit(":r-x")),
+        concat(lit("default:user:u"), col("l_partkey") % 5, lit(":r--")),
+        lit("other::r--")).as("acl"))
+
+  /** Identity map (copy-acls.py:95-104): ~20% of users and one group left
+    * unmapped to exercise the pass-through fallback (adls_copy_utils.py:98-104). */
+  def identityMap(spark: SparkSession, sfDir: String): DataFrame = {
+    val users = Tables.supplier(spark, sfDir)
+      .filter(col("s_suppkey") % 5 =!= 0)
+      .select(lit("user").as("itype"),
+        concat(lit("user"), col("s_suppkey")).as("source"),
+        concat(lit("aad-user"), col("s_suppkey"), lit("@example.com")).as("target"))
+    val groups = Tables.nation(spark, sfDir)
+      .filter(col("n_nationkey") % 7 =!= 6)
+      .select(lit("group").as("itype"),
+        concat(lit("grp"), col("n_nationkey") % 7).as("source"),
+        concat(lit("aad-grp"), col("n_nationkey") % 7, lit("@example.com")).as("target"))
+      .distinct()
+    users.unionByName(groups)
+  }
+
+  // ---- DuckDB CTE fragments (must mirror the Spark derivations above) ----
+
+  val InvFilesCte: String =
+    """invf AS (
+      |  SELECT concat('/data/part=', l_partkey, '/f-', l_orderkey, '-', l_linenumber, '-', l_suppkey, '.dat') AS name,
+      |         concat('/data/part=', l_partkey) AS parent_directory,
+      |         FALSE AS is_folder,
+      |         concat('user', l_suppkey) AS owner,
+      |         concat('grp', l_partkey % 7) AS grp,
+      |         CASE WHEN l_returnflag = 'R' THEN 'rwxr-x---' ELSE 'rw-r--r--' END AS perms,
+      |         CAST(floor(l_extendedprice * 100) AS BIGINT) AS length
+      |  FROM lineitem)""".stripMargin
+
+  val InvCte: String =
+    s"""$InvFilesCte,
+       |inv AS (
+       |  SELECT * FROM invf
+       |  UNION ALL
+       |  SELECT DISTINCT parent_directory AS name, '/data' AS parent_directory, TRUE AS is_folder,
+       |         'userroot' AS owner, 'grproot' AS grp, 'rwxr-xr-x' AS perms, CAST(0 AS BIGINT) AS length
+       |  FROM invf)""".stripMargin
+
+  val AclCte: String =
+    """aclrec AS (
+      |  SELECT concat('/data/part=', l_partkey, '/f-', l_orderkey, '-', l_linenumber, '-', l_suppkey, '.dat') AS file,
+      |         concat('user', l_suppkey) AS owner,
+      |         concat('grp', l_partkey % 7) AS grp,
+      |         [concat('user:user', l_suppkey, ':rwx'),
+      |          concat('group:grp', l_partkey % 7, ':r-x'),
+      |          concat('default:user:u', l_partkey % 5, ':r--'),
+      |          'other::r--'] AS acl
+      |  FROM lineitem)""".stripMargin
+
+  val IdMapCte: String =
+    """idmap AS (
+      |  SELECT 'user' AS itype, concat('user', s_suppkey) AS source,
+      |         concat('aad-user', s_suppkey, '@example.com') AS target
+      |  FROM supplier WHERE s_suppkey % 5 <> 0
+      |  UNION ALL
+      |  SELECT DISTINCT 'group' AS itype, concat('grp', n_nationkey % 7) AS source,
+      |         concat('aad-grp', n_nationkey % 7, '@example.com') AS target
+      |  FROM nation WHERE n_nationkey % 7 <> 6)""".stripMargin
+}

@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.fixtures.RefFixtures._
+
+/** The reference's inventory/ACL dataflow pipelines re-expressed as
+  * declarative Spark plans (SURVEY.md §2.1-§2.5).
+  *
+  * Scale notes: the inventory is the 100 TB fact side — every query here
+  * is a scan→project→filter/agg pipeline with no shuffle beyond the final
+  * aggregation, and the identity map (thousands of principals,
+  * adls_copy_utils.py:88-94) is always the broadcast side of a join.
+  */
+object InventoryOps {
+
+  /** shared ACL-entry parser: "[scope:]type:id:perms" positional logic
+    * (copy-acls.py:14-20; 3- vs 4-field split at :17). */
+  private def parseEntry(df: DataFrame): DataFrame =
+    df.withColumn("parts", split(col("entry"), ":", -1))
+      .withColumn("nf", size(col("parts")))
+      .withColumn("atype", when(col("nf") === 4, element_at(col("parts"), 2))
+        .otherwise(element_at(col("parts"), 1)))
+      .withColumn("aid", when(col("nf") === 4, element_at(col("parts"), 3))
+        .otherwise(element_at(col("parts"), 2)))
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // op 16: inventory projection — dirname/basename/depth derivations
+    GraftQuery("inv_projection",
+      s"""WITH ${InvCte}
+         |SELECT name, parent_directory, is_folder, owner, grp, perms, length,
+         |       regexp_replace(name, '/[^/]*$$', '') AS dirname,
+         |       regexp_extract(name, '[^/]*$$') AS basename,
+         |       length(name) - length(replace(name, '/', '')) AS depth
+         |FROM inv ORDER BY name""".stripMargin) { (spark, sfDir) =>
+      inventory(spark, sfDir)
+        .withColumn("dirname", regexp_replace(col("name"), "/[^/]*$", ""))
+        .withColumn("basename", regexp_extract(col("name"), "[^/]*$", 0))
+        .withColumn("depth", length(col("name")) - length(regexp_replace(col("name"), "/", "")))
+        .orderBy("name")
+    },
+
+    // op 17: folder/file phase predicate
+    GraftQuery("inv_phase_split",
+      s"""WITH ${InvCte}
+         |SELECT is_folder, count(*) AS n, CAST(sum(length) AS BIGINT) AS total_len
+         |FROM inv GROUP BY is_folder ORDER BY is_folder""".stripMargin) { (spark, sfDir) =>
+      inventory(spark, sfDir).groupBy("is_folder")
+        .agg(count(lit(1)).as("n"), sum("length").as("total_len"))
+        .orderBy("is_folder")
+    },
+
+    // op 18: prefix predicate pushed into the scan
+    GraftQuery("inv_prefix_scan",
+      s"""WITH ${InvCte}
+         |SELECT count(*) AS n, CAST(sum(length) AS BIGINT) AS total_len
+         |FROM inv WHERE name LIKE '/data/part=1%'""".stripMargin) { (spark, sfDir) =>
+      inventory(spark, sfDir).filter(col("name").startsWith("/data/part=1"))
+        .agg(count(lit(1)).as("n"), sum("length").as("total_len"))
+    },
+
+    // op 19: regex exclusion filters (distcp -filters, README.md:94-99)
+    GraftQuery("inv_regex_exclude",
+      s"""WITH ${InvCte}
+         |SELECT count(*) AS n, CAST(sum(length) AS BIGINT) AS total_len FROM inv
+         |WHERE NOT regexp_matches(name, '.*part=1[0-9]/.*')
+         |  AND NOT regexp_matches(name, '.*-3\\.dat$$')""".stripMargin) { (spark, sfDir) =>
+      val exclusions = Seq(".*part=1[0-9]/.*", ".*-3\\.dat$")
+      val keep = exclusions.map(p => !col("name").rlike(p)).reduce(_ && _)
+      inventory(spark, sfDir).filter(keep)
+        .agg(count(lit(1)).as("n"), sum("length").as("total_len"))
+    },
+
+    // op 23: broadcast identity lookup join with pass-through fallback
+    GraftQuery("identity_join",
+      s"""WITH ${InvCte}, ${IdMapCte},
+         |pr AS (SELECT DISTINCT * FROM (
+         |  SELECT 'user' AS itype, owner AS pid FROM inv
+         |  UNION ALL SELECT 'group' AS itype, grp AS pid FROM inv))
+         |SELECT pr.itype, pr.pid, coalesce(m.target, pr.pid) AS mapped
+         |FROM pr LEFT JOIN idmap m ON m.itype = pr.itype AND m.source = pr.pid
+         |ORDER BY 1, 2""".stripMargin,
+      bench = true) { (spark, sfDir) =>
+      val inv = inventory(spark, sfDir)
+      val principals = inv.select(lit("user").as("itype"), col("owner").as("pid"))
+        .unionByName(inv.select(lit("group").as("itype"), col("grp").as("pid")))
+        .distinct().alias("p")
+      val m = identityMap(spark, sfDir).alias("m")
+      principals.join(broadcast(m),
+          col("p.itype") === col("m.itype") && col("p.pid") === col("m.source"), "left")
+        .select(col("p.itype").as("itype"), col("p.pid").as("pid"),
+          coalesce(col("m.target"), col("p.pid")).as("mapped"))
+        .orderBy("itype", "pid")
+    },
+
+    // ops 24+22+30k: per-array-element identity join, empty-id guard,
+    // comma-joined ACL spec rebuild (copy-acls.py:14-46)
+    GraftQuery("acl_map_entries",
+      s"""WITH ${AclCte}, ${IdMapCte},
+         |ex AS (SELECT file, i AS pos, acl[i] AS entry FROM (
+         |  SELECT file, acl, unnest(generate_series(1, len(acl))) AS i FROM aclrec)),
+         |p2 AS (SELECT file, pos, string_split(entry, ':') AS parts,
+         |              len(string_split(entry, ':')) AS nf FROM ex),
+         |p3 AS (SELECT file, pos, parts, nf,
+         |              CASE WHEN nf = 4 THEN parts[2] ELSE parts[1] END AS atype,
+         |              CASE WHEN nf = 4 THEN parts[3] ELSE parts[2] END AS aid FROM p2),
+         |m AS (SELECT p3.*, coalesce(idmap.target, p3.aid) AS mid
+         |      FROM p3 LEFT JOIN idmap
+         |        ON idmap.itype = p3.atype AND idmap.source = p3.aid AND p3.aid <> ''),
+         |r AS (SELECT file, pos,
+         |             CASE WHEN nf = 4 THEN concat_ws(':', parts[1], parts[2], mid, parts[4])
+         |                  ELSE concat_ws(':', parts[1], mid, parts[3]) END AS mapped FROM m)
+         |SELECT file, string_agg(mapped, ',' ORDER BY pos) AS acl_spec
+         |FROM r GROUP BY file ORDER BY file""".stripMargin,
+      bench = true) { (spark, sfDir) =>
+      val exploded = aclRecords(spark, sfDir)
+        .select(col("file"), posexplode(col("acl")).as(Seq("pos", "entry")))
+      val parsed = parseEntry(exploded).alias("p")
+      val m = identityMap(spark, sfDir).alias("m")
+      parsed.join(broadcast(m),
+          col("p.atype") === col("m.itype") && col("p.aid") === col("m.source")
+            && col("p.aid") =!= "", "left")
+        .withColumn("mid", coalesce(col("m.target"), col("p.aid")))
+        .withColumn("mapped", when(col("nf") === 4,
+            concat_ws(":", element_at(col("parts"), 1), element_at(col("parts"), 2),
+              col("mid"), element_at(col("parts"), 4)))
+          .otherwise(concat_ws(":", element_at(col("parts"), 1), col("mid"),
+            element_at(col("parts"), 3))))
+        .groupBy("file")
+        .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("mapped")))),
+          s => s.getField("mapped")), ",").as("acl_spec"))
+        .orderBy("file")
+    },
+
+    // op 25: distinct identities from ACL records (copy-acls.py:84-104)
+    GraftQuery("acl_distinct_identities",
+      s"""WITH ${AclCte},
+         |allent AS (SELECT file,
+         |    acl || [concat('user:', owner, ':'), concat('group:', grp, ':')] AS entries
+         |  FROM aclrec),
+         |ex AS (SELECT unnest(entries) AS entry FROM allent),
+         |p2 AS (SELECT string_split(entry, ':') AS parts,
+         |              len(string_split(entry, ':')) AS nf FROM ex),
+         |p3 AS (SELECT CASE WHEN nf = 4 THEN parts[2] ELSE parts[1] END AS itype,
+         |              CASE WHEN nf = 4 THEN parts[3] ELSE parts[2] END AS source FROM p2)
+         |SELECT DISTINCT itype, source FROM p3
+         |WHERE itype IN ('user', 'group') AND source <> ''
+         |ORDER BY itype, source""".stripMargin) { (spark, sfDir) =>
+      val withOwner = aclRecords(spark, sfDir).select(
+        concat(col("acl"), array(
+          concat(lit("user:"), col("owner"), lit(":")),
+          concat(lit("group:"), col("grp"), lit(":")))).as("entries"))
+      val exploded = withOwner.select(explode(col("entries")).as("entry"))
+      parseEntry(exploded)
+        .filter(col("atype").isin("user", "group") && col("aid") =!= "")
+        .select(col("atype").as("itype"), col("aid").as("source"))
+        .distinct()
+        .orderBy("itype", "source")
+    },
+
+    // op 26: distinct identities from the inventory (identity-mapper.py:51-62)
+    GraftQuery("inv_distinct_identities",
+      s"""WITH ${InvCte}
+         |SELECT DISTINCT itype, source FROM (
+         |  SELECT 'user' AS itype, owner AS source FROM inv
+         |  UNION ALL SELECT 'group' AS itype, grp AS source FROM inv)
+         |ORDER BY itype, source""".stripMargin) { (spark, sfDir) =>
+      val inv = inventory(spark, sfDir)
+      inv.select(lit("user").as("itype"), col("owner").as("source"))
+        .unionByName(inv.select(lit("group").as("itype"), col("grp").as("source")))
+        .distinct()
+        .orderBy("itype", "source")
+    },
+
+    // op 33: dirs-before-files phase ordering, dirs by depth
+    GraftQuery("phase_order_dirs",
+      s"""WITH ${InvCte},
+         |d AS (SELECT name, length(name) - length(replace(name, '/', '')) AS depth
+         |      FROM inv WHERE is_folder)
+         |SELECT row_number() OVER (ORDER BY depth, name) AS idx, name, depth
+         |FROM d ORDER BY idx""".stripMargin) { (spark, sfDir) =>
+      inventory(spark, sfDir).filter(col("is_folder"))
+        .withColumn("depth", length(col("name")) - length(regexp_replace(col("name"), "/", "")))
+        .withColumn("idx", row_number().over(Window.orderBy("depth", "name")))
+        .select("idx", "name", "depth")
+        .orderBy("idx")
+    },
+
+    // op 34: per-item error tolerance → status column + quarantine counts
+    GraftQuery("inv_error_status",
+      s"""WITH ${InvCte}
+         |SELECT status, count(*) AS n, CAST(sum(length) AS BIGINT) AS total_len FROM (
+         |  SELECT CASE WHEN NOT is_folder AND length % 97 = 0 THEN 'failed'
+         |              WHEN NOT is_folder AND length % 97 = 1 THEN 'skipped'
+         |              ELSE 'ok' END AS status, length FROM inv)
+         |GROUP BY status ORDER BY status""".stripMargin) { (spark, sfDir) =>
+      inventory(spark, sfDir)
+        .withColumn("status",
+          when(!col("is_folder") && col("length") % 97 === 0, lit("failed"))
+            .when(!col("is_folder") && col("length") % 97 === 1, lit("skipped"))
+            .otherwise(lit("ok")))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), sum("length").as("total_len"))
+        .orderBy("status")
+    }
+  )
+}

@@ -1,0 +1,151 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.GraftQuery
+import graft.fixtures.RefFixtures._
+
+/** The reference's signature operator: Data-Box bin packing
+  * (generate-file-list.py:19-50, SURVEY.md §2.9).
+  *
+  * Two implementations, per §7.3:
+  *  - `firstFit`: exact first-fit over driver-collected directory sizes.
+  *    Inherently sequential (each placement depends on all prior ones);
+  *    safe at 100 TB because directories ≪ files — the distributed part
+  *    is the size aggregation, only the per-directory totals are collected.
+  *  - next-fit relaxation: a window cumulative sum, fully parallel,
+  *    over-opens ≤2× bins worst case. This is the scale path.
+  *
+  * Oversized directories (> capacity) keep unit 0 — the reference recurses
+  * into them (generate-file-list.py:28-31) and filters unit==0 on write (:70).
+  */
+object PackingOps {
+
+  /** chosen so sf0.01 directory totals (avg ~1.6e8, max ~2.9e8) yield both
+    * packed and oversized (unit 0) directories */
+  val Capacity: Long = 250000000L
+
+  def dirSizes(spark: SparkSession, sfDir: String): DataFrame =
+    invFiles(spark, sfDir)
+      .groupBy(col("parent_directory").as("path"))
+      .agg(sum("length").as("size"))
+
+  private val SizesCte: String =
+    s"""$InvFilesCte,
+       |sizes AS (SELECT parent_directory AS path, CAST(sum(length) AS BIGINT) AS size
+       |          FROM invf GROUP BY parent_directory)""".stripMargin
+
+  /** Exact sequential first-fit (generate-file-list.py:32-43): place each
+    * directory (in path order) into the first unit with room, else open a
+    * new unit. Returns (path, size, unit) with unit 0 = oversized. */
+  def firstFit(sizes: Seq[(String, Long)], capacity: Long): Seq[(String, Long, Long)] = {
+    val remaining = ArrayBuffer.empty[Long]
+    sizes.map { case (path, size) =>
+      if (size > capacity) (path, size, 0L)
+      else {
+        val idx = remaining.indexWhere(_ >= size)
+        val unit = if (idx >= 0) { remaining(idx) -= size; idx + 1 }
+        else { remaining += capacity - size; remaining.length }
+        (path, size, unit.toLong)
+      }
+    }
+  }
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // dir-size aggregation feeding the allocator (op 1 scan + op 27 prep)
+    GraftQuery("pack_dir_sizes",
+      s"""WITH $SizesCte
+         |SELECT path, size FROM sizes ORDER BY path""".stripMargin) { (spark, sfDir) =>
+      dirSizes(spark, sfDir).orderBy("path")
+    },
+
+    // relaxed next-fit via window cumulative sum (§2.6) — the 100 TB path
+    GraftQuery("pack_nextfit", {
+      val cap = Capacity
+      s"""WITH $SizesCte,
+         |w AS (SELECT path, size,
+         |        CAST(sum(CASE WHEN size > $cap THEN 0 ELSE size END)
+         |          OVER (ORDER BY path ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |      FROM sizes)
+         |SELECT path, size,
+         |       CASE WHEN size > $cap THEN CAST(0 AS BIGINT) ELSE cum // $cap + 1 END AS unit
+         |FROM w ORDER BY path""".stripMargin
+    }, bench = true) { (spark, sfDir) =>
+      val w = Window.orderBy("path").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dirSizes(spark, sfDir)
+        .withColumn("cum",
+          sum(when(col("size") > Capacity, 0L).otherwise(col("size"))).over(w))
+        .withColumn("unit", when(col("size") > Capacity, lit(0L))
+          .otherwise(expr(s"cum DIV ${Capacity}L") + 1))
+        .select("path", "size", "unit")
+        .orderBy("path")
+    },
+
+    // ops 27+20: group-by unit with the unassigned (unit 0) filter
+    GraftQuery("pack_units", {
+      val cap = Capacity
+      s"""WITH $SizesCte,
+         |w AS (SELECT path, size,
+         |        CAST(sum(CASE WHEN size > $cap THEN 0 ELSE size END)
+         |          OVER (ORDER BY path ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |      FROM sizes),
+         |fit AS (SELECT path, size,
+         |          CASE WHEN size > $cap THEN CAST(0 AS BIGINT) ELSE cum // $cap + 1 END AS unit
+         |        FROM w)
+         |SELECT unit, count(*) AS n_dirs, CAST(sum(size) AS BIGINT) AS total_size
+         |FROM fit WHERE unit <> 0 GROUP BY unit ORDER BY unit""".stripMargin
+    }) { (spark, sfDir) =>
+      val w = Window.orderBy("path").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dirSizes(spark, sfDir)
+        .withColumn("cum",
+          sum(when(col("size") > Capacity, 0L).otherwise(col("size"))).over(w))
+        .withColumn("unit", when(col("size") > Capacity, lit(0L))
+          .otherwise(expr(s"cum DIV ${Capacity}L") + 1))
+        .filter(col("unit") =!= 0)
+        .groupBy("unit")
+        .agg(count(lit(1)).as("n_dirs"), sum("size").as("total_size"))
+        .orderBy("unit")
+    },
+
+    // op 31 exact: sequential first-fit (driver fold; dirs ≪ files).
+    // Not SQL-expressible (order-dependent mutable state) → rows-only check
+    // plus property tests in PackingSpec.
+    GraftQuery.noOracle("pack_firstfit") { (spark, sfDir) =>
+      val sizes = dirSizes(spark, sfDir).orderBy("path").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val packed = firstFit(sizes, Capacity).map { case (p, s, u) => Row(p, s, u) }
+      val schema = StructType(Seq(
+        StructField("path", StringType, nullable = false),
+        StructField("size", LongType, nullable = false),
+        StructField("unit", LongType, nullable = false)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(packed, 1), schema)
+    },
+
+    // op 30g / B5: ranged-read chunk plan (copy-to-adls.py:66-69, 20 MiB blocks)
+    GraftQuery("chunk_plan",
+      s"""WITH $InvFilesCte,
+         |f AS (SELECT name, length * 37 + 1 AS clen FROM invf
+         |      WHERE parent_directory LIKE '%0'),
+         |c AS (SELECT name, clen,
+         |        unnest(generate_series(0, clen - 1, 20971520)) AS chunk_off FROM f)
+         |SELECT name, chunk_off, least(20971520, clen - chunk_off) AS chunk_len
+         |FROM c ORDER BY name, chunk_off""".stripMargin,
+      bench = true) { (spark, sfDir) =>
+      invFiles(spark, sfDir)
+        .filter(col("parent_directory").endsWith("0"))
+        .select(col("name"), (col("length") * 37 + 1).as("clen"))
+        .select(col("name"), col("clen"),
+          explode(sequence(lit(0L), col("clen") - 1, lit(20971520L))).as("chunk_off"))
+        .select(col("name"), col("chunk_off"),
+          least(lit(20971520L), col("clen") - col("chunk_off")).as("chunk_len"))
+        .orderBy("name", "chunk_off")
+    }
+  )
+}

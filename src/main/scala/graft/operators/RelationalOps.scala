@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.Tables._
+
+/** Standard relational surface the engine exposes beyond the reference's
+  * own single join (SURVEY.md §2.4 "absent join types", §2.5-§2.7): the
+  * full join matrix, rollup/cube, windows, set ops, top-k. All built-in
+  * Catalyst — zero custom code.
+  *
+  * Money sums use exact integer cents (`floor(x*100)` per row, BIGINT sum)
+  * so results are bit-identical regardless of float summation order —
+  * both at the DuckDB oracle and across 1000-executor partial aggregation.
+  */
+object RelationalOps {
+
+  private def cents(c: String): org.apache.spark.sql.Column =
+    floor(col(c) * 100).cast("long")
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // broadcast inner join + aggregation (dim side broadcast like op 23)
+    GraftQuery("join_inner_agg",
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+      ) { (spark, sfDir) =>
+      orders(spark, sfDir)
+        .join(broadcast(customer(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), sum(cents("o_totalprice")).as("revenue_cents"))
+        .orderBy("c_mktsegment")
+    },
+
+    // left outer join with null-aware count, then histogram
+    GraftQuery("join_left_hist",
+      """WITH oc AS (
+        |  SELECT c_custkey, count(o_orderkey) AS n_ord
+        |  FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+        |    ON o.o_custkey = c_custkey
+        |  GROUP BY c_custkey)
+        |SELECT n_ord, count(*) AS n_cust FROM oc GROUP BY n_ord ORDER BY n_ord""".stripMargin,
+      ) { (spark, sfDir) =>
+      customer(spark, sfDir)
+        .join(orders(spark, sfDir).filter(col("o_orderstatus") === "F"),
+          col("o_custkey") === col("c_custkey"), "left")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("n_ord"))
+        .groupBy("n_ord").agg(count(lit(1)).as("n_cust"))
+        .orderBy("n_ord")
+    },
+
+    // left-semi (EXISTS)
+    GraftQuery("join_semi",
+      """SELECT count(*) AS n FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c.c_custkey AND o_totalprice > 400000)""".stripMargin,
+      ) { (spark, sfDir) =>
+      customer(spark, sfDir)
+        .join(orders(spark, sfDir).filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // left-anti (NOT EXISTS)
+    GraftQuery("join_anti",
+      """SELECT count(*) AS n FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c.c_custkey AND o_orderstatus = 'P')""".stripMargin,
+      ) { (spark, sfDir) =>
+      customer(spark, sfDir)
+        .join(orders(spark, sfDir).filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // equi + band (range predicate) join
+    GraftQuery("join_range",
+      """SELECT p_brand, count(*) AS n,
+        |       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  AND l_quantity BETWEEN p_size - 2 AND p_size + 2
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+      ) { (spark, sfDir) =>
+      lineitem(spark, sfDir)
+        .join(broadcast(part(spark, sfDir)),
+          col("l_partkey") === col("p_partkey")
+            && col("l_quantity").between(col("p_size") - 2, col("p_size") + 2))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), sum(floor(col("l_quantity")).cast("long")).as("qty"))
+        .orderBy("p_brand")
+    },
+
+    // as-of join composed from equi-join + window rank (SURVEY §2.4):
+    // latest order at-or-before each sampled event's timestamp
+    GraftQuery("join_asof",
+      """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 20 = 0),
+        |j AS (SELECT e.event_id, o.o_orderkey,
+        |        row_number() OVER (PARTITION BY e.event_id
+        |                           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |      FROM e JOIN orders o
+        |        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |SELECT event_id, o_orderkey FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+      ) { (spark, sfDir) =>
+      val e = events(spark, sfDir).filter(col("event_id") % 20 === 0)
+        .select("event_id", "user_id", "ts")
+      val o = orders(spark, sfDir)
+      val w = Window.partitionBy("event_id")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      e.join(o, col("o_custkey") === col("user_id") && col("o_orderdate") <= col("ts"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("event_id", "o_orderkey")
+        .orderBy("event_id")
+    },
+
+    // cross join (small × small only)
+    GraftQuery("join_cross",
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin) { (spark, sfDir) =>
+      region(spark, sfDir).crossJoin(nation(spark, sfDir))
+        .select("r_name", "n_name").orderBy("r_name", "n_name")
+    },
+
+    // set operations: intersect / except / union-distinct (§2.7)
+    GraftQuery("setops",
+      """SELECT 'exc' AS op, k FROM (
+        |    SELECT DISTINCT c_nationkey AS k FROM customer
+        |    EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'int' AS op, k FROM (
+        |    SELECT DISTINCT c_nationkey AS k FROM customer
+        |    INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'uni' AS op, k FROM (
+        |    SELECT c_nationkey AS k FROM customer
+        |    UNION SELECT s_nationkey FROM supplier)
+        |ORDER BY op, k""".stripMargin) { (spark, sfDir) =>
+      val c = customer(spark, sfDir).select(col("c_nationkey").as("k"))
+      val s = supplier(spark, sfDir).select(col("s_nationkey").as("k"))
+      val exc = c.distinct().except(s.distinct()).select(lit("exc").as("op"), col("k"))
+      val int = c.distinct().intersect(s.distinct()).select(lit("int").as("op"), col("k"))
+      val uni = c.union(s).distinct().select(lit("uni").as("op"), col("k"))
+      exc.unionByName(int).unionByName(uni).orderBy("op", "k")
+    },
+
+    // rollup with grouping-null sentinels
+    GraftQuery("agg_rollup",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin) { (spark, sfDir) =>
+      orders(spark, sfDir)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(cents("o_totalprice")).as("cents"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("cents"))
+        .orderBy("status", "priority")
+    },
+
+    // cube
+    GraftQuery("agg_cube",
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |       coalesce(l_linestatus, 'ALL') AS lstatus,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin) { (spark, sfDir) =>
+      lineitem(spark, sfDir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum(floor(col("l_quantity")).cast("long")).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("n"), col("qty"))
+        .orderBy("rflag", "lstatus")
+    },
+
+    // approx_count_distinct, checked against exact within 5%
+    GraftQuery("agg_approx_distinct",
+      """SELECT count(DISTINCT l_partkey) AS exact_cnt, TRUE AS approx_ok
+        |FROM lineitem""".stripMargin) { (spark, sfDir) =>
+      lineitem(spark, sfDir)
+        .agg(countDistinct(col("l_partkey")).as("exact_cnt"),
+          approx_count_distinct(col("l_partkey")).as("approx"))
+        .select(col("exact_cnt"),
+          (abs(col("approx") - col("exact_cnt")) <= col("exact_cnt") * 0.05).as("approx_ok"))
+    },
+
+    // ranking window: top-3 orders per (sampled) customer
+    GraftQuery("window_rank",
+      """WITH r AS (SELECT o_custkey, o_orderkey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders WHERE o_custkey % 10 = 0)
+        |SELECT o_custkey, rn, o_orderkey, cents FROM r WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin) { (spark, sfDir) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(spark, sfDir).filter(col("o_custkey") % 10 === 0)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), cents("o_totalprice").as("cents"))
+        .orderBy("o_custkey", "rn")
+    },
+
+    // lag + running cumulative sum frame
+    GraftQuery("window_lag_cumsum",
+      """WITH w AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_custkey % 25 = 0)
+        |SELECT o_custkey, o_orderkey,
+        |  lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order,
+        |  CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
+        |FROM w ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, sfDir) =>
+      val base = orders(spark, sfDir).filter(col("o_custkey") % 25 === 0)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          cents("o_totalprice").as("cents"))
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      base
+        .withColumn("prev_order", lag(col("o_orderkey"), 1).over(w))
+        .withColumn("run_cents",
+          sum(col("cents")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("o_custkey", "o_orderkey", "prev_order", "run_cents")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // top-k (TakeOrderedAndProject)
+    GraftQuery("topk_orders",
+      """SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+      ) { (spark, sfDir) =>
+      orders(spark, sfDir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), cents("o_totalprice").as("cents"))
+    }
+  )
+}
