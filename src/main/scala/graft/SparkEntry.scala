@@ -11,7 +11,9 @@ object SparkEntry {
     * SQL-expressible (SURVEY.md §2 inventory + north-star extensions) */
   def all: Seq[GraftQuery] =
     InventoryOps.queries ++ PackingOps.queries ++ ScalarOps.queries ++
-      RelationalOps.queries ++ HeadlineOps.queries
+      RelationalOps.queries ++ HeadlineOps.queries ++ TextOps.queries ++
+      DedupOps.queries ++ SimilarityOps.queries ++ EventOps.queries ++
+      MultimodalOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Distinct-identities pipeline (§7.2 step 1): scan → project → explode →

@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.Tables
+import graft.functions.PortableHash._
+
+/** Deduplication family over `documents` (north-star): exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash. Built to the same blueprint that runs at
+  * 100 TB:
+  *
+  *  - Shingles are document-frequency-filtered (df ≤ MaxDf) before any
+  *    pair generation — the band-stop that bounds per-shingle bucket joins.
+  *  - MinHash signatures prune candidate pairs via banded LSH, then
+  *    candidates are verified with exact Jaccard — output equals the exact
+  *    operator's (the oracle), with ~1e-7 per-pair miss probability.
+  *  - SimHash pairs use 4×8-bit band buckets, which is *exact* for
+  *    hamming ≤ 3 by pigeonhole — no recall loss, no quadratic join.
+  */
+object DedupOps {
+
+  val ShingleLen = 8
+  val MaxDf = 50
+  val JaccardThreshold = 0.8
+  val NumPerms = 32
+  val NumBands = 16 // × 2 rows per band
+
+  /** distinct df-filtered (doc_id, shingle-hash) pairs */
+  private def shingles(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (ShingleLen - 1))).as("i"))
+      .select(col("doc_id"), h8(expr(s"substring(text, i, $ShingleLen)")).as("h"))
+      .distinct()
+    val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    sh.join(df.filter(col("df") <= MaxDf).select("h"), Seq("h"))
+  }
+
+  private val ShinglesCte: String =
+    s"""shraw AS (SELECT DISTINCT doc_id, ${h8Sql(s"substr(text, i, $ShingleLen)")} AS h FROM (
+       |    SELECT doc_id, text, unnest(generate_series(1, length(text) - ${ShingleLen - 1})) AS i
+       |    FROM documents)),
+       |dfreq AS (SELECT h, count(*) AS df FROM shraw GROUP BY h),
+       |shf AS (SELECT s.doc_id, s.h FROM shraw s JOIN dfreq USING (h) WHERE dfreq.df <= $MaxDf)""".stripMargin
+
+  /** exact pairwise Jaccard ≥ threshold over df-filtered shingles — both the
+    * exact operator and the oracle for the MinHash variant */
+  private val JaccardSql: String =
+    s"""WITH $ShinglesCte,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+       |          FROM shf a JOIN shf b ON a.h = b.h AND a.doc_id < b.doc_id
+       |          GROUP BY a.doc_id, b.doc_id)
+       |SELECT inter.ida AS a, inter.idb AS b,
+       |       CAST(inter.i AS DOUBLE) / (sa.n + sb.n - inter.i) AS jacc
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = inter.ida
+       |JOIN sizes sb ON sb.doc_id = inter.idb
+       |WHERE CAST(inter.i AS DOUBLE) / (sa.n + sb.n - inter.i) >= $JaccardThreshold
+       |ORDER BY a, b""".stripMargin
+
+  /** exact Jaccard of given candidate pairs (cols a, b) against shingle sets */
+  private def verifyJaccard(cands: DataFrame, shf: DataFrame): DataFrame = {
+    val sizes = shf.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sa = shf.select(col("doc_id").as("a"), col("h"))
+    val sb = shf.select(col("doc_id").as("b2"), col("h").as("hb"))
+    cands
+      .join(sa, Seq("a"))
+      .join(sb, col("hb") === col("h") && col("b") === col("b2"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+      .join(broadcast(sizes.select(col("doc_id").as("a"), col("n").as("na"))), Seq("a"))
+      .join(broadcast(sizes.select(col("doc_id").as("b"), col("n").as("nb"))), Seq("b"))
+      .select(col("a"), col("b"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jacc"))
+      .filter(col("jacc") >= JaccardThreshold)
+  }
+
+  /** 32-bit SimHash per document over distinct tokens (portable H8 base) */
+  private def simhashDf(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(array_distinct(expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))).as("tok"))
+      .select(col("doc_id"), h8(rpad(substring(col("tok"), 1, 8), 8, "_")).as("th"))
+      .select(col("doc_id"), col("th"), explode(sequence(lit(0), lit(31))).as("b"))
+      .select(col("doc_id"), col("b"),
+        (expr("(th DIV shiftleft(CAST(1 AS BIGINT), b)) % 2") * 2 - 1).as("sign"))
+      .groupBy("doc_id", "b").agg(sum("sign").as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L))
+        .cast("long").as("simhash"))
+
+  private val SimhashCte: String =
+    s"""toks AS (SELECT DISTINCT doc_id, t AS tok FROM (
+       |    SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS t FROM documents)),
+       |th AS (SELECT doc_id, ${h8Sql("rpad(substr(tok, 1, 8), 8, '_')")} AS th FROM toks),
+       |bits AS (SELECT doc_id, b,
+       |           sum((th // (CAST(1 AS BIGINT) << b)) % 2 * 2 - 1) AS s
+       |         FROM th, (SELECT unnest(generate_series(0, 31)) AS b) bs
+       |         GROUP BY doc_id, b),
+       |sims AS (SELECT doc_id,
+       |           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+       |         FROM bits GROUP BY doc_id)""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // exact deduplication: distinct counts on raw / md5 / normalized keys
+    GraftQuery("dedup_exact",
+      """SELECT count(*) AS n_docs,
+        |       count(DISTINCT text) AS n_distinct,
+        |       count(DISTINCT md5(text)) AS n_md5,
+        |       count(DISTINCT regexp_replace(text, '[^a-z]', '', 'g')) AS n_norm
+        |FROM documents""".stripMargin) { (spark, sfDir) =>
+      Tables.documents(spark, sfDir).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct"),
+        countDistinct(md5(col("text").cast("binary"))).as("n_md5"),
+        countDistinct(regexp_replace(col("text"), "[^a-z]", "")).as("n_norm"))
+    },
+
+    // exact n-gram Jaccard near-dup pairs (df-filtered shingles)
+    GraftQuery("dedup_jaccard", JaccardSql, bench = true) { (spark, sfDir) =>
+      val shf = shingles(spark, sfDir)
+      val sizes = shf.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = shf.select(col("doc_id").as("a"), col("h"))
+      val b = shf.select(col("doc_id").as("b"), col("h"))
+      a.join(b, Seq("h")).filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("i"))
+        .join(broadcast(sizes.select(col("doc_id").as("a"), col("n").as("na"))), Seq("a"))
+        .join(broadcast(sizes.select(col("doc_id").as("b"), col("n").as("nb"))), Seq("b"))
+        .select(col("a"), col("b"),
+          (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jacc"))
+        .filter(col("jacc") >= JaccardThreshold)
+        .orderBy("a", "b")
+    },
+
+    // MinHash + banded LSH candidates, exact-verified — equals the exact
+    // operator's output (miss prob ≈ (1-s²)^16 per pair, ~1e-7 at s=0.8)
+    GraftQuery("dedup_minhash", JaccardSql, bench = true) { (spark, sfDir) =>
+      val shf = shingles(spark, sfDir)
+      val aggs = (0 until NumPerms).map(i => min(minhashPerm(col("h"), i)).as(s"mh$i"))
+      val sig = shf.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      val bands = sig.select(col("doc_id"),
+        explode(array((0 until NumBands).map(bd =>
+          concat_ws(":", lit(bd), col(s"mh${2 * bd}"), col(s"mh${2 * bd + 1}"))): _*))
+          .as("bandkey"))
+      val cands = bands.alias("x").join(bands.alias("y"), Seq("bandkey"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .filter(col("a") < col("b"))
+        .distinct()
+      verifyJaccard(cands, shf).orderBy("a", "b")
+    },
+
+    // SimHash signatures per document
+    GraftQuery("dedup_simhash",
+      s"""WITH $SimhashCte
+         |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
+      simhashDf(spark, sfDir).orderBy("doc_id")
+    },
+
+    // SimHash near-dup pairs: 4×8-bit band buckets (exact for hamming ≤ 3)
+    GraftQuery("dedup_simhash_pairs",
+      s"""WITH $SimhashCte
+         |SELECT a.doc_id AS a, b.doc_id AS b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS dist
+         |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY a, b""".stripMargin) { (spark, sfDir) =>
+      val sims = simhashDf(spark, sfDir)
+      val bands = sims.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("k"))
+        .select(col("doc_id"), col("simhash"), col("k"),
+          expr("(simhash DIV shiftleft(CAST(1 AS BIGINT), k * 8)) % 256").as("bandval"))
+      val cands = bands.alias("x")
+        .join(bands.alias("y"), Seq("k", "bandval"))
+        .select(col("x.doc_id").as("a"), col("x.simhash").as("sa"),
+          col("y.doc_id").as("b"), col("y.simhash").as("sb"))
+        .filter(col("a") < col("b"))
+        .distinct()
+      cands
+        .select(col("a"), col("b"),
+          bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int").as("dist"))
+        .filter(col("dist") <= 3)
+        .orderBy("a", "b")
+    }
+  )
+}

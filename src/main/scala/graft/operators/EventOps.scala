@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.Tables
+
+/** Event-time windowing over the `events` table, batch mode (SURVEY.md
+  * §2.11): tumbling / sliding / session windows via Spark's native
+  * window()/session_window(), oracle-checked through epoch arithmetic.
+  * Streaming variants of the same aggregations live in
+  * graft.streaming.StreamOps behind Trigger.AvailableNow.
+  */
+object EventOps {
+
+  private val TumbleSec = 300L
+  private val SlideSec = 60L
+  private val GapUs = 1800000000L // 30 min in micros
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // tumbling 5-minute windows per event type
+    GraftQuery("events_tumbling",
+      s"""SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // ${TumbleSec * 1000000} * $TumbleSec AS BIGINT) AS wstart,
+         |       event_type, count(*) AS n,
+         |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
+         |FROM events
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      bench = true) { (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100).cast("long")).as("v_cents"))
+        .select(expr("unix_seconds(CAST(window.start AS TIMESTAMP))").as("wstart"),
+          col("event_type"), col("n"), col("v_cents"))
+        .orderBy("wstart", "event_type")
+    },
+
+    // sliding 5-minute windows every minute: event counts + distinct users
+    GraftQuery("events_sliding",
+      s"""WITH e AS (SELECT user_id, event_type,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) // ${SlideSec * 1000000} * $SlideSec AS fl
+         |  FROM events),
+         |w AS (SELECT user_id,
+         |    unnest(generate_series(fl - ${TumbleSec - SlideSec}, fl, $SlideSec)) AS wstart
+         |  FROM e)
+         |SELECT CAST(wstart AS BIGINT) AS wstart, count(*) AS n,
+         |       count(DISTINCT user_id) AS n_users
+         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .groupBy(window(col("ts"), "5 minutes", "1 minute"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .select(expr("unix_seconds(CAST(window.start AS TIMESTAMP))").as("wstart"),
+          col("n"), col("n_users"))
+        .orderBy("wstart")
+    },
+
+    // session windows: 30-minute gap per user (gaps-and-islands oracle)
+    GraftQuery("events_session",
+      s"""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         |l AS (SELECT user_id, us,
+         |        lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev FROM e),
+         |f AS (SELECT user_id, us,
+         |        CASE WHEN prev IS NULL OR us - prev >= $GapUs THEN 1 ELSE 0 END AS new_s
+         |      FROM l),
+         |s AS (SELECT user_id, us,
+         |        CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+         |      FROM f)
+         |SELECT user_id, sid, min(us) AS start_us, max(us) AS end_us, count(*) AS n
+         |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin,
+      bench = true) { (spark, sfDir) =>
+      val sess = Tables.events(spark, sfDir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          expr("unix_micros(CAST(session_window.start AS TIMESTAMP))").as("start_us"),
+          (expr("unix_micros(CAST(session_window.end AS TIMESTAMP))") - GapUs).as("end_us"),
+          col("n"))
+      sess
+        .withColumn("sid",
+          row_number().over(Window.partitionBy("user_id").orderBy("start_us")).cast("long"))
+        .select("user_id", "sid", "start_us", "end_us", "n")
+        .orderBy("user_id", "sid")
+    }
+  )
+}

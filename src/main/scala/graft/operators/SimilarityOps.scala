@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float vectors,
+  * north-star): brute-force cosine top-k as the verified baseline, and a
+  * multi-table random-hyperplane LSH variant as the scale path (bucketed
+  * equi-join instead of the quadratic cross join; recall measured in
+  * SimilaritySpec against the brute-force output).
+  */
+object SimilarityOps {
+
+  val NumQueries = 20
+  val TopK = 10
+  /** LSH: 8 tables × 4 hyperplane bits */
+  val Tables4 = 8
+  val BitsPerTable = 4
+
+  /** in-order left-fold dot product of two array<double> columns */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def toDouble(c: Column): Column = c.cast("array<double>")
+
+  private def norm(c: Column): Column = sqrt(dot(c, c))
+
+  /** deterministic pseudo-random hyperplane weight w(h, i) — no RNG so the
+    * oracle and re-runs agree bit-for-bit */
+  private def wExprSql(h: String, i: String): String =
+    s"(((1 + 37 * $h + 101 * $i + 13 * $h * $i) % 19) - 9)"
+
+  private def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+
+  /** brute-force cosine top-k for qid < NumQueries; rounded to 6 dp before
+    * ranking so Spark and DuckDB order identically */
+  def bruteForce(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qe"))
+    val cand = e.select(col("vec_id").as("nid"), toDouble(col("embedding")).as("ne"))
+    val w = Window.partitionBy("qid").orderBy(col("sim6").desc, col("nid"))
+    cand.join(broadcast(q), col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("qe"), col("ne")) / (norm(col("qe")) * norm(col("ne"))), 6).as("sim6"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select("qid", "rnk", "nid", "sim6")
+      .orderBy("qid", "rnk")
+  }
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery("sim_cosine_topk",
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |           WHERE vec_id < $NumQueries),
+         |p AS (SELECT q.qid, e.vec_id AS nid,
+         |        list_sum(list_transform(generate_series(1, len(e.embedding)),
+         |          i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS dp,
+         |        sqrt(list_sum(list_transform(generate_series(1, len(q.qe)),
+         |          i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))) AS nq,
+         |        sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+         |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) AS ne
+         |      FROM embeddings e, q WHERE e.vec_id <> q.qid),
+         |r AS (SELECT qid, nid, round(dp / (nq * ne), 6) AS sim6,
+         |        row_number() OVER (PARTITION BY qid
+         |                           ORDER BY round(dp / (nq * ne), 6) DESC, nid) AS rnk
+         |      FROM p)
+         |SELECT qid, rnk, nid, sim6 FROM r WHERE rnk <= $TopK
+         |ORDER BY qid, rnk""".stripMargin,
+      bench = true) { (spark, sfDir) =>
+      bruteForce(spark, sfDir)
+    },
+
+    // multi-table random-hyperplane LSH: bucket join + exact re-rank within
+    // candidates. Rows-only driver check; recall vs brute force is asserted
+    // in SimilaritySpec.
+    GraftQuery.noOracle("sim_ann_lsh") { (spark, sfDir) =>
+      val e = embeddings(spark, sfDir)
+      // (vec_id, i, x): one row per vector component
+      val comps = e.select(col("vec_id"),
+          posexplode(toDouble(col("embedding"))).as(Seq("i", "x")))
+      // h = t * BitsPerTable + j hyperplanes; bit = (w·v > 0)
+      val hs = comps.crossJoin(
+          spark.range(Tables4 * BitsPerTable).select(col("id").cast("int").as("h")))
+        .select(col("vec_id"), col("h"),
+          (col("x") * expr(wExprSql("h", "i"))).as("wx"))
+        .groupBy("vec_id", "h").agg(sum("wx").as("dp"))
+        .select(col("vec_id"), col("h"), (col("dp") > 0).cast("long").as("bit"))
+      val codes = hs
+        .select(col("vec_id"), (col("h") / BitsPerTable).cast("int").as("t"),
+          (col("bit") * expr(s"shiftleft(CAST(1 AS BIGINT), h % $BitsPerTable)")).as("v"))
+        .groupBy("vec_id", "t").agg(sum("v").as("code"))
+      val qcodes = codes.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("t"), col("code"))
+      val cands = codes.join(broadcast(qcodes), Seq("t", "code"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid")).distinct()
+      // exact re-rank of candidates
+      val q = e.select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qe"))
+      val c = e.select(col("vec_id").as("nid"), toDouble(col("embedding")).as("ne"))
+      val w = Window.partitionBy("qid").orderBy(col("sim6").desc, col("nid"))
+      cands.join(broadcast(q), Seq("qid")).join(c, Seq("nid"))
+        .select(col("qid"), col("nid"),
+          round(dot(col("qe"), col("ne")) / (norm(col("qe")) * norm(col("ne"))), 6).as("sim6"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+        .select("qid", "rnk", "nid", "sim6")
+        .orderBy("qid", "rnk")
+    }
+  )
+}

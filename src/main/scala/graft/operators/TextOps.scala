@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.Tables
+import graft.functions.PortableHash._
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * quality stats, language-ID heuristic, token counting, document
+  * fingerprinting (north-star ops; no counterpart in the reference).
+  *
+  * Everything is scan → per-row expression → (optional) explode+agg: no
+  * shuffle except final aggregations, so it scales linearly with the corpus.
+  */
+object TextOps {
+
+  private val StopEn = Seq("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
+  private val StopDe = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein")
+  private val StopFr = Seq("le", "la", "les", "et", "est", "dans", "pour", "que")
+
+  private def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** count of tokens ∈ ws, as a Spark column over an array<string> column */
+  private def hits(tokens: Column, ws: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(ws: _*))).cast("long")
+
+  private def hitsSql(tokensExpr: String, ws: Seq[String]): String =
+    s"CAST(len(list_filter($tokensExpr, t -> list_contains(${sqlList(ws)}, t))) AS BIGINT)"
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // quality scoring: lengths, token stats, punctuation + stopword ratios
+    GraftQuery("text_stats",
+      s"""WITH t AS (SELECT doc_id, text,
+         |    regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents)
+         |SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars_m,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         |  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_tok_len,
+         |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS punct_n,
+         |  ${hitsSql("toks", StopEn)} AS stop_n,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |       ELSE CAST(${hitsSql("toks", StopEn)} AS DOUBLE) / CAST(len(toks) AS BIGINT)
+         |  END AS stop_ratio
+         |FROM t ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
+      val t = docs(spark, sfDir)
+        .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+      t.select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        aggregate(transform(col("toks"), x => length(x).cast("long")),
+          lit(0L), (a, x) => a + x).as("sum_tok_len"),
+        (length(col("text"))
+          - length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("long").as("punct_n"),
+        hits(col("toks"), StopEn).as("stop_n"),
+        when(size(col("toks")) === 0, lit(0.0))
+          .otherwise(hits(col("toks"), StopEn).cast("double") / size(col("toks")).cast("long"))
+          .as("stop_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // language-ID heuristic: stopword-hit argmax with fixed tie order
+    GraftQuery("text_langid",
+      s"""WITH t AS (SELECT doc_id,
+         |    regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
+         |h AS (SELECT doc_id,
+         |    ${hitsSql("toks", StopEn)} AS en_hits,
+         |    ${hitsSql("toks", StopDe)} AS de_hits,
+         |    ${hitsSql("toks", StopFr)} AS fr_hits FROM t)
+         |SELECT doc_id, en_hits, de_hits, fr_hits,
+         |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+         |       WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS pred_lang
+         |FROM h ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
+      docs(spark, sfDir)
+        .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+        .select(col("doc_id"),
+          hits(col("toks"), StopEn).as("en_hits"),
+          hits(col("toks"), StopDe).as("de_hits"),
+          hits(col("toks"), StopFr).as("fr_hits"))
+        .withColumn("pred_lang",
+          when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits"), "en")
+            .when(col("de_hits") >= col("fr_hits"), "de")
+            .otherwise("fr"))
+        .orderBy("doc_id")
+    },
+
+    // token counting: whitespace split vs BPE-ish regex segmentation
+    GraftQuery("text_token_count",
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
+      docs(spark, sfDir).select(
+        col("doc_id"),
+        size(split(trim(col("text")), " +")).cast("long").as("n_ws"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("long")
+          .as("n_bpe"))
+        .orderBy("doc_id")
+    },
+
+    // document fingerprinting: rolling 8-gram polynomial hashes
+    GraftQuery("text_fingerprint",
+      s"""WITH sh AS (SELECT doc_id, ${h8Sql("substr(text, i, 8)")} AS h FROM (
+         |    SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS i
+         |    FROM documents))
+         |SELECT doc_id, min(h) AS min_fp, max(h) AS max_fp,
+         |       count(DISTINCT h) AS n_shingles
+         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
+      docs(spark, sfDir)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
+        .select(col("doc_id"), h8(expr("substring(text, i, 8)")).as("h"))
+        .groupBy("doc_id")
+        .agg(min("h").as("min_fp"), max("h").as("max_fp"),
+          countDistinct("h").as("n_shingles"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured-Streaming variants of the batch event-window operators
+  * (SURVEY.md §2.11 — absent in the reference, mandated by the north star).
+  * Driven by file-source streams over the same events parquet so
+  * StreamingSpec can execute them to completion with Trigger.AvailableNow
+  * and compare against the batch results.
+  */
+object StreamOps {
+
+  /** state for statefulUserTotals (top level so Encoders derive) */
+  final case class Agg(n: Long, maxV: Double)
+
+  /** the events table as a bounded stream. Watermarks require TIMESTAMP
+    * (with-local-tz), so ts becomes LTZ here — identical instants to the
+    * batch NTZ values under the fixed UTC session. File streams need a
+    * directory, hence sfDir + pathGlobFilter. */
+  def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream
+      .schema(spark.read.option("pathGlobFilter", "events.parquet").parquet(sfDir).schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** tumbling 5-minute counts with a 10-minute watermark */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("v_cents"))
+      .select(expr("unix_seconds(CAST(window.start AS TIMESTAMP))").as("wstart"),
+        col("event_type"), col("n"), col("v_cents"))
+
+  /** session windows (30-minute gap) per user */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        expr("unix_micros(CAST(session_window.start AS TIMESTAMP))").as("start_us"),
+        col("n"))
+
+  /** streaming dedup on event_id within the watermark */
+  def dedupedCount(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** custom stateful op: running per-user event count + max value via
+    * flatMapGroupsWithState (the reference has no stateful streaming; this
+    * is the engine-surface exposure) */
+  def statefulUserTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events.select(col("user_id").as("uid"), col("value"))
+      .as[(Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Agg, (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[Agg]) =>
+          val prev = state.getOption.getOrElse(Agg(0L, Double.MinValue))
+          var n = prev.n
+          var mx = prev.maxV
+          rows.foreach { case (_, v) => n += 1; if (v > mx) mx = v }
+          state.update(Agg(n, mx))
+          Iterator((uid, n, mx))
+      }
+      .toDF("user_id", "n", "max_value")
+  }
+
+  /** run any of the above to completion against bounded input (test hook) */
+  def runToCompletion(df: DataFrame, queryName: String): DataFrame = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(queryName)
+  }
+
+  /** append-mode runner (needed for flatMapGroupsWithState in Append) */
+  def runAppendToCompletion(df: DataFrame, queryName: String): DataFrame = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(queryName)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamOps
+
+/** Structured-Streaming variants executed to completion on bounded input
+  * (Trigger.AvailableNow) and compared to the batch operators. */
+class StreamingSpec extends AnyFunSuite {
+
+  test("streaming tumbling counts == batch events_tumbling") {
+    val spark = TestSpark.spark
+    val stream = StreamOps.tumblingCounts(StreamOps.eventStream(spark, TestSpark.Sf))
+    val got = StreamOps.runToCompletion(stream, "tumble_test")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val want = SparkEntry.queries("events_tumbling")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+  }
+
+  test("streaming session windows == batch events_session (start, n)") {
+    val spark = TestSpark.spark
+    val stream = StreamOps.sessionCounts(StreamOps.eventStream(spark, TestSpark.Sf))
+    val got = StreamOps.runToCompletion(stream, "session_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = SparkEntry.queries("events_session")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSet
+    assert(got == want)
+  }
+
+  test("streaming dedup within watermark keeps all distinct event_ids") {
+    val spark = TestSpark.spark
+    val stream = StreamOps.dedupedCount(StreamOps.eventStream(spark, TestSpark.Sf))
+    val got = StreamOps.runToCompletion(stream, "dedup_test")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = graft.Tables.events(spark, TestSpark.Sf)
+      .groupBy("event_type").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want) // event_ids are unique, so dedup must be lossless
+  }
+
+  test("flatMapGroupsWithState emits per-user running totals") {
+    val spark = TestSpark.spark
+    val stream = StreamOps.statefulUserTotals(spark,
+      StreamOps.eventStream(spark, TestSpark.Sf))
+    val got = StreamOps.runAppendToCompletion(stream, "state_test")
+    assert(got.count() > 0)
+    val events = graft.Tables.events(spark, TestSpark.Sf)
+    assert(got.select("user_id").distinct().count()
+      == events.select("user_id").distinct().count())
+  }
+}
