@@ -19,10 +19,12 @@ object RunOne {
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(name)(spark, sfDir)
     if (args.contains("explain")) df.explain("formatted")
-    val t0 = System.nanoTime()
-    val n = df.count()
-    println(s"[runone] $name rows=$n in ${(System.nanoTime() - t0) / 1e9}%.2f sec")
-    df.show(20, truncate = false)
+    (1 to 3).foreach { it =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      println(f"[runone] $name iter$it rows=$n in ${(System.nanoTime() - t0) / 1e9}%.2f sec")
+    }
+    if (args.contains("show")) df.show(20, truncate = false)
     spark.stop()
   }
 }

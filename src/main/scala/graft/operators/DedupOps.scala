@@ -22,21 +22,30 @@ import graft.functions.PortableHash._
 object DedupOps {
 
   val ShingleLen = 8
-  val MaxDf = 50
+  val MaxDf = 30
   val JaccardThreshold = 0.8
   val NumPerms = 32
   val NumBands = 16 // × 2 rows per band
 
-  /** distinct df-filtered (doc_id, shingle-hash) pairs */
-  private def shingles(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - (ShingleLen - 1))).as("i"))
-      .select(col("doc_id"), h8(expr(s"substring(text, i, $ShingleLen)")).as("h"))
-      .distinct()
-    val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
-    sh.join(df.filter(col("df") <= MaxDf).select("h"), Seq("h"))
-  }
+  /** memoized df-filtered distinct (doc_id, shingle-hash) pairs — referenced
+    * several times per query (sizes, both join sides, signatures), and shared
+    * between the Jaccard and MinHash operators, so it is computed once per
+    * (session, sfDir) and persisted. At cluster scale this is the one
+    * materialization the whole dedup family amortizes. */
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def shingles(spark: SparkSession, sfDir: String): DataFrame =
+    shingleCache.getOrElseUpdate((spark, sfDir), {
+      // one-pass custom expression (== the composed oracle form, ~10x cheaper)
+      val sh = Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          explode(graft.functions.ShingleHashes.shingleHashes(col("text"), ShingleLen)).as("h"))
+        .distinct()
+      val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      sh.join(df.filter(col("df") <= MaxDf).select("h"), Seq("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   private val ShinglesCte: String =
     s"""shraw AS (SELECT DISTINCT doc_id, ${h8Sql(s"substr(text, i, $ShingleLen)")} AS h FROM (

@@ -21,9 +21,10 @@ object SimilarityOps {
   val Tables4 = 8
   val BitsPerTable = 4
 
-  /** in-order left-fold dot product of two array<double> columns */
+  /** in-order dot product — custom codegen expression (same fold order as
+    * the aggregate(zip_with(...)) composition and the DuckDB oracle) */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProduct.dotProduct(a, b)
 
   private def toDouble(c: Column): Column = c.cast("array<double>")
 

@@ -115,9 +115,8 @@ object TextOps {
          |       count(DISTINCT h) AS n_shingles
          |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
       docs(spark, sfDir)
-        .select(col("doc_id"), col("text"),
-          explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
-        .select(col("doc_id"), h8(expr("substring(text, i, 8)")).as("h"))
+        .select(col("doc_id"),
+          explode(graft.functions.ShingleHashes.shingleHashes(col("text"), 8)).as("h"))
         .groupBy("doc_id")
         .agg(min("h").as("min_fp"), max("h").as("max_fp"),
           countDistinct("h").as("n_shingles"))

@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source formats of the reference beyond parquet (SURVEY.md §2.1):
+  *
+  *  - op 7  JSON source: multiLine JSON arrays with explicit schema (the
+  *    `jq -s` ACL dumps of copy-acls.sh:64 and identity-map files).
+  *  - op 6  filelist source: newline-delimited paths driving per-path jobs
+  *    (distcp-to-databox.sh:18-28).
+  *  - op 3  flat listing scan: `binaryFile` format — (path, length,
+  *    modificationTime, content) rows straight from a directory tree.
+  *  - op 1  recursive usage scan: distributed FileSystem listing via
+  *    mapPartitions over a seed-directory Dataset — each partition walks
+  *    its subtrees through the Hadoop FileSystem API (NameNode-side
+  *    recursion replaces the `hadoop fs -du` forks; snapshot exclusion is
+  *    a path predicate).
+  */
+object Sources {
+
+  /** explicit schemas — the reference's record shapes are fixed (§1.2) */
+  val AclSchema: StructType = StructType(Seq(
+    StructField("file", StringType),
+    StructField("owner", StringType),
+    StructField("group", StringType),
+    StructField("acl", ArrayType(StringType))))
+
+  val IdentityMapSchema: StructType = StructType(Seq(
+    StructField("type", StringType),
+    StructField("source", StringType),
+    StructField("target", StringType)))
+
+  /** op 7: a multiLine JSON array with explicit schema (no inference pass) */
+  def readJsonArray(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("multiLine", "true").json(path)
+
+  /** op 6: newline-delimited filelist → one path per row */
+  def readFilelist(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path).select(col("value").as("path"))
+
+  /** op 3: flat listing of a directory tree with content */
+  def binaryListing(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .select(col("path"), col("length"), col("content"))
+
+  /** op 1: distributed recursive usage scan. Seed dirs are distributed to
+    * executors; each walks its subtree via FileSystem.listStatus. Exclusion
+    * (the `-x` snapshot filter) is a path predicate applied during the walk.
+    * Returns (path, size, is_dir) for every entry under the seeds. */
+  def usageScan(
+      spark: SparkSession,
+      seedDirs: Seq[String],
+      exclude: String => Boolean = _ => false): DataFrame = {
+    import spark.implicits._
+    val excludeB = spark.sparkContext.broadcast(exclude)
+    val scanned = spark.createDataset(seedDirs)
+      .repartition(math.min(seedDirs.size, 32).max(1))
+      .mapPartitions { dirs =>
+        val conf = new Configuration()
+        dirs.flatMap { d =>
+          val p = new Path(d)
+          val fs = p.getFileSystem(conf)
+          def walk(dir: Path): Iterator[(String, Long, Boolean)] = {
+            val entries = try fs.listStatus(dir).iterator
+                          catch { case _: java.io.FileNotFoundException => Iterator.empty }
+            entries.flatMap { st =>
+              val sp = st.getPath.toUri.getPath
+              if (excludeB.value(sp)) Iterator.empty
+              else if (st.isDirectory) Iterator((sp, 0L, true)) ++ walk(st.getPath)
+              else Iterator((sp, st.getLen, false))
+            }
+          }
+          walk(p)
+        }
+      }
+    scanned.toDF("path", "size", "is_dir")
+  }
+
+  /** per-directory usage totals from a scan (the `du` aggregation) */
+  def directoryUsage(scan: DataFrame): DataFrame =
+    scan.filter(!col("is_dir"))
+      .withColumn("dir", regexp_replace(col("path"), "/[^/]*$", ""))
+      .groupBy("dir").agg(sum("size").as("size"), count(lit(1)).as("n_files"))
+}

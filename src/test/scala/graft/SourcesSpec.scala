@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.fixtures.RefFixtures
+import graft.sources.Sources
+
+/** round-trips for the non-parquet sources (ops 1/3/6/7) */
+class SourcesSpec extends AnyFunSuite {
+
+  test("json array source round-trips ACL records with explicit schema (op 7)") {
+    val spark = TestSpark.spark
+    val tmp = Files.createTempDirectory("graft-json").toString
+    val acl = RefFixtures.aclRecords(spark, TestSpark.Sf).limit(200)
+      .withColumnRenamed("grp", "group")
+    acl.coalesce(1).write.mode("overwrite").json(s"$tmp/acl")
+    // line-delimited written by Spark; also exercise the multiLine array form
+    val lines = acl.toJSON.collect()
+    Files.writeString(Paths.get(s"$tmp/acl_array.json"),
+      lines.mkString("[", ",\n", "]"))
+    val got = Sources.readJsonArray(spark, s"$tmp/acl_array.json", Sources.AclSchema)
+    assert(got.count() == 200)
+    assert(got.select("file", "owner", "group").except(
+      acl.select("file", "owner", "group")).count() == 0)
+    assert(got.schema == Sources.AclSchema)
+  }
+
+  test("filelist source reads one path per line (op 6)") {
+    val spark = TestSpark.spark
+    val tmp = Files.createTempDirectory("graft-filelist").toString
+    val paths = (1 to 50).map(i => s"/data/part=$i/file-$i.dat")
+    Files.writeString(Paths.get(s"$tmp/filelist1"), paths.mkString("\n"))
+    val got = Sources.readFilelist(spark, s"$tmp/filelist1")
+    assert(got.count() == 50)
+    assert(got.orderBy("path").collect().map(_.getString(0)).toSeq == paths.sorted)
+  }
+
+  test("binaryFile listing scans a directory tree with content (op 3)") {
+    val spark = TestSpark.spark
+    val tmp = Files.createTempDirectory("graft-bin").toString
+    Files.createDirectories(Paths.get(s"$tmp/a/b"))
+    Files.write(Paths.get(s"$tmp/a/x.dat"), "hello".getBytes)
+    Files.write(Paths.get(s"$tmp/a/b/y.dat"), "world!".getBytes)
+    val got = Sources.binaryListing(spark, tmp, "*.dat")
+    val rows = got.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows.size == 2)
+    assert(rows.exists { case (p, l) => p.endsWith("x.dat") && l == 5 })
+    assert(rows.exists { case (p, l) => p.endsWith("y.dat") && l == 6 })
+  }
+
+  test("distributed usage scan walks subtrees and aggregates du (op 1)") {
+    val spark = TestSpark.spark
+    val tmp = Files.createTempDirectory("graft-du").toString
+    (1 to 4).foreach { d =>
+      Files.createDirectories(Paths.get(s"$tmp/d$d/.snapshot"))
+      (1 to 3).foreach { f =>
+        Files.write(Paths.get(s"$tmp/d$d/f$f.dat"), ("x" * (10 * f)).getBytes)
+      }
+      Files.write(Paths.get(s"$tmp/d$d/.snapshot/s.dat"), "snap".getBytes)
+    }
+    val scan = Sources.usageScan(spark, (1 to 4).map(d => s"$tmp/d$d"),
+      exclude = _.contains("/.snapshot"))
+    val files = scan.filter(!col("is_dir"))
+    assert(files.count() == 12) // snapshots excluded
+    val du = Sources.directoryUsage(scan).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    (1 to 4).foreach { d =>
+      assert(du(s"$tmp/d$d") == 60) // 10+20+30
+    }
+  }
+}
