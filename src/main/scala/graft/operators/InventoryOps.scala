@@ -190,6 +190,37 @@ object InventoryOps {
         .orderBy("idx")
     },
 
+    // op 13: identity-mapper rewrite — the in-place metadata update becomes
+    // a transformed dataset (rewrite pattern): every inventory row with
+    // owner/group remapped through the broadcast dimension, unmapped
+    // principals passing through (identity-mapper.py:9-35)
+    GraftQuery("inv_remap_owners",
+      s"""WITH ${InvCte}, ${IdMapCte}
+         |SELECT inv.name,
+         |       coalesce(mu.target, inv.owner) AS new_owner,
+         |       coalesce(mg.target, inv.grp) AS new_grp,
+         |       (mu.target IS NOT NULL OR mg.target IS NOT NULL) AS changed
+         |FROM inv
+         |LEFT JOIN idmap mu ON mu.itype = 'user' AND mu.source = inv.owner
+         |LEFT JOIN idmap mg ON mg.itype = 'group' AND mg.source = inv.grp
+         |ORDER BY name""".stripMargin,
+      bench = true) { (spark, sfDir) =>
+      val inv = inventory(spark, sfDir)
+      val idm = identityMap(spark, sfDir)
+      val mu = idm.filter(col("itype") === "user")
+        .select(col("source").as("u_source"), col("target").as("u_target"))
+      val mg = idm.filter(col("itype") === "group")
+        .select(col("source").as("g_source"), col("target").as("g_target"))
+      inv
+        .join(broadcast(mu), col("owner") === col("u_source"), "left")
+        .join(broadcast(mg), col("grp") === col("g_source"), "left")
+        .select(col("name"),
+          coalesce(col("u_target"), col("owner")).as("new_owner"),
+          coalesce(col("g_target"), col("grp")).as("new_grp"),
+          (col("u_target").isNotNull || col("g_target").isNotNull).as("changed"))
+        .orderBy("name")
+    },
+
     // op 34: per-item error tolerance → status column + quarantine counts
     GraftQuery("inv_error_status",
       s"""WITH ${InvCte}

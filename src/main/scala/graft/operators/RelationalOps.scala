@@ -231,6 +231,53 @@ object RelationalOps {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // full analytic-window matrix: rank / dense_rank / ntile / lead /
+    // first_value over one partition spec
+    GraftQuery("window_analytics",
+      """WITH w AS (SELECT o_custkey, o_orderkey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_custkey % 50 = 0)
+        |SELECT o_custkey, o_orderkey,
+        |  rank() OVER (PARTITION BY o_custkey ORDER BY cents DESC, o_orderkey) AS rnk,
+        |  dense_rank() OVER (PARTITION BY o_custkey ORDER BY cents DESC, o_orderkey) AS drnk,
+        |  ntile(4) OVER (PARTITION BY o_custkey ORDER BY cents DESC, o_orderkey) AS quartile,
+        |  lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY cents DESC, o_orderkey) AS next_ord,
+        |  first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY cents DESC, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS top_ord
+        |FROM w ORDER BY o_custkey, rnk, o_orderkey""".stripMargin) { (spark, sfDir) =>
+      val base = orders(spark, sfDir).filter(col("o_custkey") % 50 === 0)
+        .select(col("o_custkey"), col("o_orderkey"), cents("o_totalprice").as("cents"))
+      val w = Window.partitionBy("o_custkey").orderBy(col("cents").desc, col("o_orderkey"))
+      base
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("next_ord", lead(col("o_orderkey"), 1).over(w))
+        .withColumn("top_ord", first_value(col("o_orderkey"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("o_custkey", "o_orderkey", "rnk", "drnk", "quartile", "next_ord", "top_ord")
+        .orderBy("o_custkey", "rnk", "o_orderkey")
+    },
+
+    // multiset set ops: EXCEPT ALL / INTERSECT ALL preserve duplicates
+    GraftQuery("setops_all",
+      """SELECT 'exa' AS op, k, count(*) AS n FROM (
+        |    SELECT c_nationkey AS k FROM customer
+        |    EXCEPT ALL SELECT s_nationkey FROM supplier) GROUP BY k
+        |UNION ALL
+        |SELECT 'ina' AS op, k, count(*) AS n FROM (
+        |    SELECT c_nationkey AS k FROM customer
+        |    INTERSECT ALL SELECT s_nationkey FROM supplier) GROUP BY k
+        |ORDER BY op, k""".stripMargin) { (spark, sfDir) =>
+      val c = customer(spark, sfDir).select(col("c_nationkey").as("k"))
+      val s = supplier(spark, sfDir).select(col("s_nationkey").as("k"))
+      val exa = c.exceptAll(s).groupBy("k").agg(count(lit(1)).as("n"))
+        .select(lit("exa").as("op"), col("k"), col("n"))
+      val ina = c.intersectAll(s).groupBy("k").agg(count(lit(1)).as("n"))
+        .select(lit("ina").as("op"), col("k"), col("n"))
+      exa.unionByName(ina).orderBy("op", "k")
+    },
+
     // top-k (TakeOrderedAndProject)
     GraftQuery("topk_orders",
       """SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents

@@ -78,6 +78,31 @@ object SimilarityOps {
       bruteForce(spark, sfDir)
     },
 
+    // embedding-cosine near-duplicate pairs (dedup-by-embedding): all pairs
+    // above a high similarity threshold — brute force here; the LSH bucket
+    // path below is the same candidate generator at corpus scale
+    GraftQuery("sim_near_dup_pairs",
+      """WITH p AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+        |        round(list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |          / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |           * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+        |               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS sim6
+        |      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT ida AS a, idb AS b, sim6 FROM p WHERE sim6 >= 0.4
+        |ORDER BY a, b""".stripMargin,
+      bench = true) { (spark, sfDir) =>
+      val e = embeddings(spark, sfDir)
+      val a = e.select(col("vec_id").as("a"), toDouble(col("embedding")).as("ea"))
+      val b = e.select(col("vec_id").as("b"), toDouble(col("embedding")).as("eb"))
+      a.join(b, col("a") < col("b"))
+        .select(col("a"), col("b"),
+          round(dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb"))), 6).as("sim6"))
+        .filter(col("sim6") >= 0.4)
+        .orderBy("a", "b")
+    },
+
     // multi-table random-hyperplane LSH: bucket join + exact re-rank within
     // candidates. Rows-only driver check; recall vs brute force is asserted
     // in SimilaritySpec.
