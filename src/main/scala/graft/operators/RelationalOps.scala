@@ -278,6 +278,25 @@ object RelationalOps {
       exa.unionByName(ina).orderBy("op", "k")
     },
 
+    // skew-mitigated aggregation: two-stage salted aggregate over a
+    // low-cardinality (hot-key) grouping — stage 1 aggregates on
+    // (key, salt) spreading each hot key over 16 reducers, stage 2 merges.
+    // Result is identical to the direct groupBy (the oracle); at 100 TB
+    // this is the pattern for keys whose groups exceed one executor.
+    GraftQuery("agg_salted_skew",
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      ) { (spark, sfDir) =>
+      val salted = lineitem(spark, sfDir)
+        .withColumn("salt", (col("l_orderkey") * 31 + col("l_linenumber")) % 16)
+        .groupBy("l_returnflag", "salt")
+        .agg(count(lit(1)).as("pn"), sum(floor(col("l_quantity")).cast("long")).as("pqty"))
+      salted.groupBy("l_returnflag")
+        .agg(sum("pn").as("n"), sum("pqty").as("qty"))
+        .orderBy("l_returnflag")
+    },
+
     // top-k (TakeOrderedAndProject)
     GraftQuery("topk_orders",
       """SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents

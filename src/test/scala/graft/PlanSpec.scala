@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the properties that matter at 100 TB must be
+  * visible in the plan, not assumed — broadcast joins stay broadcast,
+  * filters and projections reach the parquet scan, bucketed joins avoid
+  * shuffles, and hot paths stay inside whole-stage codegen. */
+class PlanSpec extends AnyFunSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(TestSpark.spark, TestSpark.Sf)
+      .queryExecution.executedPlan.toString
+
+  test("identity/dimension joins are broadcast, not shuffled") {
+    Seq("identity_join", "acl_map_entries", "inv_remap_owners", "tpch_q3", "tpch_q5")
+      .foreach { q =>
+        val p = plan(q)
+        assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast join")
+        assert(!p.contains("SortMergeJoin"), s"$q fell back to sort-merge")
+      }
+  }
+
+  test("filters and column pruning reach the parquet scan") {
+    val exec = SparkEntry.queries("tpch_q6")(TestSpark.spark, TestSpark.Sf)
+      .queryExecution.executedPlan.toString
+    assert(exec.contains("PushedFilters: ["), "no pushed filters on tpch_q6 scan")
+    assert(exec.contains("l_shipdate"), "shipdate filter missing from scan")
+    // q6 needs only 4 columns; the scan must not read the full 11-column schema
+    assert(!exec.contains("l_returnflag"), "q6 scan reads unneeded columns")
+  }
+
+  test("scan-side pruning on the inventory projection (2-col read)") {
+    val exec = SparkEntry.queries("pack_dir_sizes")(TestSpark.spark, TestSpark.Sf)
+      .queryExecution.executedPlan.toString
+    // dir sizes needs only l_partkey and l_extendedprice
+    assert(!exec.contains("l_shipdate"), "pack_dir_sizes reads unneeded columns")
+  }
+
+  test("hot aggregations run inside whole-stage codegen") {
+    Seq("tpch_q1", "tpch_q6", "join_inner_agg").foreach { q =>
+      // AQE finalizes the physical plan only on execution
+      val df = SparkEntry.queries(q)(TestSpark.spark, TestSpark.Sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // "*(n)" prefixes mark WholeStageCodegen spans in the final AQE plan
+      assert(p.contains("*(1)"), s"$q not codegen'd:\n$p")
+      // the scan → filter → partial-agg pipeline must share one span
+      assert(p.contains("*(1) HashAggregate") || p.contains("*(1) Filter"),
+        s"$q scan pipeline not fused:\n$p")
+    }
+  }
+
+  test("bucketed join on the same keys avoids the shuffle exchange") {
+    val spark = TestSpark.spark
+    val wh = Files.createTempDirectory("graft-buckets").toString
+    Tables.orders(spark, TestSpark.Sf)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$wh/orders_b").saveAsTable("orders_b")
+    Tables.customer(spark, TestSpark.Sf)
+      .withColumn("c_custkey", col("c_custkey")) // keep schema
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$wh/customer_b").saveAsTable("customer_b")
+    val joined = spark.table("orders_b")
+      .join(spark.table("customer_b").hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").count()
+    assert(joined.count() > 0)
+    val p = joined.queryExecution.executedPlan.toString
+    // both sides pre-bucketed on the join key: no Exchange below the join
+    val joinIdx = p.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, "expected sort-merge join of bucketed tables")
+    val below = p.substring(joinIdx)
+    assert(!below.contains("Exchange hashpartitioning"),
+      "bucketed join still shuffles")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+  }
+}
