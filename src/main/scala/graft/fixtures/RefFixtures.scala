@@ -47,7 +47,9 @@ object RefFixtures {
   }
 
   /** ACL records (copy-acls.sh:64 shape): per file a 4-entry ACL covering
-    * the 3-field, scoped 4-field, and empty-id grammars (copy-acls.py:14-20). */
+    * the 3-field, scoped 4-field, and empty-id grammars (copy-acls.py:14-20).
+    * Distinct — getfacl emits one record per path (sf0.001 contains one
+    * fully-duplicated lineitem tuple). */
   def aclRecords(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir).select(
       concat(lit("/data/part="), col("l_partkey"), lit("/f-"), col("l_orderkey"),
@@ -59,6 +61,7 @@ object RefFixtures {
         concat(lit("group:grp"), col("l_partkey") % 7, lit(":r-x")),
         concat(lit("default:user:u"), col("l_partkey") % 5, lit(":r--")),
         lit("other::r--")).as("acl"))
+      .distinct()
 
   /** Identity map (copy-acls.py:95-104): ~20% of users and one group left
     * unmapped to exercise the pass-through fallback (adls_copy_utils.py:98-104). */
@@ -101,7 +104,7 @@ object RefFixtures {
 
   val AclCte: String =
     """aclrec AS (
-      |  SELECT concat('/data/part=', l_partkey, '/f-', l_orderkey, '-', l_linenumber, '-', l_suppkey, '.dat') AS file,
+      |  SELECT DISTINCT concat('/data/part=', l_partkey, '/f-', l_orderkey, '-', l_linenumber, '-', l_suppkey, '.dat') AS file,
       |         concat('user', l_suppkey) AS owner,
       |         concat('grp', l_partkey % 7) AS grp,
       |         [concat('user:user', l_suppkey, ':rwx'),

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.Tables._
+import graft.fixtures.RefFixtures._
+
+/** Remaining aggregation/join surface: grouping sets, exact percentiles,
+  * pivot, null-safe equality, array-function suite. */
+object ExtraAggOps {
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // explicit GROUPING SETS (beyond rollup/cube)
+    GraftQuery("agg_grouping_sets",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin) { (spark, sfDir) =>
+      orders(spark, sfDir).createOrReplaceTempView("orders_gs")
+      spark.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          |       coalesce(o_orderpriority, 'ALL') AS priority,
+          |       count(*) AS n
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY status, priority""".stripMargin)
+    },
+
+    // exact interpolated percentiles (Spark percentile ≡ DuckDB quantile_cont)
+    GraftQuery("agg_percentiles",
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+        |  round(min(o_totalprice), 2) AS lo,
+        |  round(max(o_totalprice), 2) AS hi
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      ) { (spark, sfDir) =>
+      orders(spark, sfDir)
+        .groupBy("o_orderstatus")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+          round(min("o_totalprice"), 2).as("lo"),
+          round(max("o_totalprice"), 2).as("hi"))
+        .orderBy("o_orderstatus")
+    },
+
+    // pivot: order counts by status × priority (oracle = portable CASE form)
+    GraftQuery("agg_pivot",
+      """SELECT o_orderstatus AS status,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+        |  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+        |  CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p3
+        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+      ) { (spark, sfDir) =>
+      orders(spark, sfDir)
+        .groupBy(col("o_orderstatus").as("status"))
+        .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM"))
+        .agg(count(lit(1)))
+        .select(col("status"),
+          coalesce(col("1-URGENT"), lit(0L)).as("p1"),
+          coalesce(col("2-HIGH"), lit(0L)).as("p2"),
+          coalesce(col("3-MEDIUM"), lit(0L)).as("p3"))
+        .orderBy("status")
+    },
+
+    // null-safe equality (<=> / IS NOT DISTINCT FROM)
+    GraftQuery("join_null_safe",
+      """WITH l AS (SELECT CASE WHEN o_orderkey % 10 = 0 THEN NULL
+        |                       ELSE o_orderkey % 7 END AS k FROM orders),
+        |r AS (SELECT CASE WHEN n_nationkey % 5 = 0 THEN NULL
+        |                  ELSE CAST(n_nationkey % 7 AS BIGINT) END AS k FROM nation)
+        |SELECT count(*) AS n FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k""".stripMargin,
+      ) { (spark, sfDir) =>
+      val l = orders(spark, sfDir).select(
+        when(col("o_orderkey") % 10 === 0, lit(null))
+          .otherwise(col("o_orderkey") % 7).as("k"))
+      val r = nation(spark, sfDir).select(
+        when(col("n_nationkey") % 5 === 0, lit(null))
+          .otherwise((col("n_nationkey") % 7).cast("long")).as("kr"))
+      l.join(broadcast(r), col("k") <=> col("kr"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // array-function suite over the ACL arrays (portable subset)
+    GraftQuery("scalar_array_suite",
+      s"""WITH $AclCte
+         |SELECT file,
+         |  CAST(len(acl) AS INT) AS n_entries,
+         |  list_contains(acl, 'other::r--') AS has_other,
+         |  array_to_string(list_sort(acl), '|') AS sorted_spec,
+         |  CAST(len(list_distinct(acl)) AS INT) AS n_distinct,
+         |  acl[2] AS second_entry,
+         |  array_to_string(acl[1:2], '|') AS first_two,
+         |  CAST(list_position(acl, 'other::r--') AS INT) AS other_pos
+         |FROM aclrec ORDER BY file""".stripMargin) { (spark, sfDir) =>
+      aclRecords(spark, sfDir).select(
+        col("file"),
+        size(col("acl")).as("n_entries"),
+        array_contains(col("acl"), "other::r--").as("has_other"),
+        array_join(array_sort(col("acl")), "|").as("sorted_spec"),
+        size(array_distinct(col("acl"))).as("n_distinct"),
+        element_at(col("acl"), 2).as("second_entry"),
+        array_join(slice(col("acl"), 1, 2), "|").as("first_two"),
+        array_position(col("acl"), "other::r--").cast("int").as("other_pos"))
+        .orderBy("file")
+    }
+  )
+}

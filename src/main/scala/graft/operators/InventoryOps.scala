@@ -136,6 +136,49 @@ object InventoryOps {
         .orderBy("file")
     },
 
+    // op 24 (higher-order variant): the same per-element identity mapping
+    // without explode/regroup — the identity map is collected (small dim,
+    // thousands of principals) into a map literal and applied inside
+    // transform(): zero shuffles, the whole rewrite is map-side. This is
+    // the shape to prefer at 100 TB; the explode variant above is the
+    // general form for dimension tables too big to collect.
+    GraftQuery("acl_map_entries_ho",
+      s"""WITH ${AclCte}, ${IdMapCte},
+         |ex AS (SELECT file, i AS pos, acl[i] AS entry FROM (
+         |  SELECT file, acl, unnest(generate_series(1, len(acl))) AS i FROM aclrec)),
+         |p2 AS (SELECT file, pos, string_split(entry, ':') AS parts,
+         |              len(string_split(entry, ':')) AS nf FROM ex),
+         |p3 AS (SELECT file, pos, parts, nf,
+         |              CASE WHEN nf = 4 THEN parts[2] ELSE parts[1] END AS atype,
+         |              CASE WHEN nf = 4 THEN parts[3] ELSE parts[2] END AS aid FROM p2),
+         |m AS (SELECT p3.*, coalesce(idmap.target, p3.aid) AS mid
+         |      FROM p3 LEFT JOIN idmap
+         |        ON idmap.itype = p3.atype AND idmap.source = p3.aid AND p3.aid <> ''),
+         |r AS (SELECT file, pos,
+         |             CASE WHEN nf = 4 THEN concat_ws(':', parts[1], parts[2], mid, parts[4])
+         |                  ELSE concat_ws(':', parts[1], mid, parts[3]) END AS mapped FROM m)
+         |SELECT file, string_agg(mapped, ',' ORDER BY pos) AS acl_spec
+         |FROM r GROUP BY file ORDER BY file""".stripMargin,
+      bench = true) { (spark, sfDir) =>
+      val idm = identityMap(spark, sfDir).collect()
+        .map(r => s"${r.getString(0)}:${r.getString(1)}" -> r.getString(2)).toMap
+      val mapLit = typedLit(idm)
+      val mapped = transform(col("acl"), { e =>
+        val parts = split(e, ":", -1)
+        val nf = size(parts)
+        val atype = when(nf === 4, element_at(parts, 2)).otherwise(element_at(parts, 1))
+        val aid = when(nf === 4, element_at(parts, 3)).otherwise(element_at(parts, 2))
+        val mid = when(aid === "", aid)
+          .otherwise(coalesce(element_at(mapLit, concat(atype, lit(":"), aid)), aid))
+        when(nf === 4,
+          concat_ws(":", element_at(parts, 1), element_at(parts, 2), mid, element_at(parts, 4)))
+          .otherwise(concat_ws(":", element_at(parts, 1), mid, element_at(parts, 3)))
+      })
+      aclRecords(spark, sfDir)
+        .select(col("file"), array_join(mapped, ",").as("acl_spec"))
+        .orderBy("file")
+    },
+
     // op 25: distinct identities from ACL records (copy-acls.py:84-104)
     GraftQuery("acl_distinct_identities",
       s"""WITH ${AclCte},
