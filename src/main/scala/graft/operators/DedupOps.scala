@@ -148,11 +148,14 @@ object DedupOps {
     // operator's output (miss prob ≈ (1-s²)^16 per pair, ~1e-7 at s=0.8)
     GraftQuery("dedup_minhash", JaccardSql, bench = true) { (spark, sfDir) =>
       val shf = shingles(spark, sfDir)
-      val aggs = (0 until NumPerms).map(i => min(minhashPerm(col("h"), i)).as(s"mh$i"))
-      val sig = shf.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      // one-pass custom TypedImperativeAggregate: the shuffle carries one
+      // 32-long signature per doc instead of 32 separate min-agg columns
+      val sig = shf.groupBy("doc_id")
+        .agg(graft.functions.MinHashSigAgg.minhashSig(col("h"), NumPerms).as("sig"))
       val bands = sig.select(col("doc_id"),
         explode(array((0 until NumBands).map(bd =>
-          concat_ws(":", lit(bd), col(s"mh${2 * bd}"), col(s"mh${2 * bd + 1}"))): _*))
+          concat_ws(":", lit(bd), element_at(col("sig"), 2 * bd + 1),
+            element_at(col("sig"), 2 * bd + 2))): _*))
           .as("bandkey"))
       val cands = bands.alias("x").join(bands.alias("y"), Seq("bandkey"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
