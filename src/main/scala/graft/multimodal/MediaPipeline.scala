@@ -81,6 +81,41 @@ object MediaPipeline {
     }
   }
 
+  /** STUB resize: deterministic downsample of the byte payload to a w'×h'
+    * pseudo-raster (a real deployment decodes + rescales pixels; the Spark
+    * shape — binary in, smaller binary + new dims out — is identical). */
+  def resize(media: Dataset[MediaRow], w2: Int, h2: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val n = (w2 * h2).max(1)
+      val out = new Array[Byte](math.min(n, r.bytes.length.max(1)))
+      var i = 0
+      while (i < out.length) {
+        out(i) = r.bytes((i.toLong * r.bytes.length / out.length).toInt)
+        i += 1
+      }
+      r.copy(bytes = out, width = w2, height = h2)
+    }
+  }
+
+  /** STUB frame sampling for "video" payloads: split the byte stream into
+    * `frames` equal windows and keep the first byte-block of every k-th —
+    * the mapPartitions shape of real frame extraction. */
+  def sampleFrames(media: Dataset[MediaRow], frames: Int, everyK: Int): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions { rows =>
+      rows.map { r =>
+        val flen = (r.bytes.length / frames.max(1)).max(1)
+        val kept = (0 until frames by everyK.max(1))
+          .flatMap(f => r.bytes.slice(f * flen, f * flen + flen)).toArray
+        val (hist, brightness) = FakeDecoder.decode(kept)
+        MediaFeatures(r.media_id, r.kind, kept.length.toLong,
+          hist.zipWithIndex.map { case (c, i) => c * (i * 16 + 8) }.sum,
+          hist, brightness)
+      }
+    }
+  }
+
   /** end-to-end: media table → features → per-kind aggregate profile */
   def kindProfile(spark: SparkSession, sfDir: String): DataFrame =
     extractFeatures(mediaTable(spark, sfDir))

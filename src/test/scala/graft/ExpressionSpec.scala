@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{DotProduct, MinHashSigAgg, PortableHash, ShingleHashes}
+
+/** Custom Catalyst extensions must be drop-in equivalent to the composed
+  * built-in forms they replace (the DuckDB oracles are written against the
+  * composed semantics). */
+class ExpressionSpec extends AnyFunSuite {
+
+  test("ShingleHashes == composed ascii/substring polynomial") {
+    val spark = TestSpark.spark
+    val docs = Tables.documents(spark, TestSpark.Sf).limit(50)
+    val viaExpr = docs.select(col("doc_id"),
+        explode(ShingleHashes.shingleHashes(col("text"), 8)).as("h"))
+      .groupBy("doc_id").agg(sum("h").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val viaComposed = docs.select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
+      .select(col("doc_id"), PortableHash.h8(expr("substring(text, i, 8)")).as("h"))
+      .groupBy("doc_id").agg(sum("h").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(viaExpr == viaComposed)
+  }
+
+  test("ShingleHashes handles short and empty strings") {
+    assert(ShingleHashes.compute("", 8).numElements() == 0)
+    assert(ShingleHashes.compute("1234567", 8).numElements() == 0)
+    assert(ShingleHashes.compute("12345678", 8).numElements() == 1)
+  }
+
+  test("DotProduct == aggregate(zip_with(...)) fold") {
+    val spark = TestSpark.spark
+    val e = Tables.embeddings(spark, TestSpark.Sf).limit(100)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val both = e.select(col("vec_id"),
+        DotProduct.dotProduct(col("v"), col("v")).as("d1"),
+        aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+          lit(0.0), (a, x) => a + x).as("d2"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(1) == r.getDouble(2),
+      s"vec ${r.getLong(0)}: ${r.getDouble(1)} != ${r.getDouble(2)}"))
+  }
+
+  test("MinHashSigAgg == 32 separate min(perm_i) aggregates") {
+    val spark = TestSpark.spark
+    val sh = Tables.documents(spark, TestSpark.Sf).limit(50)
+      .select(col("doc_id"),
+        explode(ShingleHashes.shingleHashes(col("text"), 8)).as("h"))
+    val viaAgg = sh.groupBy("doc_id")
+      .agg(MinHashSigAgg.minhashSig(col("h"), 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val mins = (0 until 32).map(i => min(PortableHash.minhashPerm(col("h"), i)).as(s"m$i"))
+    val viaMins = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 32).map(r.getLong(_))).toMap
+    assert(viaAgg.keySet == viaMins.keySet)
+    viaAgg.foreach { case (d, sig) => assert(sig == viaMins(d), s"doc $d") }
+  }
+}

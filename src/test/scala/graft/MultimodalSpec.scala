@@ -31,6 +31,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(prof.map(_.getLong(1)).sum == 500)
   }
 
+  test("resize stub shrinks payloads deterministically to the target raster") {
+    val spark = TestSpark.spark
+    val media = MediaPipeline.mediaTable(spark, TestSpark.Sf)
+    val resized = MediaPipeline.resize(media, 8, 8).collect()
+    assert(resized.length == 500)
+    resized.foreach { r =>
+      assert(r.width == 8 && r.height == 8)
+      assert(r.bytes.length <= 64 && r.bytes.nonEmpty)
+    }
+    // deterministic: same input → same bytes
+    val again = MediaPipeline.resize(media, 8, 8).collect()
+      .map(r => r.media_id -> r.bytes.toSeq).toMap
+    resized.foreach(r => assert(again(r.media_id) == r.bytes.toSeq))
+  }
+
+  test("frame sampling keeps every k-th frame window of video payloads") {
+    val spark = TestSpark.spark
+    val media = MediaPipeline.mediaTable(spark, TestSpark.Sf)
+    val nVideo = media.filter(_.kind == "video").count()
+    val sampled = MediaPipeline.sampleFrames(media, frames = 10, everyK = 2).collect()
+    assert(sampled.length == nVideo)
+    sampled.foreach { f =>
+      assert(f.kind == "video")
+      assert(f.n_bytes > 0)
+      assert(f.histogram.sum == f.n_bytes)
+    }
+  }
+
   test("multimodal_meta query matches the pipeline's byte counts") {
     val spark = TestSpark.spark
     val q = SparkEntry.queries("multimodal_meta")(spark, TestSpark.Sf)
