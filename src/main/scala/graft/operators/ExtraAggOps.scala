@@ -86,6 +86,66 @@ object ExtraAggOps {
         .agg(count(lit(1)).as("n"))
     },
 
+    // date-function suite (30j extended): extraction, truncation, arithmetic.
+    // dayofweek is normalized (Spark 1=Sunday vs DuckDB dow 0=Sunday).
+    GraftQuery("scalar_date_suite",
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(day(o_orderdate) AS INT) AS d,
+        |  CAST(quarter(o_orderdate) AS INT) AS q,
+        |  CAST(dayofweek(o_orderdate) AS INT) AS dow0,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due,
+        |  CAST(datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS age_days
+        |FROM orders WHERE o_orderkey % 25 = 0 ORDER BY o_orderkey""".stripMargin,
+      ) { (spark, sfDir) =>
+      orders(spark, sfDir).filter(col("o_orderkey") % 25 === 0).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        quarter(col("o_orderdate")).as("q"),
+        (dayofweek(col("o_orderdate")) - 1).as("dow0"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        (col("o_orderdate") + expr("INTERVAL 90 DAYS")).cast("date").as("due"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          .cast("long").as("age_days"))
+        .orderBy("o_orderkey")
+    },
+
+    // string-function suite (30b/30e extended)
+    GraftQuery("scalar_string_suite",
+      """SELECT c_custkey,
+        |  upper(c_name) AS uname,
+        |  reverse(c_name) AS rname,
+        |  repeat(c_mktsegment, 2) AS twice,
+        |  replace(c_name, 'Customer', 'Cust') AS short_name,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS lowered_vowels,
+        |  left(c_name, 4) AS l4,
+        |  right(c_name, 3) AS r3,
+        |  CAST(strpos(c_name, '#') AS INT) AS hash_pos,
+        |  ltrim(c_name, 'C') AS no_c,
+        |  greatest(c_custkey % 7, c_custkey % 5) AS g,
+        |  nullif(c_mktsegment, 'BUILDING') AS seg_or_null
+        |FROM customer WHERE c_custkey % 10 = 0 ORDER BY c_custkey""".stripMargin,
+      ) { (spark, sfDir) =>
+      customer(spark, sfDir).filter(col("c_custkey") % 10 === 0).select(
+        col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        reverse(col("c_name")).as("rname"),
+        repeat(col("c_mktsegment"), 2).as("twice"),
+        regexp_replace(col("c_name"), "Customer", "Cust").as("short_name"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("lowered_vowels"),
+        expr("left(c_name, 4)").as("l4"),
+        expr("right(c_name, 3)").as("r3"),
+        instr(col("c_name"), "#").as("hash_pos"),
+        expr("trim(LEADING 'C' FROM c_name)").as("no_c"),
+        greatest(col("c_custkey") % 7, col("c_custkey") % 5).as("g"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null"))
+        .orderBy("c_custkey")
+    },
+
     // array-function suite over the ACL arrays (portable subset)
     GraftQuery("scalar_array_suite",
       s"""WITH $AclCte

@@ -28,6 +28,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming sliding windows == batch events_sliding") {
+    val spark = TestSpark.spark
+    val stream = StreamOps.eventStream(spark, TestSpark.Sf)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(org.apache.spark.sql.functions.window(
+        org.apache.spark.sql.functions.col("ts"), "5 minutes", "1 minute"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .select(org.apache.spark.sql.functions
+        .expr("unix_seconds(CAST(window.start AS TIMESTAMP))").as("wstart"),
+        org.apache.spark.sql.functions.col("n"))
+    val got = StreamOps.runToCompletion(stream, "slide_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = SparkEntry.queries("events_sliding")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
+
   test("streaming dedup within watermark keeps all distinct event_ids") {
     val spark = TestSpark.spark
     val stream = StreamOps.dedupedCount(StreamOps.eventStream(spark, TestSpark.Sf))
