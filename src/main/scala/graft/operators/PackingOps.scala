@@ -87,6 +87,53 @@ object PackingOps {
         .orderBy("path")
     },
 
+    // next-fit again, but with a DISTRIBUTED prefix sum: the single global
+    // ORDER BY window above serializes through one partition — fine while
+    // dirs ≪ files, wrong at millions of directories. Two-phase form:
+    // range-partition by path, cumsum within partitions, add per-partition
+    // offsets computed from the (tiny) per-partition totals. Identical
+    // output, no single-partition stage; same oracle as pack_nextfit.
+    GraftQuery("pack_nextfit_dist", {
+      val cap = Capacity
+      s"""WITH $SizesCte,
+         |w AS (SELECT path, size,
+         |        CAST(sum(CASE WHEN size > $cap THEN 0 ELSE size END)
+         |          OVER (ORDER BY path ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |      FROM sizes)
+         |SELECT path, size,
+         |       CASE WHEN size > $cap THEN CAST(0 AS BIGINT) ELSE cum // $cap + 1 END AS unit
+         |FROM w ORDER BY path""".stripMargin
+    }) { (spark, sfDir) =>
+      val nParts = 8
+      val sized = dirSizes(spark, sfDir)
+        .withColumn("eff", when(col("size") > Capacity, 0L).otherwise(col("size")))
+      val ranged = sized.repartitionByRange(nParts, col("path"))
+        .withColumn("pid", spark_partition_id())
+        .persist() // pin partition assignment across the two passes
+      val offsets = ranged.groupBy("pid").agg(sum("eff").as("psum"))
+        .orderBy("pid").collect()
+        .scanLeft((-1, 0L)) { case ((_, acc), r) => (r.getInt(0), acc + r.getLong(1)) }
+        .map { case (pid, cumEnd) => (pid, cumEnd) }
+      val offsetByPid = offsets.sliding(2).map { case Array((_, prev), (pid, _)) =>
+        (pid, prev)
+      }.toSeq
+      import spark.implicits._
+      val offDf = offsetByPid.toDF("pid", "offset")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("pid").orderBy("path")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val out = ranged
+        .withColumn("local_cum", sum("eff").over(w))
+        .join(broadcast(offDf), Seq("pid"))
+        .withColumn("cum", col("local_cum") + col("offset"))
+        .withColumn("unit", when(col("size") > Capacity, lit(0L))
+          .otherwise(expr(s"cum DIV ${Capacity}L") + 1))
+        .select("path", "size", "unit")
+        .orderBy("path")
+      out
+    },
+
     // ops 27+20: group-by unit with the unassigned (unit 0) filter
     GraftQuery("pack_units", {
       val cap = Capacity
