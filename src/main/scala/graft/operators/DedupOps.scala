@@ -8,7 +8,10 @@ import graft.Tables
 import graft.functions.PortableHash._
 
 /** Deduplication family over `documents` (north-star): exact, n-gram
-  * Jaccard, MinHash+LSH, SimHash. Built to the same blueprint that runs at
+  * Jaccard, MinHash+LSH (Broder, "On the resemblance and containment of
+  * documents", 1997; banded LSH per Leskovec/Rajaraman/Ullman MMDS ch.3),
+  * SimHash (Charikar, "Similarity estimation techniques from rounding
+  * algorithms", STOC 2002). Built to the same blueprint that runs at
   * 100 TB:
   *
   *  - Shingles are document-frequency-filtered (df ≤ MaxDf) before any

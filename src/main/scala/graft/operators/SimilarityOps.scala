@@ -9,9 +9,10 @@ import graft.Tables
 
 /** Similarity search over the `embeddings` table (64-dim float vectors,
   * north-star): brute-force cosine top-k as the verified baseline, and a
-  * multi-table random-hyperplane LSH variant as the scale path (bucketed
-  * equi-join instead of the quadratic cross join; recall measured in
-  * SimilaritySpec against the brute-force output).
+  * multi-table random-hyperplane LSH variant (Charikar STOC 2002; multiprobe
+  * after Lv et al., "Multi-probe LSH", VLDB 2007) as the scale path —
+  * bucketed equi-join instead of the quadratic cross join; recall measured
+  * in SimilaritySpec against the brute-force output.
   */
 object SimilarityOps {
 
