@@ -42,6 +42,36 @@ object SqlOps {
           |FROM customer_v WHERE c_custkey % 100 = 0 ORDER BY c_custkey""".stripMargin)
     },
 
+    // UDF surface (§2.12): a registered Scala UDF converting the reference's
+    // rwx permission strings (adls_copy_utils.py hdi_permission payloads) to
+    // octal — the oracle computes the same thing in pure SQL arithmetic.
+    GraftQuery("scalar_perm_octal",
+      s"""WITH ${graft.fixtures.RefFixtures.InvCte},
+         |b AS (SELECT name, perms,
+         |   (CASE WHEN substr(perms, 1, 1) = 'r' THEN 4 ELSE 0 END +
+         |    CASE WHEN substr(perms, 2, 1) = 'w' THEN 2 ELSE 0 END +
+         |    CASE WHEN substr(perms, 3, 1) = 'x' THEN 1 ELSE 0 END) * 100 +
+         |   (CASE WHEN substr(perms, 4, 1) = 'r' THEN 4 ELSE 0 END +
+         |    CASE WHEN substr(perms, 5, 1) = 'w' THEN 2 ELSE 0 END +
+         |    CASE WHEN substr(perms, 6, 1) = 'x' THEN 1 ELSE 0 END) * 10 +
+         |   (CASE WHEN substr(perms, 7, 1) = 'r' THEN 4 ELSE 0 END +
+         |    CASE WHEN substr(perms, 8, 1) = 'w' THEN 2 ELSE 0 END +
+         |    CASE WHEN substr(perms, 9, 1) = 'x' THEN 1 ELSE 0 END) AS octal
+         |  FROM inv)
+         |SELECT name, perms, CAST(octal AS INT) AS octal
+         |FROM b ORDER BY name""".stripMargin) { (spark, sfDir) =>
+      val permOctal = udf { perms: String =>
+        def bits(s: String): Int =
+          (if (s(0) == 'r') 4 else 0) + (if (s(1) == 'w') 2 else 0) + (if (s(2) == 'x') 1 else 0)
+        bits(perms.substring(0, 3)) * 100 + bits(perms.substring(3, 6)) * 10 +
+          bits(perms.substring(6, 9))
+      }
+      spark.udf.register("perm_octal", permOctal)
+      graft.fixtures.RefFixtures.inventory(spark, sfDir)
+        .select(col("name"), col("perms"), permOctal(col("perms")).as("octal"))
+        .orderBy("name")
+    },
+
     // IN-subquery (planned as left-semi)
     GraftQuery("sql_in_subquery",
       """SELECT count(*) AS n FROM customer

@@ -38,6 +38,18 @@ class SourcesSpec extends AnyFunSuite {
     assert(got.orderBy("path").collect().map(_.getString(0)).toSeq == paths.sorted)
   }
 
+  test("csv source round-trips the identity map with explicit schema") {
+    val spark = TestSpark.spark
+    val tmp = Files.createTempDirectory("graft-csv").toString
+    val idm = RefFixtures.identityMap(spark, TestSpark.Sf)
+    idm.coalesce(1).write.mode("overwrite").option("header", "true").csv(s"$tmp/idmap")
+    val got = spark.read
+      .schema("itype STRING, source STRING, target STRING")
+      .option("header", "true").csv(s"$tmp/idmap")
+    assert(got.count() == idm.count())
+    assert(got.except(idm).count() == 0 && idm.except(got).count() == 0)
+  }
+
   test("binaryFile listing scans a directory tree with content (op 3)") {
     val spark = TestSpark.spark
     val tmp = Files.createTempDirectory("graft-bin").toString
