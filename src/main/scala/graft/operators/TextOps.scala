@@ -106,6 +106,45 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // composite quality filter: the corpus-cleaning decision a training
+    // pipeline actually applies — score from length/token/stopword signals,
+    // emit the keep/drop verdict per document
+    GraftQuery("text_quality_filter",
+      s"""WITH t AS (SELECT doc_id, text,
+         |    regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE CAST(len(list_distinct(toks)) AS BIGINT) * 1.0 / CAST(len(toks) AS BIGINT)
+         |    END AS distinct_ratio,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE ${hitsSql("toks", StopEn)} * 1.0 / CAST(len(toks) AS BIGINT)
+         |    END AS stop_ratio
+         |  FROM t)
+         |SELECT doc_id, n_chars, n_tokens,
+         |       (n_chars >= 100 AND n_tokens >= 20 AND distinct_ratio >= 0.2
+         |        AND stop_ratio >= 0.01 AND stop_ratio <= 0.6) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
+      val t = docs(spark, sfDir)
+        .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+      t.select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        when(size(col("toks")) === 0, lit(0.0))
+          .otherwise(size(array_distinct(col("toks"))).cast("long") * lit(1.0)
+            / size(col("toks")).cast("long")).as("distinct_ratio"),
+        when(size(col("toks")) === 0, lit(0.0))
+          .otherwise(hits(col("toks"), StopEn) * lit(1.0) / size(col("toks")).cast("long"))
+          .as("stop_ratio"))
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+          (col("n_chars") >= 100 && col("n_tokens") >= 20
+            && col("distinct_ratio") >= 0.2
+            && col("stop_ratio") >= 0.01 && col("stop_ratio") <= 0.6).as("keep"))
+        .orderBy("doc_id")
+    },
+
     // document fingerprinting: rolling 8-gram polynomial hashes
     GraftQuery("text_fingerprint",
       s"""WITH sh AS (SELECT doc_id, ${h8Sql("substr(text, i, 8)")} AS h FROM (

@@ -77,6 +77,21 @@ object StreamOps {
       .toDF("user_id", "n", "max_value")
   }
 
+  /** foreachBatch sink: per-microbatch parquet append keyed by batch id —
+    * the streaming analogue of the partitioned filelist sink (op 14), and
+    * the standard escape hatch for sinks Structured Streaming lacks. */
+  def foreachBatchToParquet(df: DataFrame, outDir: String): Unit = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.withColumn("batch_id", org.apache.spark.sql.functions.lit(id))
+          .write.mode("append").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** run any of the above to completion against bounded input (test hook) */
   def runToCompletion(df: DataFrame, queryName: String): DataFrame = {
     val q = df.writeStream

@@ -57,6 +57,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want) // event_ids are unique, so dedup must be lossless
   }
 
+  test("foreachBatch sink writes each microbatch with its batch id") {
+    val spark = TestSpark.spark
+    val out = java.nio.file.Files.createTempDirectory("graft-febatch").toString + "/out"
+    val stream = StreamOps.eventStream(spark, TestSpark.Sf)
+      .select("event_id", "event_type")
+    StreamOps.foreachBatchToParquet(stream, out)
+    val written = spark.read.parquet(out)
+    assert(written.count() ==
+      graft.Tables.events(spark, TestSpark.Sf).count())
+    assert(written.columns.contains("batch_id"))
+  }
+
   test("flatMapGroupsWithState emits per-user running totals") {
     val spark = TestSpark.spark
     val stream = StreamOps.statefulUserTotals(spark,
