@@ -114,7 +114,7 @@ object PackingOps {
         .orderBy("pid").collect()
         .scanLeft((-1, 0L)) { case ((_, acc), r) => (r.getInt(0), acc + r.getLong(1)) }
         .map { case (pid, cumEnd) => (pid, cumEnd) }
-      val offsetByPid = offsets.sliding(2).map { case Array((_, prev), (pid, _)) =>
+      val offsetByPid = offsets.sliding(2).collect { case Array((_, prev), (pid, _)) =>
         (pid, prev)
       }.toSeq
       import spark.implicits._
