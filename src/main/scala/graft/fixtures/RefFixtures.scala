@@ -51,17 +51,22 @@ object RefFixtures {
     * Distinct — getfacl emits one record per path (sf0.001 contains one
     * fully-duplicated lineitem tuple). */
   def aclRecords(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir).select(
-      concat(lit("/data/part="), col("l_partkey"), lit("/f-"), col("l_orderkey"),
-        lit("-"), col("l_linenumber"), lit("-"), col("l_suppkey"), lit(".dat")).as("file"),
-      concat(lit("user"), col("l_suppkey")).as("owner"),
-      concat(lit("grp"), col("l_partkey") % 7).as("grp"),
-      array(
-        concat(lit("user:user"), col("l_suppkey"), lit(":rwx")),
-        concat(lit("group:grp"), col("l_partkey") % 7, lit(":r-x")),
-        concat(lit("default:user:u"), col("l_partkey") % 5, lit(":r--")),
-        lit("other::r--")).as("acl"))
+    Tables.lineitem(spark, sfDir)
+      // dedupe on the 4 raw keys BEFORE deriving strings/arrays: every output
+      // column is a pure function of these, and the shuffle carries 4 longs
+      // per row instead of the built record
+      .select("l_partkey", "l_orderkey", "l_linenumber", "l_suppkey")
       .distinct()
+      .select(
+        concat(lit("/data/part="), col("l_partkey"), lit("/f-"), col("l_orderkey"),
+          lit("-"), col("l_linenumber"), lit("-"), col("l_suppkey"), lit(".dat")).as("file"),
+        concat(lit("user"), col("l_suppkey")).as("owner"),
+        concat(lit("grp"), col("l_partkey") % 7).as("grp"),
+        array(
+          concat(lit("user:user"), col("l_suppkey"), lit(":rwx")),
+          concat(lit("group:grp"), col("l_partkey") % 7, lit(":r-x")),
+          concat(lit("default:user:u"), col("l_partkey") % 5, lit(":r--")),
+          lit("other::r--")).as("acl"))
 
   /** Identity map (copy-acls.py:95-104): ~20% of users and one group left
     * unmapped to exercise the pass-through fallback (adls_copy_utils.py:98-104). */
@@ -104,14 +109,14 @@ object RefFixtures {
 
   val AclCte: String =
     """aclrec AS (
-      |  SELECT DISTINCT concat('/data/part=', l_partkey, '/f-', l_orderkey, '-', l_linenumber, '-', l_suppkey, '.dat') AS file,
+      |  SELECT concat('/data/part=', l_partkey, '/f-', l_orderkey, '-', l_linenumber, '-', l_suppkey, '.dat') AS file,
       |         concat('user', l_suppkey) AS owner,
       |         concat('grp', l_partkey % 7) AS grp,
       |         [concat('user:user', l_suppkey, ':rwx'),
       |          concat('group:grp', l_partkey % 7, ':r-x'),
       |          concat('default:user:u', l_partkey % 5, ':r--'),
       |          'other::r--'] AS acl
-      |  FROM lineitem)""".stripMargin
+      |  FROM (SELECT DISTINCT l_partkey, l_orderkey, l_linenumber, l_suppkey FROM lineitem))""".stripMargin
 
   val IdMapCte: String =
     """idmap AS (

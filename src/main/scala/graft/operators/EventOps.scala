@@ -20,6 +20,20 @@ object EventOps {
 
   val queries: Seq[GraftQuery] = Seq(
 
+    // real-data JSON decode (op 30h on the events.props column)
+    GraftQuery("events_props_json",
+      """SELECT event_type,
+        |       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(min("k").as("min_k"), max("k").as("max_k"), sum("k").as("sum_k"))
+        .orderBy("event_type")
+    },
+
     // tumbling 5-minute windows per event type
     GraftQuery("events_tumbling",
       s"""SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // ${TumbleSec * 1000000} * $TumbleSec AS BIGINT) AS wstart,
