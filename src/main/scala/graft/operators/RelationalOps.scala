@@ -278,6 +278,45 @@ object RelationalOps {
       exa.unionByName(ina).orderBy("op", "k")
     },
 
+    // RANGE window frame: trailing 30-day revenue per customer — peers by
+    // value distance, not row count
+    GraftQuery("window_range_frame",
+      """WITH w AS (SELECT o_custkey, o_orderkey,
+        |    CAST(datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS days,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_custkey % 20 = 0)
+        |SELECT o_custkey, o_orderkey, days, cents,
+        |  CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY days
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_cents
+        |FROM w ORDER BY o_custkey, days, o_orderkey""".stripMargin) { (spark, sfDir) =>
+      val base = orders(spark, sfDir).filter(col("o_custkey") % 20 === 0)
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+            .cast("long").as("days"),
+          cents("o_totalprice").as("cents"))
+      val w = Window.partitionBy("o_custkey").orderBy("days").rangeBetween(-30, Window.currentRow)
+      base.withColumn("trailing_cents", sum("cents").over(w))
+        .orderBy("o_custkey", "days", "o_orderkey")
+    },
+
+    // unpivot / melt: wide aggregate → long (metric, value) format
+    GraftQuery("agg_unpivot",
+      """WITH wide AS (SELECT l_returnflag,
+        |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_base_cents' AS metric, sum_base_cents AS value FROM wide
+        |ORDER BY l_returnflag, metric""".stripMargin) { (spark, sfDir) =>
+      val wide = lineitem(spark, sfDir).groupBy("l_returnflag")
+        .agg(sum(floor(col("l_quantity")).cast("long")).as("sum_qty"),
+          sum(cents("l_extendedprice")).as("sum_base_cents"))
+      wide.unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_base_cents")), "metric", "value")
+        .orderBy("l_returnflag", "metric")
+    },
+
     // skew-mitigated aggregation: two-stage salted aggregate over a
     // low-cardinality (hot-key) grouping — stage 1 aggregates on
     // (key, salt) spreading each hot key over 16 reducers, stage 2 merges.
