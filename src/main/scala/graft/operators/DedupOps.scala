@@ -167,6 +167,64 @@ object DedupOps {
       verifyJaccard(cands, shf).orderBy("a", "b")
     },
 
+    // near-duplicate clustering: connected components over the ≥0.8-Jaccard
+    // pair graph, each doc labeled with the min doc_id of its component
+    // (the canonical-document assignment an actual dedup pass keeps).
+    // Spark side: iterative min-label propagation — each round is one
+    // distributed join, rounds bounded by component diameter (tiny for
+    // near-dup graphs); oracle: recursive-CTE transitive closure.
+    GraftQuery("dedup_clusters",
+      s"""WITH RECURSIVE $ShinglesCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+         |          FROM shf a JOIN shf b ON a.h = b.h AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (SELECT inter.ida AS a, inter.idb AS b FROM inter
+         |          JOIN sizes sa ON sa.doc_id = inter.ida
+         |          JOIN sizes sb ON sb.doc_id = inter.idb
+         |          WHERE CAST(inter.i AS DOUBLE) / (sa.n + sb.n - inter.i) >= $JaccardThreshold),
+         |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT a AS src, b AS dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a)
+         |SELECT src AS doc_id, least(src, min(dst)) AS cluster
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
+      val shf = shingles(spark, sfDir)
+      val sizes = shf.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val sa = shf.select(col("doc_id").as("a"), col("h"))
+      val sb = shf.select(col("doc_id").as("b"), col("h"))
+      val pairs = sa.join(sb, Seq("h")).filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("i"))
+        .join(broadcast(sizes.select(col("doc_id").as("a"), col("n").as("na"))), Seq("a"))
+        .join(broadcast(sizes.select(col("doc_id").as("b"), col("n").as("nb"))), Seq("b"))
+        .filter(col("i").cast("double") / (col("na") + col("nb") - col("i"))
+          >= JaccardThreshold)
+        .select("a", "b")
+      val edges = pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var labels = edges.select(col("a").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl"))
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 12) {
+        val viaNeighbors = labels
+          .join(edges, labels("id") === edges("a"))
+          .select(col("b").as("id"), col("lbl"))
+        val next = labels.unionByName(viaNeighbors)
+          .groupBy("id").agg(min("lbl").as("lbl"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val changed = next.alias("n")
+          .join(labels.alias("o"), col("n.id") === col("o.id"))
+          .filter(col("n.lbl") =!= col("o.lbl")).count()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+        .orderBy("doc_id")
+    },
+
     // SimHash signatures per document
     GraftQuery("dedup_simhash",
       s"""WITH $SimhashCte
