@@ -77,6 +77,22 @@ object StreamOps {
       .toDF("user_id", "n", "max_value")
   }
 
+  /** stream-stream interval self-join: pairs of events by the same user
+    * within a 1-minute follow window. Both sides watermarked; the time-bound
+    * predicate lets the state store expire rows — the canonical bounded
+    * stream-stream join shape. */
+  def followWithinMinute(events: DataFrame): DataFrame = {
+    val l = events.select(col("event_id").as("l_id"), col("user_id").as("l_user"),
+      col("ts").as("l_ts")).withWatermark("l_ts", "10 minutes")
+    val r = events.select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+      col("ts").as("r_ts")).withWatermark("r_ts", "10 minutes")
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") > col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr("INTERVAL 1 MINUTE"))
+      .select(col("l_id"), col("r_id"))
+  }
+
   /** foreachBatch sink: per-microbatch parquet append keyed by batch id —
     * the streaming analogue of the partitioned filelist sink (op 14), and
     * the standard escape hatch for sinks Structured Streaming lacks. */

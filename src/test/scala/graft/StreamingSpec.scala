@@ -57,6 +57,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want) // event_ids are unique, so dedup must be lossless
   }
 
+  test("stream-stream interval join == batch interval join") {
+    val spark = TestSpark.spark
+    val stream = StreamOps.followWithinMinute(StreamOps.eventStream(spark, TestSpark.Sf))
+    val got = StreamOps.runAppendToCompletion(stream, "ssjoin_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = graft.Tables.events(spark, TestSpark.Sf)
+    val l = e.select(org.apache.spark.sql.functions.col("event_id").as("l_id"),
+      org.apache.spark.sql.functions.col("user_id").as("l_user"),
+      org.apache.spark.sql.functions.col("ts").as("l_ts"))
+    val r = e.select(org.apache.spark.sql.functions.col("event_id").as("r_id"),
+      org.apache.spark.sql.functions.col("user_id").as("r_user"),
+      org.apache.spark.sql.functions.col("ts").as("r_ts"))
+    val want = l.join(r,
+        org.apache.spark.sql.functions.col("l_user") === org.apache.spark.sql.functions.col("r_user") &&
+          org.apache.spark.sql.functions.col("r_ts") > org.apache.spark.sql.functions.col("l_ts") &&
+          org.apache.spark.sql.functions.col("r_ts") <=
+            org.apache.spark.sql.functions.col("l_ts") + org.apache.spark.sql.functions.expr("INTERVAL 1 MINUTE"))
+      .select("l_id", "r_id")
+      .collect().map(r2 => (r2.getLong(0), r2.getLong(1))).toSet
+    assert(want.nonEmpty && got == want)
+  }
+
   test("foreachBatch sink writes each microbatch with its batch id") {
     val spark = TestSpark.spark
     val out = java.nio.file.Files.createTempDirectory("graft-febatch").toString + "/out"
