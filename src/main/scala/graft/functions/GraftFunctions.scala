@@ -1,0 +1,29 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+/** SQL registration for graft's custom Catalyst expressions, so the SQL
+  * front door reaches them too: `shingle_hashes(text, k)`,
+  * `dot_product(a, b)`, `minhash_sig(h, w)`. */
+object GraftFunctions {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects an integer literal, got $other")
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("shingle_hashes",
+      (es: Seq[Expression]) => ShingleHashes(es.head, intArg(es(1), "shingle_hashes k")),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("dot_product",
+      (es: Seq[Expression]) => DotProduct(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      (es: Seq[Expression]) =>
+        MinHashSigAgg(es.head, intArg(es(1), "minhash_sig w")).toAggregateExpression(),
+      "scala_udf")
+  }
+}

@@ -40,13 +40,17 @@ object DedupOps {
 
   private def shingles(spark: SparkSession, sfDir: String): DataFrame =
     shingleCache.getOrElseUpdate((spark, sfDir), {
-      // one-pass custom expression (== the composed oracle form, ~10x cheaper)
+      // one-pass custom expression (== the composed oracle form, ~10x cheaper);
+      // df-filter via a count window over h — one shuffle fewer than the
+      // groupBy+self-join form
       val sh = Tables.documents(spark, sfDir)
         .select(col("doc_id"),
           explode(graft.functions.ShingleHashes.shingleHashes(col("text"), ShingleLen)).as("h"))
         .distinct()
-      val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
-      sh.join(df.filter(col("df") <= MaxDf).select("h"), Seq("h"))
+      sh.withColumn("df", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
+        .filter(col("df") <= MaxDf)
+        .select("doc_id", "h")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 

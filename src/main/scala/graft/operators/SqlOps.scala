@@ -42,6 +42,29 @@ object SqlOps {
           |FROM customer_v WHERE c_custkey % 100 = 0 ORDER BY c_custkey""".stripMargin)
     },
 
+    // custom Catalyst expressions reachable from SQL: shingle_hashes +
+    // minhash_sig registered in the function registry, driven entirely
+    // through spark.sql (oracle re-derives the same min-signature element
+    // from the composed portable form)
+    GraftQuery("sql_custom_expr",
+      s"""WITH sh AS (SELECT DISTINCT doc_id, ${graft.functions.PortableHash.h8Sql("substr(text, i, 8)")} AS h FROM (
+         |    SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS i
+         |    FROM documents WHERE doc_id < 50))
+         |SELECT doc_id,
+         |       CAST(min((${graft.functions.PortableHash.permA(0)} * (h % ${graft.functions.PortableHash.P}) + ${graft.functions.PortableHash.permB(0)}) % ${graft.functions.PortableHash.P}) AS BIGINT) AS mh0,
+         |       count(DISTINCT h) AS n_shingles
+         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
+      graft.functions.GraftFunctions.register(spark)
+      graft.Tables.documents(spark, sfDir).createOrReplaceTempView("documents_v")
+      spark.sql(
+        """SELECT doc_id,
+          |       element_at(minhash_sig(h, 32), 1) AS mh0,
+          |       count(DISTINCT h) AS n_shingles
+          |FROM (SELECT DISTINCT doc_id, explode(shingle_hashes(text, 8)) AS h
+          |      FROM documents_v WHERE doc_id < 50)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    },
+
     // UDF surface (§2.12): a registered Scala UDF converting the reference's
     // rwx permission strings (adls_copy_utils.py hdi_permission payloads) to
     // octal — the oracle computes the same thing in pure SQL arithmetic.
