@@ -86,6 +86,45 @@ object ExtraAggOps {
         .agg(count(lit(1)).as("n"))
     },
 
+    // exact-moment statistics: variance / covariance / correlation computed
+    // from integer sums of cents (n·Σx² − (Σx)² form). Float accumulators
+    // (stddev_samp etc.) differ across engines and partial-agg orders; exact
+    // moments are bit-deterministic at any parallelism — the way to compute
+    // distribution stats over 100 TB when results must be reproducible.
+    GraftQuery("agg_moments",
+      """WITH m AS (SELECT l_returnflag,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
+        |    CAST(sum(CAST(floor(l_quantity) AS BIGINT) * CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sxx,
+        |    CAST(sum(CAST(floor(l_discount * 100) AS BIGINT)) AS BIGINT) AS sy,
+        |    CAST(sum(CAST(floor(l_discount * 100) AS BIGINT) * CAST(floor(l_discount * 100) AS BIGINT)) AS BIGINT) AS syy,
+        |    CAST(sum(CAST(floor(l_quantity) AS BIGINT) * CAST(floor(l_discount * 100) AS BIGINT)) AS BIGINT) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((n * sxx - sx * sx) * 1.0 / (n * (n - 1)), 6) AS var_qty,
+        |  round((n * sxy - sx * sy) * 1.0 / (n * (n - 1)), 6) AS cov_qty_disc,
+        |  round((n * sxy - sx * sy) /
+        |        (sqrt((n * sxx - sx * sx) * 1.0) * sqrt((n * syy - sy * sy) * 1.0)), 6) AS corr_qty_disc
+        |FROM m ORDER BY l_returnflag""".stripMargin) { (spark, sfDir) =>
+      val qty = floor(col("l_quantity")).cast("long")
+      val disc = floor(col("l_discount") * 100).cast("long")
+      val m = lineitem(spark, sfDir).groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(qty).as("sx"), sum(qty * qty).as("sxx"),
+        sum(disc).as("sy"), sum(disc * disc).as("syy"),
+        sum(qty * disc).as("sxy"))
+      m.select(col("l_returnflag"), col("n"),
+        round((col("n") * col("sxx") - col("sx") * col("sx")) * lit(1.0)
+          / (col("n") * (col("n") - 1)), 6).as("var_qty"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) * lit(1.0)
+          / (col("n") * (col("n") - 1)), 6).as("cov_qty_disc"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")) * lit(1.0))
+            * sqrt((col("n") * col("syy") - col("sy") * col("sy")) * lit(1.0))), 6)
+          .as("corr_qty_disc"))
+        .orderBy("l_returnflag")
+    },
+
     // date-function suite (30j extended): extraction, truncation, arithmetic.
     // dayofweek is normalized (Spark 1=Sunday vs DuckDB dow 0=Sunday).
     GraftQuery("scalar_date_suite",
