@@ -105,18 +105,55 @@ object SimilarityOps {
     },
 
     // multi-table random-hyperplane LSH: bucket join + exact re-rank within
-    // candidates. Rows-only driver check; recall vs brute force is asserted
-    // in SimilaritySpec.
-    GraftQuery.noOracle("sim_ann_lsh") { (spark, sfDir) =>
+    // candidates. Hyperplane dots use 1e6-quantized integer components so
+    // the sign bits are bit-exact across engines AND partial-aggregation
+    // orders (a float dot near a hyperplane could flip between runs) —
+    // which is what lets this probabilistic operator be fully oracled.
+    // Recall vs brute force is additionally asserted in SimilaritySpec.
+    GraftQuery("sim_ann_lsh", {
+      val probes = "[code, xor(code, 1), xor(code, 2), xor(code, 4), xor(code, 8)]"
+      s"""WITH comps AS (SELECT vec_id, i - 1 AS i,
+         |        CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+         |      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) ii),
+         |hs AS (SELECT vec_id, h,
+         |        CAST(sum(xq * ${wExprSql("h", "i")}) AS BIGINT) AS dp
+         |      FROM comps, (SELECT unnest(generate_series(0, ${Tables4 * BitsPerTable - 1})) AS h) hh
+         |      GROUP BY vec_id, h),
+         |codes AS (SELECT vec_id, h // $BitsPerTable AS t,
+         |        CAST(sum(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << (h % $BitsPerTable)) ELSE 0 END) AS BIGINT) AS code
+         |      FROM hs GROUP BY vec_id, h // $BitsPerTable),
+         |qcodes AS (SELECT vec_id AS qid, t, unnest($probes) AS code
+         |      FROM codes WHERE vec_id < $NumQueries),
+         |cands AS (SELECT DISTINCT q.qid, c.vec_id AS nid
+         |      FROM codes c JOIN qcodes q ON c.t = q.t AND c.code = q.code
+         |      WHERE c.vec_id <> q.qid),
+         |p AS (SELECT cands.qid, cands.nid,
+         |        round(list_sum(list_transform(generate_series(1, 64),
+         |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         |          / (sqrt(list_sum(list_transform(generate_series(1, 64),
+         |               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+         |           * sqrt(list_sum(list_transform(generate_series(1, 64),
+         |               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+         |          , 6) AS sim6
+         |      FROM cands
+         |      JOIN embeddings a ON a.vec_id = cands.qid
+         |      JOIN embeddings b ON b.vec_id = cands.nid),
+         |r AS (SELECT qid, nid, sim6,
+         |        row_number() OVER (PARTITION BY qid ORDER BY sim6 DESC, nid) AS rnk
+         |      FROM p)
+         |SELECT qid, rnk, nid, sim6 FROM r WHERE rnk <= $TopK
+         |ORDER BY qid, rnk""".stripMargin
+    }) { (spark, sfDir) =>
       val e = embeddings(spark, sfDir)
-      // (vec_id, i, x): one row per vector component
+      // (vec_id, i, xq): 1e6-quantized integer component per row
       val comps = e.select(col("vec_id"),
           posexplode(toDouble(col("embedding"))).as(Seq("i", "x")))
-      // h = t * BitsPerTable + j hyperplanes; bit = (w·v > 0)
+        .select(col("vec_id"), col("i"), floor(col("x") * 1000000).cast("long").as("xq"))
+      // h = t * BitsPerTable + j hyperplanes; bit = (w·v > 0), exact int dot
       val hs = comps.crossJoin(
           spark.range(Tables4 * BitsPerTable).select(col("id").cast("int").as("h")))
         .select(col("vec_id"), col("h"),
-          (col("x") * expr(wExprSql("h", "i"))).as("wx"))
+          (col("xq") * expr(wExprSql("h", "i"))).as("wx"))
         .groupBy("vec_id", "h").agg(sum("wx").as("dp"))
         .select(col("vec_id"), col("h"), (col("dp") > 0).cast("long").as("bit"))
       val codes = hs
