@@ -54,6 +54,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("cached dataset is served from the in-memory columnar store") {
+    val spark = TestSpark.spark
+    val df = Tables.orders(spark, TestSpark.Sf)
+      .filter(col("o_orderstatus") === "F").cache()
+    try {
+      df.count()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("InMemoryTableScan"), s"cache not used:\n$p")
+    } finally df.unpersist()
+  }
+
   test("bucketed join on the same keys avoids the shuffle exchange") {
     val spark = TestSpark.spark
     val wh = Files.createTempDirectory("graft-buckets").toString
