@@ -145,6 +145,42 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // deterministic train/val/test assignment: Knuth-hash bucket of doc_id —
+    // stable across runs/engines, no RNG (the reproducible corpus split)
+    GraftQuery("text_split_assign",
+      """WITH a AS (SELECT doc_id, (doc_id * 2654435761) % 100 AS bucket FROM documents),
+        |s AS (SELECT doc_id,
+        |        CASE WHEN bucket < 90 THEN 'train'
+        |             WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+        |      FROM a)
+        |SELECT split, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM s GROUP BY split ORDER BY split""".stripMargin) { (spark, sfDir) =>
+      docs(spark, sfDir)
+        .withColumn("bucket", (col("doc_id") * 2654435761L) % 100)
+        .withColumn("split", when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("split")
+    },
+
+    // vocabulary building: top tokens by document frequency
+    GraftQuery("text_vocab_topdf",
+      """WITH t AS (SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+        |    FROM documents)),
+        |df AS (SELECT tok, count(*) AS docfreq FROM t GROUP BY tok)
+        |SELECT tok, docfreq FROM df
+        |ORDER BY docfreq DESC, tok LIMIT 50""".stripMargin) { (spark, sfDir) =>
+      docs(spark, sfDir)
+        .select(col("doc_id"),
+          explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("tok"))
+        .distinct()
+        .groupBy("tok").agg(count(lit(1)).as("docfreq"))
+        .orderBy(col("docfreq").desc, col("tok"))
+        .limit(50)
+    },
+
     // document fingerprinting: rolling 8-gram polynomial hashes
     GraftQuery("text_fingerprint",
       s"""WITH sh AS (SELECT doc_id, ${h8Sql("substr(text, i, 8)")} AS h FROM (

@@ -54,6 +54,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("higher-order ACL mapping stays map-side (no hash-partition shuffle)") {
+    val df = SparkEntry.queries("acl_map_entries_ho")(TestSpark.spark, TestSpark.Sf)
+    df.collect()
+    // AQE toString prints Final + Initial plans; inspect the final only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the only exchanges allowed are the dedupe of the 4 raw keys and the
+    // final deterministic range sort — no shuffle from the mapping itself
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges <= 1, s"HO mapping gained shuffles:\n$p")
+  }
+
   test("cached dataset is served from the in-memory columnar store") {
     val spark = TestSpark.spark
     val df = Tables.orders(spark, TestSpark.Sf)
