@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.GraftQuery
@@ -179,6 +180,89 @@ object TextOps {
         .groupBy("tok").agg(count(lit(1)).as("docfreq"))
         .orderBy(col("docfreq").desc, col("tok"))
         .limit(50)
+    },
+
+    // TF-IDF: top term per (sampled) document — tf · ln(N/df), ties broken
+    // lexicographically; single ln/mult per pair keeps doubles bit-portable
+    GraftQuery("text_tfidf_top",
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+        |             FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM tok) GROUP BY tok),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.tok,
+        |        round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score
+        |      FROM tf JOIN df ON df.tok = tf.tok CROSS JOIN n),
+        |r AS (SELECT doc_id, tok, score,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn
+        |      FROM s WHERE doc_id % 5 = 0)
+        |SELECT doc_id, tok, score FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+      ) { (spark, sfDir) =>
+      val tok = docs(spark, sfDir)
+        .select(col("doc_id"), explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("tok"))
+      val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = tok.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = docs(spark, sfDir).count()
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+      tf.join(dfreq, Seq("tok"))
+        .select(col("doc_id"), col("tok"),
+          round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("score"))
+        .filter(col("doc_id") % 5 === 0)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "tok", "score")
+        .orderBy("doc_id")
+    },
+
+    // incremental ingestion dedup: drop new-batch docs whose exact hash OR
+    // near-dup shingle profile already exists in the corpus (anti-join +
+    // cross-batch Jaccard — the shape of continuous corpus ingestion)
+    GraftQuery("dedup_incremental",
+      s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id < 400),
+        |batch AS (SELECT * FROM documents WHERE doc_id >= 400),
+        |exact_new AS (
+        |  SELECT b.doc_id FROM batch b
+        |  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE md5(c.text) = md5(b.text))),
+        |bsh AS (SELECT DISTINCT doc_id, ${h8Sql("substr(text, i, 8)")} AS sh FROM (
+        |          SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS i
+        |          FROM batch)),
+        |csh AS (SELECT DISTINCT doc_id, ${h8Sql("substr(text, i, 8)")} AS sh FROM (
+        |          SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS i
+        |          FROM corpus)),
+        |bsz AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY doc_id),
+        |csz AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY doc_id),
+        |inter AS (SELECT b.doc_id AS bid, c.doc_id AS cid, count(*) AS i
+        |          FROM bsh b JOIN csh c ON b.sh = c.sh GROUP BY b.doc_id, c.doc_id),
+        |neardup AS (SELECT DISTINCT inter.bid FROM inter
+        |            JOIN bsz ON bsz.doc_id = inter.bid
+        |            JOIN csz ON csz.doc_id = inter.cid
+        |            WHERE CAST(inter.i AS DOUBLE) / (bsz.n + csz.n - inter.i) >= 0.8)
+        |SELECT e.doc_id, (nd.bid IS NOT NULL) AS near_dup
+        |FROM exact_new e LEFT JOIN neardup nd ON nd.bid = e.doc_id
+        |ORDER BY e.doc_id""".stripMargin) { (spark, sfDir) =>
+      val d = docs(spark, sfDir)
+      val corpus = d.filter(col("doc_id") < 400)
+      val batch = d.filter(col("doc_id") >= 400)
+      val exactNew = batch.join(corpus.select(md5(col("text").cast("binary")).as("h")).distinct(),
+        md5(col("text").cast("binary")) === col("h"), "left_anti")
+      def sh(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+        explode(graft.functions.ShingleHashes.shingleHashes(col("text"), 8)).as("hsh"))
+        .distinct()
+      val bsh = sh(batch)
+      val csh = sh(corpus).withColumnRenamed("doc_id", "cid")
+      val bsz = bsh.groupBy("doc_id").agg(count(lit(1)).as("bn"))
+      val csz = csh.groupBy("cid").agg(count(lit(1)).as("cn"))
+      val nearDup = bsh.join(csh, Seq("hsh"))
+        .groupBy("doc_id", "cid").agg(count(lit(1)).as("i"))
+        .join(broadcast(bsz), Seq("doc_id"))
+        .join(broadcast(csz), Seq("cid"))
+        .filter(col("i").cast("double") / (col("bn") + col("cn") - col("i")) >= 0.8)
+        .select(col("doc_id")).distinct()
+        .withColumn("nd", lit(true))
+      exactNew.select("doc_id")
+        .join(nearDup, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("nd"), lit(false)).as("near_dup"))
+        .orderBy("doc_id")
     },
 
     // document fingerprinting: rolling 8-gram polynomial hashes
