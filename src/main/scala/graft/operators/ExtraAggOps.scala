@@ -185,6 +185,48 @@ object ExtraAggOps {
         .orderBy("c_custkey")
     },
 
+    // pure theta (inequality-only) join — small x small by design; large
+    // theta joins need banding/broadcast, which join_range demonstrates
+    GraftQuery("join_theta",
+      """SELECT n1.n_name AS a, n2.n_name AS b
+        |FROM nation n1 JOIN nation n2
+        |  ON n1.n_nationkey < n2.n_nationkey AND n1.n_regionkey > n2.n_regionkey
+        |ORDER BY a, b""".stripMargin) { (spark, sfDir) =>
+      val n1 = nation(spark, sfDir).select(col("n_nationkey").as("k1"),
+        col("n_regionkey").as("r1"), col("n_name").as("a"))
+      val n2 = nation(spark, sfDir).select(col("n_nationkey").as("k2"),
+        col("n_regionkey").as("r2"), col("n_name").as("b"))
+      n1.join(n2, col("k1") < col("k2") && col("r1") > col("r2"))
+        .select("a", "b").orderBy("a", "b")
+    },
+
+    // order-sensitive argmin/argmax aggregates with a composed unique
+    // ordering key (ties on price alone would be engine-ambiguous)
+    GraftQuery("agg_minby_maxby",
+      """SELECT o_orderstatus,
+        |  max_by(o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) * 1000000 + o_orderkey) AS top_order,
+        |  min_by(o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) * 1000000 + o_orderkey) AS bottom_order
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      ) { (spark, sfDir) =>
+      val key = floor(col("o_totalprice") * 100).cast("long") * 1000000 + col("o_orderkey")
+      orders(spark, sfDir).groupBy("o_orderstatus")
+        .agg(max_by(col("o_orderkey"), key).as("top_order"),
+          min_by(col("o_orderkey"), key).as("bottom_order"))
+        .orderBy("o_orderstatus")
+    },
+
+    // fixed-width value histogram over the events stream table
+    GraftQuery("events_value_histogram",
+      """SELECT CAST(floor(value / 25) AS BIGINT) AS bucket, count(*) AS n,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, sfDir) =>
+      graft.Tables.events(spark, sfDir)
+        .groupBy(floor(col("value") / 25).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100).cast("long")).as("v_cents"))
+        .orderBy("bucket")
+    },
+
     // array-function suite over the ACL arrays (portable subset)
     GraftQuery("scalar_array_suite",
       s"""WITH $AclCte
