@@ -65,6 +65,29 @@ class PlanSpec extends AnyFunSuite {
     assert(hashExchanges <= 1, s"HO mapping gained shuffles:\n$p")
   }
 
+  test("AQE re-plans shuffles at runtime (coalesced readers on a sort-merge join)") {
+    val spark = TestSpark.spark
+    val conf = spark.conf
+    val savedBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force sort-merge
+      import org.apache.spark.sql.functions._
+      val l = Tables.lineitem(spark, TestSpark.Sf)
+        .select(col("l_orderkey").as("k"), col("l_quantity"))
+      val r = Tables.orders(spark, TestSpark.Sf)
+        .select(col("o_orderkey").as("k"), col("o_totalprice"))
+      val joined = l.join(r, Seq("k")).agg(count(lit(1)))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(p.contains("SortMergeJoin"), s"expected sort-merge join:\n$p")
+      // runtime re-optimization observed: post-shuffle partitions merged to
+      // the advisory size (the same machinery that splits skewed partitions
+      // when per-partition bytes warrant it at real scale)
+      assert(p.contains("AQEShuffleRead coalesced"), s"AQE did not re-plan:\n$p")
+      assert(p.contains("isFinalPlan=true"))
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
+  }
+
   test("cached dataset is served from the in-memory columnar store") {
     val spark = TestSpark.spark
     val df = Tables.orders(spark, TestSpark.Sf)
