@@ -16,9 +16,18 @@ import graft.functions.PortableHash._
   *
   *  - Shingles are document-frequency-filtered (df ≤ MaxDf) before any
   *    pair generation — the band-stop that bounds per-shingle bucket joins.
+  *    The df filter is a groupBy heavy-hitter set + broadcast anti-join:
+  *    heavy shingles are by construction few (df > MaxDf over N docs means
+  *    ≤ N/MaxDf of them survive per doc slot), so the anti-join ships a
+  *    tiny build side instead of window-shuffling every (doc, shingle) row.
+  *  - The family's shared materialization is ONE ARRAY PER DOCUMENT
+  *    (doc_id, sh, n) — not the exploded pair list. Signatures, sizes and
+  *    candidate verification are all per-row array ops on it; only the
+  *    bucket joins explode, and those rows die in the next aggregation.
   *  - MinHash signatures prune candidate pairs via banded LSH, then
-  *    candidates are verified with exact Jaccard — output equals the exact
-  *    operator's (the oracle), with ~1e-7 per-pair miss probability.
+  *    candidates are verified with exact set intersection — output equals
+  *    the exact operator's (the oracle), with ~1e-7 per-pair miss
+  *    probability.
   *  - SimHash pairs use 4×8-bit band buckets, which is *exact* for
   *    hamming ≤ 3 by pigeonhole — no recall loss, no quadratic join.
   */
@@ -30,27 +39,28 @@ object DedupOps {
   val NumPerms = 32
   val NumBands = 16 // × 2 rows per band
 
-  /** memoized df-filtered distinct (doc_id, shingle-hash) pairs — referenced
-    * several times per query (sizes, both join sides, signatures), and shared
-    * between the Jaccard and MinHash operators, so it is computed once per
-    * (session, sfDir) and persisted. At cluster scale this is the one
-    * materialization the whole dedup family amortizes. */
+  /** memoized per-document df-filtered shingle sets — (doc_id, sh, n) with
+    * sh a sorted distinct array<long> — shared by the Jaccard, MinHash and
+    * clustering operators, so it is computed once per (session, sfDir) and
+    * persisted. One row per document (~n rows total), the one
+    * materialization the whole dedup family amortizes at cluster scale. */
   private val shingleCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def shingles(spark: SparkSession, sfDir: String): DataFrame =
+  private def docShingles(spark: SparkSession, sfDir: String): DataFrame =
     shingleCache.getOrElseUpdate((spark, sfDir), {
-      // one-pass custom expression (== the composed oracle form, ~10x cheaper);
-      // df-filter via a count window over h — one shuffle fewer than the
-      // groupBy+self-join form
-      val sh = Tables.documents(spark, sfDir)
+      // one-pass custom expression (== the composed oracle form, ~10x
+      // cheaper), distinct in-row; df heavy hitters via partial-aggregated
+      // groupBy then broadcast ANTI-join (small build side by construction)
+      val ex = Tables.documents(spark, sfDir)
         .select(col("doc_id"),
-          explode(graft.functions.ShingleHashes.shingleHashes(col("text"), ShingleLen)).as("h"))
-        .distinct()
-      sh.withColumn("df", count(lit(1))
-          .over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
-        .filter(col("df") <= MaxDf)
-        .select("doc_id", "h")
+          explode(array_distinct(
+            graft.functions.ShingleHashes.shingleHashes(col("text"), ShingleLen))).as("h"))
+      val heavy = ex.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") > MaxDf).select("h")
+      ex.join(broadcast(heavy), Seq("h"), "left_anti")
+        .groupBy("doc_id").agg(sort_array(collect_list(col("h"))).as("sh"))
+        .withColumn("n", size(col("sh")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
@@ -77,20 +87,16 @@ object DedupOps {
        |WHERE CAST(inter.i AS DOUBLE) / (sa.n + sb.n - inter.i) >= $JaccardThreshold
        |ORDER BY a, b""".stripMargin
 
-  /** exact Jaccard of given candidate pairs (cols a, b) against shingle sets */
-  private def verifyJaccard(cands: DataFrame, shf: DataFrame): DataFrame = {
-    val sizes = shf.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val sa = shf.select(col("doc_id").as("a"), col("h"))
-    val sb = shf.select(col("doc_id").as("b2"), col("h").as("hb"))
-    cands
-      .join(sa, Seq("a"))
-      .join(sb, col("hb") === col("h") && col("b") === col("b2"))
-      .groupBy("a", "b").agg(count(lit(1)).as("i"))
-      .join(broadcast(sizes.select(col("doc_id").as("a"), col("n").as("na"))), Seq("a"))
-      .join(broadcast(sizes.select(col("doc_id").as("b"), col("n").as("nb"))), Seq("b"))
+  /** all pairs with Jaccard similarity (unfiltered): the shingle bucket
+    * equi-join, sizes carried through the join so no post-join size lookup
+    * is needed — bounded by the df cap (Σ_h df(h)² ≤ MaxDf · rows). */
+  private def jaccardPairs(s: DataFrame): DataFrame = {
+    val a = s.select(col("doc_id").as("a"), col("n").as("na"), explode(col("sh")).as("h"))
+    val b = s.select(col("doc_id").as("b"), col("n").as("nb"), explode(col("sh")).as("h"))
+    a.join(b, Seq("h")).filter(col("a") < col("b"))
+      .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("i"))
       .select(col("a"), col("b"),
         (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jacc"))
-      .filter(col("jacc") >= JaccardThreshold)
   }
 
   /** 32-bit SimHash per document over distinct tokens (portable H8 base) */
@@ -137,28 +143,20 @@ object DedupOps {
 
     // exact n-gram Jaccard near-dup pairs (df-filtered shingles)
     GraftQuery("dedup_jaccard", JaccardSql, bench = true) { (spark, sfDir) =>
-      val shf = shingles(spark, sfDir)
-      val sizes = shf.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = shf.select(col("doc_id").as("a"), col("h"))
-      val b = shf.select(col("doc_id").as("b"), col("h"))
-      a.join(b, Seq("h")).filter(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("i"))
-        .join(broadcast(sizes.select(col("doc_id").as("a"), col("n").as("na"))), Seq("a"))
-        .join(broadcast(sizes.select(col("doc_id").as("b"), col("n").as("nb"))), Seq("b"))
-        .select(col("a"), col("b"),
-          (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jacc"))
+      jaccardPairs(docShingles(spark, sfDir))
         .filter(col("jacc") >= JaccardThreshold)
         .orderBy("a", "b")
     },
 
     // MinHash + banded LSH candidates, exact-verified — equals the exact
-    // operator's output (miss prob ≈ (1-s²)^16 per pair, ~1e-7 at s=0.8)
+    // operator's output (miss prob ≈ (1-s²)^16 per pair, ~1e-7 at s=0.8).
+    // Signature is a per-row scalar expression over the cached shingle
+    // array (no aggregation shuffle); verification is a per-row
+    // array_intersect after re-attaching the two shingle sets.
     GraftQuery("dedup_minhash", JaccardSql, bench = true) { (spark, sfDir) =>
-      val shf = shingles(spark, sfDir)
-      // one-pass custom TypedImperativeAggregate: the shuffle carries one
-      // 32-long signature per doc instead of 32 separate min-agg columns
-      val sig = shf.groupBy("doc_id")
-        .agg(graft.functions.MinHashSigAgg.minhashSig(col("h"), NumPerms).as("sig"))
+      val s = docShingles(spark, sfDir)
+      val sig = s.select(col("doc_id"),
+        graft.functions.MinHashSig.minhashSig(col("sh"), NumPerms).as("sig"))
       val bands = sig.select(col("doc_id"),
         explode(array((0 until NumBands).map(bd =>
           concat_ws(":", lit(bd), element_at(col("sig"), 2 * bd + 1),
@@ -168,7 +166,14 @@ object DedupOps {
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .filter(col("a") < col("b"))
         .distinct()
-      verifyJaccard(cands, shf).orderBy("a", "b")
+      cands
+        .join(s.select(col("doc_id").as("a"), col("sh").as("sha"), col("n").as("na")), Seq("a"))
+        .join(s.select(col("doc_id").as("b"), col("sh").as("shb"), col("n").as("nb")), Seq("b"))
+        .withColumn("i", size(array_intersect(col("sha"), col("shb"))))
+        .select(col("a"), col("b"),
+          (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jacc"))
+        .filter(col("jacc") >= JaccardThreshold)
+        .orderBy("a", "b")
     },
 
     // near-duplicate clustering: connected components over the ≥0.8-Jaccard
@@ -194,16 +199,8 @@ object DedupOps {
          |  SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a)
          |SELECT src AS doc_id, least(src, min(dst)) AS cluster
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
-      val shf = shingles(spark, sfDir)
-      val sizes = shf.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val sa = shf.select(col("doc_id").as("a"), col("h"))
-      val sb = shf.select(col("doc_id").as("b"), col("h"))
-      val pairs = sa.join(sb, Seq("h")).filter(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("i"))
-        .join(broadcast(sizes.select(col("doc_id").as("a"), col("n").as("na"))), Seq("a"))
-        .join(broadcast(sizes.select(col("doc_id").as("b"), col("n").as("nb"))), Seq("b"))
-        .filter(col("i").cast("double") / (col("na") + col("nb") - col("i"))
-          >= JaccardThreshold)
+      val pairs = jaccardPairs(docShingles(spark, sfDir))
+        .filter(col("jacc") >= JaccardThreshold)
         .select("a", "b")
       val edges = pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -211,7 +208,12 @@ object DedupOps {
         .select(col("id"), col("id").as("lbl"))
       var converged = false
       var iter = 0
-      while (!converged && iter < 12) {
+      // rounds bounded by component diameter; MaxIters is a runaway guard,
+      // and hitting it without convergence fails LOUDLY — silently emitting
+      // partial labels would be wrong clusters (a diameter > MaxIters
+      // component is possible at corpus scale even if absent here)
+      val MaxIters = 50
+      while (!converged && iter < MaxIters) {
         val viaNeighbors = labels
           .join(edges, labels("id") === edges("a"))
           .select(col("b").as("id"), col("lbl"))
@@ -225,6 +227,9 @@ object DedupOps {
         converged = changed == 0
         iter += 1
       }
+      if (!converged)
+        throw new IllegalStateException(
+          s"dedup_clusters: label propagation did not converge in $MaxIters rounds")
       labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
         .orderBy("doc_id")
     },
