@@ -219,16 +219,19 @@ object InventoryOps {
         .orderBy("itype", "source")
     },
 
-    // op 33: dirs-before-files phase ordering, dirs by depth
+    // op 33: dirs-before-files phase ordering, dirs by depth. The global
+    // ordinal comes from the two-phase distributed rank (TwoPhaseRank) —
+    // no single-partition window, so the ordering step itself scales past
+    // the dirs ≪ files regime the copy executor assumes.
     GraftQuery("phase_order_dirs",
       s"""WITH ${InvCte},
          |d AS (SELECT name, length(name) - length(replace(name, '/', '')) AS depth
          |      FROM inv WHERE is_folder)
          |SELECT row_number() OVER (ORDER BY depth, name) AS idx, name, depth
          |FROM d ORDER BY idx""".stripMargin) { (spark, sfDir) =>
-      inventory(spark, sfDir).filter(col("is_folder"))
+      val dirs = inventory(spark, sfDir).filter(col("is_folder"))
         .withColumn("depth", length(col("name")) - length(regexp_replace(col("name"), "/", "")))
-        .withColumn("idx", row_number().over(Window.orderBy("depth", "name")))
+      TwoPhaseRank.rowNumber(dirs, "idx", 8, col("depth"), col("name"))
         .select("idx", "name", "depth")
         .orderBy("idx")
     },

@@ -65,7 +65,10 @@ object PackingOps {
       dirSizes(spark, sfDir).orderBy("path")
     },
 
-    // relaxed next-fit via window cumulative sum (§2.6) — the 100 TB path
+    // relaxed next-fit via a single global window cumulative sum — kept as
+    // the oracle cross-check for the distributed form below; the global
+    // ORDER BY window serializes through one partition, so it is NOT the
+    // scale path and not the bench entry
     GraftQuery("pack_nextfit", {
       val cap = Capacity
       s"""WITH $SizesCte,
@@ -76,7 +79,7 @@ object PackingOps {
          |SELECT path, size,
          |       CASE WHEN size > $cap THEN CAST(0 AS BIGINT) ELSE cum // $cap + 1 END AS unit
          |FROM w ORDER BY path""".stripMargin
-    }, bench = true) { (spark, sfDir) =>
+    }) { (spark, sfDir) =>
       val w = Window.orderBy("path").rowsBetween(Window.unboundedPreceding, Window.currentRow)
       dirSizes(spark, sfDir)
         .withColumn("cum",
@@ -87,12 +90,11 @@ object PackingOps {
         .orderBy("path")
     },
 
-    // next-fit again, but with a DISTRIBUTED prefix sum: the single global
-    // ORDER BY window above serializes through one partition — fine while
-    // dirs ≪ files, wrong at millions of directories. Two-phase form:
-    // range-partition by path, cumsum within partitions, add per-partition
-    // offsets computed from the (tiny) per-partition totals. Identical
-    // output, no single-partition stage; same oracle as pack_nextfit.
+    // THE next-fit scale path (and the bench entry): a DISTRIBUTED prefix
+    // sum — range-partition by path, cumsum within partitions, add
+    // per-partition offsets computed from the (tiny) per-partition totals.
+    // Identical output to the global-window form above (the cross-check),
+    // no single-partition stage; same oracle.
     GraftQuery("pack_nextfit_dist", {
       val cap = Capacity
       s"""WITH $SizesCte,
@@ -103,7 +105,7 @@ object PackingOps {
          |SELECT path, size,
          |       CASE WHEN size > $cap THEN CAST(0 AS BIGINT) ELSE cum // $cap + 1 END AS unit
          |FROM w ORDER BY path""".stripMargin
-    }) { (spark, sfDir) =>
+    }, bench = true) { (spark, sfDir) =>
       val nParts = 8
       val sized = dirSizes(spark, sfDir)
         .withColumn("eff", when(col("size") > Capacity, 0L).otherwise(col("size")))

@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global row numbering: the two-phase prefix-rank pattern
+  * (range-partition on the sort key → rank locally → add broadcast
+  * per-partition row-count offsets). Produces the same numbering as
+  * `row_number().over(Window.orderBy(...))` without that form's
+  * single-partition serialization — only the per-partition COUNTS (one
+  * long per partition) ever reach the driver, so the pattern holds at any
+  * row count.
+  */
+object TwoPhaseRank {
+
+  /** append column `idxCol` = 1-based global row number by `sortCols` */
+  def rowNumber(df: DataFrame, idxCol: String, numParts: Int, sortCols: Column*): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranged = df.repartitionByRange(numParts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist() // pin partition assignment across the count and rank passes
+    val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("n"))
+      .orderBy("__pid").as[(Int, Long)].collect()
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
+    val offDf = counts.map(_._1).zip(offsets.map(_._2)).toSeq.toDF("__pid", "__off")
+    val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
+    ranged
+      .withColumn("__local", row_number().over(w))
+      .join(broadcast(offDf), Seq("__pid"))
+      .withColumn(idxCol, col("__local") + col("__off"))
+      .drop("__pid", "__local", "__off")
+  }
+}

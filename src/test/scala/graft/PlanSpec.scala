@@ -24,6 +24,33 @@ class PlanSpec extends AnyFunSuite {
       }
   }
 
+  test("sim_near_dup_pairs generates candidates via LSH buckets, not an all-pairs join") {
+    val df = SparkEntry.queries("sim_near_dup_pairs")(TestSpark.spark, TestSpark.Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"near-dup pairs fell back to an all-pairs nested-loop join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"near-dup pairs fell back to a cartesian product:\n$p")
+  }
+
+  test("distributed rank/prefix-sum queries have no single-partition exchange") {
+    Seq("pack_nextfit_dist", "phase_order_dirs").foreach { q =>
+      val df = SparkEntry.queries(q)(TestSpark.spark, TestSpark.Sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q serializes through a single-partition exchange:\n$p")
+    }
+  }
+
+  test("dedup_jaccard has no window operator (df filter is a broadcast anti-join)") {
+    val df = SparkEntry.queries("dedup_jaccard")(TestSpark.spark, TestSpark.Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"dedup_jaccard reintroduced a window shuffle:\n$p")
+  }
+
   test("filters and column pruning reach the parquet scan") {
     val exec = SparkEntry.queries("tpch_q6")(TestSpark.spark, TestSpark.Sf)
       .queryExecution.executedPlan.toString

@@ -7,16 +7,55 @@ import org.scalatest.funsuite.AnyFunSuite
   * single bucket per table — recall is not 1.0 by design; assert a floor. */
 class SimilaritySpec extends AnyFunSuite {
 
-  test("ann lsh recall@10 >= 0.8 vs brute force on sf0.001") {
+  private def annRecall(sf: String): Double = {
     val spark = TestSpark.spark
-    val brute = SparkEntry.queries("sim_cosine_topk")(spark, TestSpark.Sf)
+    val brute = SparkEntry.queries("sim_cosine_topk")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-    val ann = SparkEntry.queries("sim_ann_lsh")(spark, TestSpark.Sf)
+    val ann = SparkEntry.queries("sim_ann_lsh")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(brute.nonEmpty)
     val recall = (brute & ann).size.toDouble / brute.size
-    info(f"ann recall@10 = $recall%.3f (|brute|=${brute.size}, |ann|=${ann.size})")
-    assert(recall >= 0.8, f"recall $recall%.3f below floor (8 tables × 4 bits, hamming-1 multiprobe)")
+    info(f"$sf ann recall@10 = $recall%.3f (|brute|=${brute.size}, |ann|=${ann.size})")
+    recall
+  }
+
+  test("ann lsh recall@10 >= 0.8 vs brute force on sf0.001") {
+    assert(annRecall(TestSpark.Sf) >= 0.8,
+      "recall below floor (8 tables × 4 bits, hamming-1 multiprobe)")
+  }
+
+  test("ann lsh recall@10 >= 0.8 vs brute force on sf0.01 (not a small-sample artifact)") {
+    assert(annRecall("/root/testdata/sf0.01") >= 0.8,
+      "recall below floor at sf0.01 (8 tables × 4 bits, hamming-1 multiprobe)")
+  }
+
+  /** brute-force cosine near-dup pairs via the composed built-in form
+    * (zip_with + aggregate), independent of the custom expressions */
+  private def brutePairs(sf: String): Set[(Long, Long)] = {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dotSql = (x: String, y: String) =>
+      s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0D, (acc, p) -> acc + p)"
+    e.select(col("vec_id").as("a"), col("v").as("va"))
+      .join(e.select(col("vec_id").as("b"), col("v").as("vb")), col("a") < col("b"))
+      .select(col("a"), col("b"),
+        expr(s"round(${dotSql("va", "vb")} / (sqrt(${dotSql("va", "va")}) * sqrt(${dotSql("vb", "vb")})), 6)").as("sim6"))
+      .filter(col("sim6") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("near-dup LSH output equals brute force exactly at sf0.001 and sf0.01") {
+    val spark = TestSpark.spark
+    Seq(TestSpark.Sf, "/root/testdata/sf0.01").foreach { sf =>
+      val brute = brutePairs(sf)
+      val lsh = SparkEntry.queries("sim_near_dup_pairs")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      info(s"$sf: |brute|=${brute.size}, |lsh|=${lsh.size}")
+      assert(lsh == brute,
+        s"$sf: LSH missed ${(brute -- lsh).size} pairs, invented ${(lsh -- brute).size}")
+    }
   }
 
   test("top-1 neighbor similarity is sane (cosine in [-1, 1], high for near-dups)") {
