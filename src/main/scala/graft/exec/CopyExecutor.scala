@@ -71,8 +71,61 @@ object CopyExecutor {
           }
         }
       }
+      .toDF()
+      // materialize the side-effecting stage exactly once: without this,
+      // every downstream action on the returned frame would re-run the
+      // writes (benign for idempotent overwrites, wrong for append/flush
+      // sinks); task-level retries remain idempotent-overwrite by design
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fileResults.count()
 
-    spark.createDataFrame(dirResults.toIndexedSeq).unionByName(fileResults.toDF())
+    spark.createDataFrame(dirResults.toIndexedSeq).unionByName(fileResults)
+  }
+
+  final case class UnitRun(unit: Long, nPaths: Long, startMs: Long, endMs: Long)
+
+  /** op 37 (distcp-to-databox.sh:27 `-async`): submit one copy job PER
+    * UNIT and keep up to `maxInFlight` of them running concurrently on the
+    * Spark scheduler — fire-and-forget from the submitting thread's view,
+    * awaited together at the end. Each unit's job runs under its own job
+    * group (cancelable per unit, visible per unit in the UI), the direct
+    * analogue of one `-async` distcp submission per Data Box filelist.
+    * Returns per-unit timing so callers (and the spec) can observe the
+    * overlap. */
+  def copyUnitsAsync(
+      spark: SparkSession,
+      assignments: DataFrame,
+      ops: FileOps,
+      maxInFlight: Int = 4): Seq[UnitRun] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    import spark.implicits._
+
+    val units = assignments.filter(col("unit") =!= 0)
+      .select(col("unit").cast("long")).distinct().as[Long].collect().sorted
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(maxInFlight.max(1))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val inFlight = units.toSeq.map { u =>
+        Future {
+          spark.sparkContext.setJobGroup(s"graft-unit-$u",
+            s"async copy of unit $u", interruptOnCancel = true)
+          val t0 = System.currentTimeMillis()
+          val n = assignments.filter(col("unit") === u)
+            .select(col("path")).as[String].rdd
+            .mapPartitions { it =>
+              Iterator.single(it.map { p =>
+                ops.write(s"$p/_copied", Array[Byte]('u')); 1L
+              }.sum)
+            }
+            .sum().toLong
+          val t1 = System.currentTimeMillis()
+          spark.sparkContext.clearJobGroup()
+          UnitRun(u, n, t0, t1)
+        }
+      }
+      Await.result(Future.sequence(inFlight), Duration(600, "s"))
+    } finally pool.shutdown()
   }
 
   /** op 14: partitioned filelist write — one text file per non-zero unit

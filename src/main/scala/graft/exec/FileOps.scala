@@ -24,12 +24,21 @@ trait FileOps extends Serializable {
 }
 
 /** Hadoop-FileSystem-backed implementation; works for file://, hdfs://,
-  * abfss:// alike. Ownership set via extended attributes would need a real
-  * ADLS endpoint, so ownership records are written as sidecar files —
-  * observable by tests, same fan-out shape as the REST calls. */
-final class HadoopFileOps(root: String) extends FileOps {
-  @transient private lazy val fs: FileSystem =
-    new Path(root).getFileSystem(new Configuration())
+  * abfss:// alike. Scheme-specific settings (account keys, token
+  * providers, mock-FS roots) travel as `conf` entries applied to the
+  * Hadoop Configuration on each executor — the same channel
+  * `fs.azure.account.key.<account>` / `fs.azure.sas.token.provider.type`
+  * use for a real ADLS binding (MIGRATION.md §auth). Ownership set via
+  * extended attributes would need a real ADLS endpoint, so ownership
+  * records are written as sidecar files — observable by tests, same
+  * fan-out shape as the REST calls. */
+final class HadoopFileOps(root: String, conf: Map[String, String] = Map.empty)
+    extends FileOps {
+  @transient private lazy val fs: FileSystem = {
+    val c = new Configuration()
+    conf.foreach { case (k, v) => c.set(k, v) }
+    new Path(root).getFileSystem(c)
+  }
 
   private def p(path: String) = new Path(root + path)
 

@@ -79,7 +79,42 @@ object HyperplaneCodes {
     new GenericArrayData(out)
   }
 
+  def computeWord(vec: ArrayData, numTables: Int, bits: Int, seed: Long): Long = {
+    val codes = compute(vec, numTables, bits, seed)
+    var w = 0L
+    var t = 0
+    while (t < numTables) { w |= codes.getInt(t).toLong << (t * bits); t += 1 }
+    w
+  }
+
   def hyperplaneCodes(c: Column, numTables: Int, bits: Int, seed: Long): Column =
     GraftColumnBridge.column(
       HyperplaneCodes(GraftColumnBridge.expression(c), numTables, bits, seed))
+
+  def hyperplaneCodeWord(c: Column, numTables: Int, bits: Int, seed: Long): Column =
+    GraftColumnBridge.column(
+      HyperplaneCodeWord(GraftColumnBridge.expression(c), numTables, bits, seed))
+}
+
+/** All `numTables` codes of [[HyperplaneCodes]] packed into one long
+  * (table t occupies bits [t*bits, (t+1)*bits)) — lets downstream pair
+  * dedup ("keep a pair only at its first matching table") run as pure
+  * bitwise arithmetic inside whole-stage codegen instead of a per-row
+  * higher-order-function evaluation over code arrays. */
+case class HyperplaneCodeWord(child: Expression, numTables: Int, bits: Int, seed: Long)
+    extends UnaryExpression {
+  require(numTables * bits <= 63, "packed code word must fit a signed long")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    HyperplaneCodes.computeWord(input.asInstanceOf[ArrayData], numTables, bits, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HyperplaneCodes.computeWord($c, $numTables, $bits, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneCodeWord =
+    copy(child = newChild)
 }

@@ -97,7 +97,10 @@ object SimilarityOps {
     // theory puts the per-pair miss probability at (1-0.398)^24 ≈ 5e-6.
     // At a production threshold (≥ 0.8) the same operator gets sharper,
     // not weaker: p_match per table rises from 0.40 to 0.73 and buckets
-    // enrich true pairs exponentially in the bit count.
+    // enrich true pairs exponentially in the bit count. The band side is
+    // broadcast here because the demo key space (24 tables × 4 codes) is
+    // tiny; at production bit widths (8+) the key space is large, bucket
+    // skew disappears, and the same plan runs as a shuffled equi-join.
     GraftQuery("sim_near_dup_pairs",
       """WITH p AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
         |        round(list_sum(list_transform(generate_series(1, len(a.embedding)),
@@ -111,24 +114,31 @@ object SimilarityOps {
         |ORDER BY a, b""".stripMargin,
       bench = true) { (spark, sfDir) =>
       val e = embeddings(spark, sfDir)
+      // all 24 codes packed into one long per vector (one codegen pass)
       val coded = e.select(col("vec_id"),
-        graft.functions.HyperplaneCodes.hyperplaneCodes(
-          toDouble(col("embedding")), NearDupTables, NearDupBits, NearDupSeed).as("codes"))
-      val bands = coded.select(col("vec_id"), col("codes"),
-        posexplode(col("codes")).as(Seq("t", "code")))
-      val x = bands.select(col("vec_id").as("a"), col("codes").as("ca"),
-        col("t"), col("code"))
-      val y = bands.select(col("vec_id").as("b"), col("codes").as("cb"),
-        col("t"), col("code"))
-      val cands = x.join(y, Seq("t", "code"))
-        .filter(col("a") < col("b"))
-        // keep each pair only at its first matching table — dedups without
-        // a distinct shuffle (both code arrays ride along, 24 ints each)
-        .filter(expr("array_position(zip_with(ca, cb, (u, v) -> u = v), true) = t + 1"))
+        graft.functions.HyperplaneCodes.hyperplaneCodeWord(
+          toDouble(col("embedding")), NearDupTables, NearDupBits, NearDupSeed).as("w"))
+      val bands = coded
+        .select(col("vec_id"), col("w"),
+          explode(sequence(lit(0), lit(NearDupTables - 1))).as("t"))
+        .select(col("vec_id"), col("w"), col("t"),
+          expr(s"(w >> ($NearDupBits * t)) & ${(1 << NearDupBits) - 1}").as("code"))
+      val x = bands.select(col("vec_id").as("a"), col("w").as("wa"), col("t"), col("code"))
+      val y = bands.select(col("vec_id").as("b"), col("w").as("wb"), col("t"), col("code"))
+      // keep each pair only at its FIRST matching table — dedups without a
+      // distinct shuffle. "All tables below t differ" is pure bit math on
+      // the packed words (z marks differing 2-bit groups at even bit
+      // positions), so the whole join+dedup stage stays in codegen.
+      val m01 = java.lang.Long.toString(0x5555555555555555L)
+      val below = s"(shiftleft(CAST(1 AS BIGINT), $NearDupBits * t) - 1) & ${m01}L"
+      val firstMatch =
+        expr(s"(((wa ^ wb) | ((wa ^ wb) >> 1)) & $below) = ($below)")
+      val cands = x.join(broadcast(y), Seq("t", "code"))
+        .filter(col("a") < col("b") && firstMatch)
         .select("a", "b")
       val qa = e.select(col("vec_id").as("a"), toDouble(col("embedding")).as("ea"))
       val qb = e.select(col("vec_id").as("b"), toDouble(col("embedding")).as("eb"))
-      cands.join(qa, Seq("a")).join(qb, Seq("b"))
+      cands.join(broadcast(qa), Seq("a")).join(broadcast(qb), Seq("b"))
         .select(col("a"), col("b"),
           round(dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb"))), 6).as("sim6"))
         .filter(col("sim6") >= 0.4)

@@ -88,4 +88,52 @@ object Sources {
     scan.filter(!col("is_dir"))
       .withColumn("dir", regexp_replace(col("path"), "/[^/]*$", ""))
       .groupBy("dir").agg(sum("size").as("size"), count(lit(1)).as("n_files"))
+
+  /** op 1 with the reference's recursion cutoff (generate-file-list.py:28-31
+    * — its main listing optimization): `du` each directory first
+    * (getContentSummary, a server-side call on HDFS-like stores); if the
+    * total fits `capacity` the directory becomes ONE packable entry and the
+    * walk does NOT descend into it; only oversized directories are opened.
+    * On a namespace where most subtrees fit a Data Box, this prunes the
+    * listing from O(files) to O(oversized dirs + top-level fits).
+    * Returns (path, size, is_dir): is_dir=true rows are pruned subtree
+    * totals, is_dir=false rows are individual files under oversized dirs —
+    * together they cover every file exactly once (SourcesSpec property). */
+  def usageScanPruned(
+      spark: SparkSession,
+      seedDirs: Seq[String],
+      capacity: Long,
+      exclude: String => Boolean = _ => false): DataFrame = {
+    import spark.implicits._
+    val excludeB = spark.sparkContext.broadcast(exclude)
+    val scanned = spark.createDataset(seedDirs)
+      .repartition(math.min(seedDirs.size, 32).max(1))
+      .mapPartitions { dirs =>
+        val conf = new Configuration()
+        dirs.flatMap { d =>
+          val seed = new Path(d)
+          val fs = seed.getFileSystem(conf)
+          def walk(dir: Path): Iterator[(String, Long, Boolean)] = {
+            val sp = dir.toUri.getPath
+            if (excludeB.value(sp)) Iterator.empty
+            else {
+              val total = fs.getContentSummary(dir).getLength
+              if (total <= capacity) Iterator((sp, total, true)) // cutoff: don't descend
+              else {
+                val entries = try fs.listStatus(dir).iterator
+                              catch { case _: java.io.FileNotFoundException => Iterator.empty }
+                entries.flatMap { st =>
+                  val p = st.getPath.toUri.getPath
+                  if (excludeB.value(p)) Iterator.empty
+                  else if (st.isDirectory) walk(st.getPath)
+                  else Iterator((p, st.getLen, false))
+                }
+              }
+            }
+          }
+          walk(seed)
+        }
+      }
+    scanned.toDF("path", "size", "is_dir")
+  }
 }

@@ -63,6 +63,51 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows.exists { case (p, l) => p.endsWith("y.dat") && l == 6 })
   }
 
+  test("pruned usage scan stops descending into fitting dirs yet covers every file (op 1 cutoff)") {
+    val spark = TestSpark.spark
+    val tmp = Files.createTempDirectory("graft-prune").toString
+    // small/ fits any reasonable capacity; big/ must be opened, its child
+    // big/inner fits on its own; loose files sit beside the dirs
+    Files.createDirectories(Paths.get(s"$tmp/t/small"))
+    Files.createDirectories(Paths.get(s"$tmp/t/big/inner"))
+    Files.write(Paths.get(s"$tmp/t/small/a.dat"), ("x" * 10).getBytes)
+    Files.write(Paths.get(s"$tmp/t/small/b.dat"), ("x" * 20).getBytes)
+    (1 to 4).foreach { i =>
+      Files.write(Paths.get(s"$tmp/t/big/f$i.dat"), ("x" * 40).getBytes)
+    }
+    Files.write(Paths.get(s"$tmp/t/big/inner/g.dat"), ("x" * 30).getBytes)
+    Files.write(Paths.get(s"$tmp/t/loose.dat"), ("x" * 5).getBytes)
+
+    val capacity = 100L // small (30) and big/inner (30) fit; big (190) and t (225) don't
+    val pruned = Sources.usageScanPruned(spark, Seq(s"$tmp/t"), capacity)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    val prunedDirs = pruned.filter(_._3).map(p => p._1 -> p._2).toMap
+    assert(prunedDirs == Map(s"$tmp/t/small" -> 30L, s"$tmp/t/big/inner" -> 30L))
+    // files under oversized dirs are emitted individually
+    val looseFiles = pruned.filterNot(_._3).map(p => p._1 -> p._2).toMap
+    assert(looseFiles.keySet == Set(s"$tmp/t/loose.dat",
+      s"$tmp/t/big/f1.dat", s"$tmp/t/big/f2.dat", s"$tmp/t/big/f3.dat", s"$tmp/t/big/f4.dat"))
+
+    // property: pruned and unpruned scans agree — every file counted
+    // exactly once, same grand total, and each pruned dir's size equals
+    // the full scan's rollup beneath it
+    val full = Sources.usageScan(spark, Seq(s"$tmp/t"))
+      .filter(!col("is_dir")).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(pruned.map(_._2).sum == full.map(_._2).sum)
+    prunedDirs.foreach { case (dir, size) =>
+      assert(full.filter(_._1.startsWith(dir + "/")).map(_._2).sum == size)
+    }
+    // and first-fit packing over pruned entries equals packing over the
+    // same entries derived from the full scan (the reference's guarantee:
+    // the cutoff changes listing cost, not assignments)
+    val fromPruned = pruned.map(p => (p._1, p._2)).sortBy(_._1).toSeq
+    val rollup = full.groupBy { case (p, _) =>
+      prunedDirs.keys.find(d => p.startsWith(d + "/")).getOrElse(p)
+    }.map { case (k, vs) => (k, vs.map(_._2).sum) }.toSeq.sortBy(_._1)
+    assert(graft.operators.PackingOps.firstFit(fromPruned, capacity) ==
+      graft.operators.PackingOps.firstFit(rollup, capacity))
+  }
+
   test("distributed usage scan walks subtrees and aggregates du (op 1)") {
     val spark = TestSpark.spark
     val tmp = Files.createTempDirectory("graft-du").toString
