@@ -32,7 +32,12 @@ case class DotProduct(left: Expression, right: Expression)
 
 object DotProduct {
   def compute(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // a malformed embedding must surface as an error, not a
+    // plausible-but-truncated similarity (zip_with would yield nulls here)
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"dot_product: vector lengths differ ($n vs ${b.numElements()})")
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }

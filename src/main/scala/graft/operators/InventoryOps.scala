@@ -179,7 +179,14 @@ object InventoryOps {
         .orderBy("file")
     },
 
-    // op 25: distinct identities from ACL records (copy-acls.py:84-104)
+    // op 25: distinct identities from ACL records (copy-acls.py:84-104).
+    // DELIBERATE DIVERGENCE from the reference: its identity harvester
+    // keys on split(":")[0] (copy-acls.py:87-94), so a default-scoped
+    // entry like "default:user:x:rwx" is skipped — yet its own
+    // map_acl_entry DOES remap scoped entries, i.e. the reference
+    // under-collects identities it later tries to map. We harvest with
+    // the same 3-vs-4-field positional parse the mapper uses (parseEntry
+    // above), so every mappable principal appears in the identity map.
     GraftQuery("acl_distinct_identities",
       s"""WITH ${AclCte},
          |allent AS (SELECT file,
