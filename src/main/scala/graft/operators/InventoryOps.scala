@@ -69,6 +69,8 @@ object InventoryOps {
          |SELECT count(*) AS n, CAST(sum(length) AS BIGINT) AS total_len FROM inv
          |WHERE NOT regexp_matches(name, '.*part=1[0-9]/.*')
          |  AND NOT regexp_matches(name, '.*-3\\.dat$$')""".stripMargin) { (spark, sfDir) =>
+      // same patterns a distcp -filters file carries; the file-driven
+      // form (Sources.exclusionFilter) is proven equivalent in SourcesSpec
       val exclusions = Seq(".*part=1[0-9]/.*", ".*-3\\.dat$")
       val keep = exclusions.map(p => !col("name").rlike(p)).reduce(_ && _)
       inventory(spark, sfDir).filter(keep)

@@ -145,6 +145,61 @@ object SimilarityOps {
         .orderBy("a", "b")
     },
 
+    // label-centroid assignment (the label-noise / cluster-purity check a
+    // training pipeline runs over an embedding column): per-label centroid
+    // direction, nearest-centroid prediction per vector, confusion counts.
+    // All comparisons use EXACT integer arithmetic on 1e6-quantized
+    // components (centroid = component-wise SUM, which is order-independent
+    // — a float avg would differ between partial-agg orders and engines),
+    // so the argmax is bit-reproducible and the operator fully oracled.
+    GraftQuery("sim_label_centroids",
+      s"""WITH comps AS (SELECT vec_id, label, i - 1 AS i,
+         |        CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+         |      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) ii),
+         |cent AS (SELECT label AS clabel, i, CAST(sum(xq) AS BIGINT) AS c
+         |      FROM comps GROUP BY label, i),
+         |cnorm AS (SELECT clabel, sqrt(CAST(sum(c * c) AS DOUBLE)) AS nc FROM cent GROUP BY clabel),
+         |vnorm AS (SELECT vec_id, sqrt(CAST(sum(xq * xq) AS DOUBLE)) AS nv FROM comps GROUP BY vec_id),
+         |dots AS (SELECT comps.vec_id, comps.label, cent.clabel,
+         |        CAST(sum(comps.xq * cent.c) AS BIGINT) AS dp
+         |      FROM comps JOIN cent ON cent.i = comps.i
+         |      GROUP BY comps.vec_id, comps.label, cent.clabel),
+         |scored AS (SELECT d.vec_id, d.label, d.clabel,
+         |        round(CAST(d.dp AS DOUBLE) / (v.nv * c.nc), 6) AS score
+         |      FROM dots d JOIN vnorm v ON v.vec_id = d.vec_id
+         |      JOIN cnorm c ON c.clabel = d.clabel),
+         |best AS (SELECT vec_id, label, clabel AS pred_label,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, clabel) AS rnk
+         |      FROM scored)
+         |SELECT label, pred_label, count(*) AS n FROM best WHERE rnk = 1
+         |GROUP BY label, pred_label ORDER BY label, pred_label""".stripMargin) { (spark, sfDir) =>
+      val comps = embeddings(spark, sfDir)
+        .select(col("vec_id"), col("label"),
+          posexplode(toDouble(col("embedding"))).as(Seq("i", "x")))
+        .select(col("vec_id"), col("label"), col("i"),
+          floor(col("x") * 1000000).cast("long").as("xq"))
+      val cent = comps.groupBy(col("label").as("clabel"), col("i"))
+        .agg(sum("xq").as("c"))
+      val cnorm = cent.groupBy("clabel")
+        .agg(sqrt(sum(col("c") * col("c")).cast("double")).as("nc"))
+      val vnorm = comps.groupBy("vec_id")
+        .agg(sqrt(sum(col("xq") * col("xq")).cast("double")).as("nv"))
+      val dots = comps.join(broadcast(cent), Seq("i"))
+        .groupBy("vec_id", "label", "clabel")
+        .agg(sum(col("xq") * col("c")).as("dp"))
+      val w = Window.partitionBy("vec_id").orderBy(col("score").desc, col("clabel"))
+      dots
+        .join(broadcast(vnorm), Seq("vec_id"))
+        .join(broadcast(cnorm), Seq("clabel"))
+        .select(col("vec_id"), col("label"), col("clabel"),
+          round(col("dp").cast("double") / (col("nv") * col("nc")), 6).as("score"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .groupBy(col("label"), col("clabel").as("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label", "pred_label")
+    },
+
     // multi-table random-hyperplane LSH: bucket join + exact re-rank within
     // candidates. Hyperplane dots use 1e6-quantized integer components so
     // the sign bits are bit-exact across engines AND partial-aggregation

@@ -165,6 +165,35 @@ object TextOps {
         .orderBy("split")
     },
 
+    // deterministic STRATIFIED sampling: a fixed quota per length stratum,
+    // ranked by md5(text) — the balanced-subcorpus selection a training
+    // pipeline runs before mixing sources. md5 ranking gives a stable,
+    // engine-portable pseudo-random order with no RNG; the window is
+    // partitioned by stratum, so the rank distributes (no global window).
+    GraftQuery("text_sample_stratified",
+      """WITH s AS (SELECT doc_id,
+        |    CASE WHEN length(text) < 150 THEN 'short'
+        |         WHEN length(text) < 300 THEN 'medium' ELSE 'long' END AS stratum,
+        |    md5(text) AS h
+        |  FROM documents),
+        |r AS (SELECT stratum, doc_id, h,
+        |    CAST(row_number() OVER (PARTITION BY stratum ORDER BY h, doc_id) AS BIGINT) AS rnk
+        |  FROM s)
+        |SELECT stratum, rnk, doc_id FROM r WHERE rnk <= 20
+        |ORDER BY stratum, rnk""".stripMargin) { (spark, sfDir) =>
+      val w = Window.partitionBy("stratum").orderBy("h", "doc_id")
+      docs(spark, sfDir)
+        .select(col("doc_id"),
+          when(length(col("text")) < 150, "short")
+            .when(length(col("text")) < 300, "medium")
+            .otherwise("long").as("stratum"),
+          md5(col("text").cast("binary")).as("h"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 20)
+        .select("stratum", "rnk", "doc_id")
+        .orderBy("stratum", "rnk")
+    },
+
     // vocabulary building: top tokens by document frequency
     GraftQuery("text_vocab_topdf",
       """WITH t AS (SELECT DISTINCT doc_id, tok FROM (

@@ -42,6 +42,18 @@ object Sources {
   def readFilelist(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path).select(col("value").as("path"))
 
+  /** op 19: a distcp `-filters` file (README.md:94-99) — one exclusion
+    * regex per line, blank lines and `#` comments skipped — compiled into
+    * a single keep-predicate Column for `pathCol`. Read on the driver
+    * (the file is tiny) so the predicate is a plain conjunction that
+    * participates in pushdown/codegen rather than a black-box UDF. */
+  def exclusionFilter(spark: SparkSession, filtersPath: String,
+      pathCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val patterns = spark.read.textFile(filtersPath).collect()
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+    patterns.map(p => !pathCol.rlike(p)).reduceOption(_ && _).getOrElse(lit(true))
+  }
+
   /** op 3: flat listing of a directory tree with content */
   def binaryListing(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
     spark.read.format("binaryFile")

@@ -63,6 +63,25 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows.exists { case (p, l) => p.endsWith("y.dat") && l == 6 })
   }
 
+  test("filters-file exclusion equals the inline regex predicate (op 19, distcp -filters)") {
+    val spark = TestSpark.spark
+    val tmp = Files.createTempDirectory("graft-filters").toString
+    Files.writeString(Paths.get(s"$tmp/filters"),
+      """# cluster state dirs, not worth copying
+        |.*part=1[0-9]/.*
+        |
+        |.*-3\.dat$
+        |""".stripMargin)
+    val inv = RefFixtures.inventory(spark, TestSpark.Sf)
+    val viaFile = inv.filter(
+      Sources.exclusionFilter(spark, s"$tmp/filters", col("name")))
+    val inline = inv.filter(
+      !col("name").rlike(".*part=1[0-9]/.*") && !col("name").rlike(".*-3\\.dat$"))
+    assert(viaFile.count() == inline.count())
+    assert(viaFile.count() < inv.count()) // the filter actually bites
+    assert(viaFile.select("name").except(inline.select("name")).count() == 0)
+  }
+
   test("pruned usage scan stops descending into fitting dirs yet covers every file (op 1 cutoff)") {
     val spark = TestSpark.spark
     val tmp = Files.createTempDirectory("graft-prune").toString
