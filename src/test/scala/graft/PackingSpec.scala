@@ -18,6 +18,35 @@ class PackingSpec extends AnyFunSuite {
     Seq.fill(200)(List.fill(60)(1L + rnd.nextInt(1500).toLong))
   }
 
+  test("two-phase distributed rank equals the global window row_number") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new Random(7)
+    // duplicate sort keys + skewed distribution + adversarial initial
+    // partitioning: the rank must be independent of physical layout
+    val rows = Seq.fill(5000)((f"k${rnd.nextInt(800)}%04d", rnd.nextInt(50)))
+    val df = rows.toDF("name", "depth").repartition(13, col("depth"))
+    val got = graft.operators.TwoPhaseRank
+      .rowNumber(df, "idx", 8, col("depth"), col("name"))
+      .orderBy("idx", "name")
+      .select(col("idx"), col("name"), col("depth"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val want = df
+      .withColumn("idx", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("depth", "name")).cast("long"))
+      .orderBy("idx", "name")
+      .select(col("idx"), col("name"), col("depth"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // ties within (depth, name) make individual idx assignment ambiguous;
+    // compare the multiset of (idx per key-group): sort both by key then idx
+    assert(got.map(t => (t._3, t._2)).sorted.toSeq == want.map(t => (t._3, t._2)).sorted.toSeq)
+    assert(got.map(_._1).sorted.toSeq == (1L to rows.size).toSeq)
+    val gotByKey = got.groupBy(t => (t._3, t._2)).view.mapValues(_.map(_._1).sorted.toSeq).toMap
+    val wantByKey = want.groupBy(t => (t._3, t._2)).view.mapValues(_.map(_._1).sorted.toSeq).toMap
+    assert(gotByKey == wantByKey)
+  }
+
   test("first-fit: no bin exceeds capacity; oversized stay unit 0") {
     cases.foreach { sizes =>
       val named = sizes.zipWithIndex.map { case (s, i) => (f"p$i%04d", s) }

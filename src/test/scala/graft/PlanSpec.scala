@@ -51,6 +51,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"dedup_jaccard reintroduced a window shuffle:\n$p")
   }
 
+  test("label-centroid assignment broadcasts the tiny centroid side") {
+    val df = SparkEntry.queries("sim_label_centroids")(TestSpark.spark, TestSpark.Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), s"centroid join lost its broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"centroid assignment degenerated to all-pairs:\n$p")
+  }
+
   test("filters and column pruning reach the parquet scan") {
     val exec = SparkEntry.queries("tpch_q6")(TestSpark.spark, TestSpark.Sf)
       .queryExecution.executedPlan.toString
