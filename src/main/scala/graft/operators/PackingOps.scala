@@ -40,6 +40,36 @@ object PackingOps {
        |sizes AS (SELECT parent_directory AS path, CAST(sum(length) AS BIGINT) AS size
        |          FROM invf GROUP BY parent_directory)""".stripMargin
 
+  /** Distributed next-fit assignment (path, size, unit): two-phase prefix
+    * sum — range-partition by path, cumsum within partitions, add
+    * per-partition offsets computed from the (tiny) per-partition totals.
+    * No single-partition stage; only one long per partition reaches the
+    * driver. Shared by pack_nextfit_dist and pack_units. */
+  def nextFitDist(spark: SparkSession, sizes: DataFrame, nParts: Int = 8): DataFrame = {
+    val sized = sizes
+      .withColumn("eff", when(col("size") > Capacity, 0L).otherwise(col("size")))
+    val ranged = sized.repartitionByRange(nParts, col("path"))
+      .withColumn("pid", spark_partition_id())
+      .persist() // pin partition assignment across the two passes
+    val offsets = ranged.groupBy("pid").agg(sum("eff").as("psum"))
+      .orderBy("pid").collect()
+      .scanLeft((-1, 0L)) { case ((_, acc), r) => (r.getInt(0), acc + r.getLong(1)) }
+    val offsetByPid = offsets.sliding(2).collect { case Array((_, prev), (pid, _)) =>
+      (pid, prev)
+    }.toSeq
+    import spark.implicits._
+    val offDf = offsetByPid.toDF("pid", "offset")
+    val w = Window.partitionBy("pid").orderBy("path")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn("local_cum", sum("eff").over(w))
+      .join(broadcast(offDf), Seq("pid"))
+      .withColumn("cum", col("local_cum") + col("offset"))
+      .withColumn("unit", when(col("size") > Capacity, lit(0L))
+        .otherwise(expr(s"cum DIV ${Capacity}L") + 1))
+      .select("path", "size", "unit")
+  }
+
   /** Exact sequential first-fit (generate-file-list.py:32-43): place each
     * directory (in path order) into the first unit with room, else open a
     * new unit. Returns (path, size, unit) with unit 0 = oversized. */
@@ -106,34 +136,7 @@ object PackingOps {
          |       CASE WHEN size > $cap THEN CAST(0 AS BIGINT) ELSE cum // $cap + 1 END AS unit
          |FROM w ORDER BY path""".stripMargin
     }, bench = true) { (spark, sfDir) =>
-      val nParts = 8
-      val sized = dirSizes(spark, sfDir)
-        .withColumn("eff", when(col("size") > Capacity, 0L).otherwise(col("size")))
-      val ranged = sized.repartitionByRange(nParts, col("path"))
-        .withColumn("pid", spark_partition_id())
-        .persist() // pin partition assignment across the two passes
-      val offsets = ranged.groupBy("pid").agg(sum("eff").as("psum"))
-        .orderBy("pid").collect()
-        .scanLeft((-1, 0L)) { case ((_, acc), r) => (r.getInt(0), acc + r.getLong(1)) }
-        .map { case (pid, cumEnd) => (pid, cumEnd) }
-      val offsetByPid = offsets.sliding(2).collect { case Array((_, prev), (pid, _)) =>
-        (pid, prev)
-      }.toSeq
-      import spark.implicits._
-      val offDf = offsetByPid.toDF("pid", "offset")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("pid").orderBy("path")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      val out = ranged
-        .withColumn("local_cum", sum("eff").over(w))
-        .join(broadcast(offDf), Seq("pid"))
-        .withColumn("cum", col("local_cum") + col("offset"))
-        .withColumn("unit", when(col("size") > Capacity, lit(0L))
-          .otherwise(expr(s"cum DIV ${Capacity}L") + 1))
-        .select("path", "size", "unit")
-        .orderBy("path")
-      out
+      nextFitDist(spark, dirSizes(spark, sfDir)).orderBy("path")
     },
 
     // ops 27+20: group-by unit with the unassigned (unit 0) filter
@@ -150,12 +153,7 @@ object PackingOps {
          |SELECT unit, count(*) AS n_dirs, CAST(sum(size) AS BIGINT) AS total_size
          |FROM fit WHERE unit <> 0 GROUP BY unit ORDER BY unit""".stripMargin
     }) { (spark, sfDir) =>
-      val w = Window.orderBy("path").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      dirSizes(spark, sfDir)
-        .withColumn("cum",
-          sum(when(col("size") > Capacity, 0L).otherwise(col("size"))).over(w))
-        .withColumn("unit", when(col("size") > Capacity, lit(0L))
-          .otherwise(expr(s"cum DIV ${Capacity}L") + 1))
+      nextFitDist(spark, dirSizes(spark, sfDir))
         .filter(col("unit") =!= 0)
         .groupBy("unit")
         .agg(count(lit(1)).as("n_dirs"), sum("size").as("total_size"))
