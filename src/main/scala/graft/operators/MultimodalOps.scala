@@ -35,6 +35,38 @@ object MultimodalOps {
           (lit(1) + length(col("bytes")) % 64).cast("long").as("w"),
           (lit(1) + (length(col("bytes")) * 7) % 64).cast("long").as("h"))
         .orderBy("doc_id")
+    },
+
+    // frame-sampling schedule: the video analogue of chunk_plan — given
+    // per-asset duration/fps metadata (derived deterministically from the
+    // payload here; from a container probe in production), emit the
+    // 1-frame-per-second sampling plan (sample_idx, ts_ms, native frame
+    // number) each decode task executes. The schedule is pure relational
+    // fan-out (sequence + explode), so Spark parallelizes per asset and
+    // the decoder (MediaPipeline) stays a dumb per-row consumer.
+    GraftQuery("multimodal_frame_plan",
+      """WITH m AS (SELECT doc_id,
+        |    1000 + (octet_length(encode(text)) * 13) % 60000 AS duration_ms,
+        |    1 + octet_length(encode(text)) % 30 AS fps
+        |  FROM documents),
+        |f AS (SELECT doc_id, duration_ms, fps,
+        |    unnest(generate_series(0, duration_ms - 1, 1000)) AS ts_ms FROM m)
+        |SELECT doc_id, CAST(ts_ms // 1000 AS BIGINT) AS sample_idx,
+        |       CAST(ts_ms AS BIGINT) AS ts_ms,
+        |       CAST(ts_ms * fps // 1000 AS BIGINT) AS frame_no
+        |FROM f ORDER BY doc_id, sample_idx""".stripMargin) { (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .withColumn("n_bytes", length(encode(col("text"), "UTF-8")).cast("long"))
+        .select(col("doc_id"),
+          (lit(1000L) + (col("n_bytes") * 13) % 60000).as("duration_ms"),
+          (lit(1L) + col("n_bytes") % 30).as("fps"))
+        .select(col("doc_id"), col("fps"),
+          explode(sequence(lit(0L), col("duration_ms") - 1, lit(1000L))).as("ts_ms"))
+        .select(col("doc_id"),
+          expr("ts_ms DIV 1000").as("sample_idx"),
+          col("ts_ms"),
+          expr("ts_ms * fps DIV 1000").as("frame_no"))
+        .orderBy("doc_id", "sample_idx")
     }
   )
 }
