@@ -5,11 +5,20 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
 /** SQL registration for graft's custom Catalyst expressions, so the SQL
   * front door reaches them too: `shingle_hashes(text, k)`,
-  * `dot_product(a, b)`, `minhash_sig(h, w)`. */
+  * `dot_product(a, b)`, `minhash_sig(h, w)` (aggregate),
+  * `minhash_sig_arr(arr, w)` (per-row), `hyperplane_codes(vec, t, b, seed)`,
+  * `hyperplane_code_word(vec, t, b, seed)`. */
 object GraftFunctions {
 
   private def intArg(e: Expression, name: String): Int = e match {
     case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects an integer literal, got $other")
+  }
+
+  private def longArg(e: Expression, name: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
     case other => throw new IllegalArgumentException(
       s"$name expects an integer literal, got $other")
   }
@@ -25,5 +34,16 @@ object GraftFunctions {
       (es: Seq[Expression]) =>
         MinHashSigAgg(es.head, intArg(es(1), "minhash_sig w")).toAggregateExpression(),
       "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_sig_arr",
+      (es: Seq[Expression]) =>
+        MinHashSig(es.head, intArg(es(1), "minhash_sig_arr w")), "scala_udf")
+    reg.createOrReplaceTempFunction("hyperplane_codes",
+      (es: Seq[Expression]) => HyperplaneCodes(es.head,
+        intArg(es(1), "hyperplane_codes tables"), intArg(es(2), "hyperplane_codes bits"),
+        longArg(es(3), "hyperplane_codes seed")), "scala_udf")
+    reg.createOrReplaceTempFunction("hyperplane_code_word",
+      (es: Seq[Expression]) => HyperplaneCodeWord(es.head,
+        intArg(es(1), "hyperplane_code_word tables"), intArg(es(2), "hyperplane_code_word bits"),
+        longArg(es(3), "hyperplane_code_word seed")), "scala_udf")
   }
 }

@@ -44,6 +44,47 @@ class ExpressionSpec extends AnyFunSuite {
       s"vec ${r.getLong(0)}: ${r.getDouble(1)} != ${r.getDouble(2)}"))
   }
 
+  test("MinHashSig (per-row, over array) == MinHashSigAgg (grouped, over rows)") {
+    val spark = TestSpark.spark
+    val docs = Tables.documents(spark, TestSpark.Sf).limit(50)
+    val viaScalar = docs.select(col("doc_id"),
+        graft.functions.MinHashSig.minhashSig(
+          array_distinct(ShingleHashes.shingleHashes(col("text"), 8)), 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaAgg = docs.select(col("doc_id"),
+        explode(array_distinct(ShingleHashes.shingleHashes(col("text"), 8))).as("h"))
+      .groupBy("doc_id").agg(MinHashSigAgg.minhashSig(col("h"), 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaScalar == viaAgg)
+  }
+
+  test("SQL-registered custom functions match the Column API forms") {
+    val spark = TestSpark.spark
+    graft.functions.GraftFunctions.register(spark)
+    Tables.embeddings(spark, TestSpark.Sf).limit(50)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .createOrReplaceTempView("emb_t")
+    val viaSql = spark.sql(
+      """SELECT vec_id, dot_product(v, v) AS d,
+        |       hyperplane_code_word(v, 24, 2, 42) AS w,
+        |       hyperplane_codes(v, 4, 2, 42) AS cs
+        |FROM emb_t""".stripMargin)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getSeq[Int](3))).toMap
+    val viaApi = Tables.embeddings(spark, TestSpark.Sf).limit(50)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"),
+        DotProduct.dotProduct(col("v"), col("v")).as("d"),
+        graft.functions.HyperplaneCodes.hyperplaneCodeWord(col("v"), 24, 2, 42L).as("w"),
+        graft.functions.HyperplaneCodes.hyperplaneCodes(col("v"), 4, 2, 42L).as("cs"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getSeq[Int](3))).toMap
+    assert(viaSql == viaApi)
+    // the packed word is exactly the codes array folded into bit groups
+    viaApi.foreach { case (_, (_, w, _)) =>
+      val codes = (0 until 24).map(t => ((w >>> (2 * t)) & 3).toInt)
+      assert(codes.forall(c => c >= 0 && c <= 3))
+    }
+  }
+
   test("MinHashSigAgg == 32 separate min(perm_i) aggregates") {
     val spark = TestSpark.spark
     val sh = Tables.documents(spark, TestSpark.Sf).limit(50)
