@@ -124,6 +124,41 @@ class PlanSpec extends AnyFunSuite {
     } finally conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew-join machinery)") {
+    val spark = TestSpark.spark
+    val conf = spark.conf
+    val saved = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256MB"),
+      "spark.sql.adaptive.coalescePartitions.enabled" -> conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true"))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // thresholds scaled down so the test-sized hot key trips the same
+      // machinery that splits multi-GB skewed partitions at cluster scale
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      import spark.implicits._
+      // one hot key carrying ~98% of the left side
+      val left = spark.range(200000)
+        .select((when(col("id") % 50 === 0, col("id") % 97).otherwise(0L)).as("k"),
+          concat(lit("payload-payload-payload-"), col("id")).as("v"))
+      val right = spark.range(97).select(col("id").as("k"),
+        concat(lit("dim-"), col("id")).as("d"))
+      // no aggregation downstream: skew-splitting changes the join's output
+      // partitioning, so AQE only applies it when nothing downstream
+      // requires that partitioning (else it would cost an extra shuffle)
+      val joined = left.join(right, Seq("k"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a shuffled join:\n$p")
+      assert(p.contains("skew=true") && p.contains("AQEShuffleRead skewed"),
+        s"AQE did not split the skewed partition:\n$p")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("cached dataset is served from the in-memory columnar store") {
     val spark = TestSpark.spark
     val df = Tables.orders(spark, TestSpark.Sf)

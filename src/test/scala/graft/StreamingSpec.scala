@@ -8,6 +8,41 @@ import graft.streaming.StreamOps
   * (Trigger.AvailableNow) and compared to the batch operators. */
 class StreamingSpec extends AnyFunSuite {
 
+  test("watermark drops events arriving later than the lateness bound") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val events = mem.toDF().toDF("epoch_s", "k")
+      .withColumn("ts", timestamp_seconds(col("epoch_s")))
+    val agg = events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("wstart"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("late_test")
+      .outputMode("append").start()
+    try {
+      val base = 1700000100L // an on-the-hour-ish anchor; exact value irrelevant
+      def t(min: Int) = base / 300 * 300 + min * 60L
+      mem.addData((t(0), "a"), (t(1), "b"))
+      q.processAllAvailable()
+      mem.addData((t(30), "c")) // watermark advances to ~min 20
+      q.processAllAvailable()
+      mem.addData((t(2), "late")) // within the first window, behind watermark
+      q.processAllAvailable()
+      mem.addData((t(60), "d")) // push watermark far enough to finalize all
+      q.processAllAvailable()
+      val rows = spark.table("late_test").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the first 5-minute window closed with its 2 on-time events; the
+      // late event was discarded by the watermark, not double-counted and
+      // not re-emitted as a second row for the same window
+      assert(rows(t(0)) == 2L, s"late event leaked into a closed window: $rows")
+      assert(rows.values.sum == 3L, s"unexpected totals (late event counted): $rows")
+    } finally q.stop()
+  }
+
   test("streaming tumbling counts == batch events_tumbling") {
     val spark = TestSpark.spark
     val stream = StreamOps.tumblingCounts(StreamOps.eventStream(spark, TestSpark.Sf))
