@@ -227,6 +227,28 @@ object ExtraAggOps {
         .orderBy("bucket")
     },
 
+    // per-user feature aggregation over the event stream — the feature-
+    // engineering rollup a training pipeline derives before a model join:
+    // activity volume, span, type diversity, exact integer value stats
+    GraftQuery("events_user_features",
+      """SELECT user_id,
+        |  count(*) AS n_events,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  CAST(epoch_us(CAST(max(ts) AS TIMESTAMP)) - epoch_us(CAST(min(ts) AS TIMESTAMP)) AS BIGINT) AS span_us,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v_cents,
+        |  CAST(max(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v_max_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, sfDir) =>
+      graft.Tables.events(spark, sfDir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          (expr("unix_micros(CAST(max(ts) AS TIMESTAMP))")
+            - expr("unix_micros(CAST(min(ts) AS TIMESTAMP))")).as("span_us"),
+          sum(floor(col("value") * 100).cast("long")).as("v_cents"),
+          max(floor(col("value") * 100).cast("long")).as("v_max_cents"))
+        .orderBy("user_id")
+    },
+
     // array-function suite over the ACL arrays (portable subset)
     GraftQuery("scalar_array_suite",
       s"""WITH $AclCte

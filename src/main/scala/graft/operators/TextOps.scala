@@ -194,6 +194,29 @@ object TextOps {
         .orderBy("stratum", "rnk")
     },
 
+    // n-gram language-model counts: top bigrams by corpus frequency (the
+    // unigram-by-df companion is text_vocab_topdf). Bigrams come from
+    // zipping each token sequence with its tail — pure per-row array ops,
+    // one shuffle at the final count
+    GraftQuery("text_ngram_top",
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(toks) - 1),
+        |      i -> concat(toks[i], ' ', toks[i + 1]))) AS bigram
+        |  FROM t)
+        |SELECT bigram, count(*) AS n FROM b
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin) { (spark, sfDir) =>
+      docs(spark, sfDir)
+        .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+        .select(explode(expr(
+          "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), " +
+            "(a, b) -> concat(a, ' ', b))")).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(50)
+    },
+
     // vocabulary building: top tokens by document frequency
     GraftQuery("text_vocab_topdf",
       """WITH t AS (SELECT DISTINCT doc_id, tok FROM (
