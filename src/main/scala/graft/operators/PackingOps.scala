@@ -46,8 +46,12 @@ object PackingOps {
     * No single-partition stage; only one long per partition reaches the
     * driver. Shared by pack_nextfit_dist and pack_units. */
   def nextFitDist(spark: SparkSession, sizes: DataFrame, nParts: Int = 8): DataFrame = {
+    // persist the aggregated input FIRST: repartitionByRange runs a
+    // sampling job, which would otherwise recompute the whole upstream
+    // pipeline once more just to pick range boundaries
     val sized = sizes
       .withColumn("eff", when(col("size") > Capacity, 0L).otherwise(col("size")))
+      .persist()
     val ranged = sized.repartitionByRange(nParts, col("path"))
       .withColumn("pid", spark_partition_id())
       .persist() // pin partition assignment across the two passes

@@ -18,7 +18,10 @@ object TwoPhaseRank {
   def rowNumber(df: DataFrame, idxCol: String, numParts: Int, sortCols: Column*): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val ranged = df.repartitionByRange(numParts, sortCols: _*)
+    // persist the input FIRST so repartitionByRange's boundary-sampling job
+    // reads the cache instead of recomputing the upstream pipeline
+    val input = df.persist()
+    val ranged = input.repartitionByRange(numParts, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
       .persist() // pin partition assignment across the count and rank passes
     val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("n"))
