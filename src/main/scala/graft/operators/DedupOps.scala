@@ -223,6 +223,7 @@ object DedupOps {
         val changed = next.alias("n")
           .join(labels.alias("o"), col("n.id") === col("o.id"))
           .filter(col("n.lbl") =!= col("o.lbl")).count()
+        labels.unpersist() // superseded iteration (no-op on the unpersisted seed)
         labels = next
         converged = changed == 0
         iter += 1
