@@ -231,8 +231,46 @@ object DedupOps {
       if (!converged)
         throw new IllegalStateException(
           s"dedup_clusters: label propagation did not converge in $MaxIters rounds")
+      // the converged label frame is materialized; edges are no longer
+      // referenced by the returned plan. Final labels back the lazy result,
+      // so their release is deferred to CacheTracker.
+      edges.unpersist(blocking = false)
+      graft.CacheTracker.track(labels)
       labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
         .orderBy("doc_id")
+    },
+
+    // shingle containment C(A,B) = |A∩B| / |A| — the asymmetric companion
+    // to Jaccard that catches SUB-document duplication (a doc pasted inside
+    // a larger one scores low Jaccard but containment ≈ 1). Same df-capped
+    // bucket join and per-document array cache as the rest of the family;
+    // a pair is emitted when either direction's containment clears the bar.
+    GraftQuery("dedup_containment",
+      s"""WITH $ShinglesCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+         |          FROM shf a JOIN shf b ON a.h = b.h AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id)
+         |SELECT inter.ida AS a, inter.idb AS b,
+         |       round(CAST(inter.i AS DOUBLE) / sa.n, 6) AS c_ab,
+         |       round(CAST(inter.i AS DOUBLE) / sb.n, 6) AS c_ba
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = inter.ida
+         |JOIN sizes sb ON sb.doc_id = inter.idb
+         |WHERE CAST(inter.i AS DOUBLE) / sa.n >= $JaccardThreshold
+         |   OR CAST(inter.i AS DOUBLE) / sb.n >= $JaccardThreshold
+         |ORDER BY a, b""".stripMargin) { (spark, sfDir) =>
+      val s = docShingles(spark, sfDir)
+      val a = s.select(col("doc_id").as("a"), col("n").as("na"), explode(col("sh")).as("h"))
+      val b = s.select(col("doc_id").as("b"), col("n").as("nb"), explode(col("sh")).as("h"))
+      a.join(b, Seq("h")).filter(col("a") < col("b"))
+        .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("i"))
+        .filter(col("i").cast("double") / col("na") >= JaccardThreshold ||
+          col("i").cast("double") / col("nb") >= JaccardThreshold)
+        .select(col("a"), col("b"),
+          round(col("i").cast("double") / col("na"), 6).as("c_ab"),
+          round(col("i").cast("double") / col("nb"), 6).as("c_ba"))
+        .orderBy("a", "b")
     },
 
     // SimHash signatures per document

@@ -70,6 +70,42 @@ object EventOps {
         .orderBy("wstart")
     },
 
+    // ordered funnel per user: first view, first click AFTER that view,
+    // first purchase AFTER that click. Three conditional-min aggregations
+    // chained on user_id — each stage is one co-partitioned shuffle on the
+    // same key (AQE broadcasts the shrinking stage frames at demo scale),
+    // no per-user sequence collection.
+    GraftQuery("events_funnel",
+      """WITH e AS (SELECT user_id, event_type,
+        |            epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |v AS (SELECT user_id, CAST(min(us) AS BIGINT) AS t_view
+        |      FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, CAST(min(us) AS BIGINT) AS t_click
+        |      FROM e JOIN v ON v.user_id = e.user_id
+        |      WHERE event_type = 'click' AND us >= t_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, CAST(min(us) AS BIGINT) AS t_purchase
+        |      FROM e JOIN c ON c.user_id = e.user_id
+        |      WHERE event_type = 'purchase' AND us >= t_click GROUP BY e.user_id)
+        |SELECT v.user_id, t_view, t_click, t_purchase
+        |FROM v LEFT JOIN c ON c.user_id = v.user_id
+        |       LEFT JOIN p ON p.user_id = v.user_id
+        |ORDER BY v.user_id""".stripMargin) { (spark, sfDir) =>
+      val e = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("t_view"))
+      val c = e.join(v, "user_id")
+        .filter(col("event_type") === "click" && col("us") >= col("t_view"))
+        .groupBy("user_id").agg(min("us").as("t_click"))
+      val p = e.join(c, "user_id")
+        .filter(col("event_type") === "purchase" && col("us") >= col("t_click"))
+        .groupBy("user_id").agg(min("us").as("t_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select("user_id", "t_view", "t_click", "t_purchase")
+        .orderBy("user_id")
+    },
+
     // session windows: 30-minute gap per user (gaps-and-islands oracle)
     GraftQuery("events_session",
       s"""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

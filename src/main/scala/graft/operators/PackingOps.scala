@@ -58,6 +58,10 @@ object PackingOps {
     val offsets = ranged.groupBy("pid").agg(sum("eff").as("psum"))
       .orderBy("pid").collect()
       .scanLeft((-1, 0L)) { case ((_, acc), r) => (r.getInt(0), acc + r.getLong(1)) }
+    // the offsets action materialized `ranged`; drop the input cache now and
+    // hand the ranged cache to CacheTracker for release after the query's action
+    sized.unpersist(blocking = false)
+    graft.CacheTracker.track(ranged)
     val offsetByPid = offsets.sliding(2).collect { case Array((_, prev), (pid, _)) =>
       (pid, prev)
     }.toSeq

@@ -27,6 +27,9 @@ object SimilarityOps {
   val NearDupTables = 24
   val NearDupBits = 2
   val NearDupSeed = 42L
+  /** above this corpus size the near-dup broadcast hints are dropped and
+    * the bucket/verify joins run as AQE-planned shuffled equi-joins */
+  val BroadcastMaxVectors = 100000L
 
   /** in-order dot product — custom codegen expression (same fold order as
     * the aggregate(zip_with(...)) composition and the DuckDB oracle) */
@@ -45,17 +48,68 @@ object SimilarityOps {
   private def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
 
+  /** number of inverted lists probed per query in sim_ann_ivf */
+  val IvfProbes = 3
+
+  /** shared CTE: per-(vector, label-centroid) cosine score on 1e6-quantized
+    * integer components — exact sums, so partial-agg order and engine cannot
+    * flip an argmax (what makes the centroid/IVF operators oracle-able) */
+  private val CentroidCte: String =
+    s"""comps AS (SELECT vec_id, label, i - 1 AS i,
+       |        CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+       |      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) ii),
+       |cent AS (SELECT label AS clabel, i, CAST(sum(xq) AS BIGINT) AS c
+       |      FROM comps GROUP BY label, i),
+       |cnorm AS (SELECT clabel, sqrt(CAST(sum(c * c) AS DOUBLE)) AS nc FROM cent GROUP BY clabel),
+       |vnorm AS (SELECT vec_id, sqrt(CAST(sum(xq * xq) AS DOUBLE)) AS nv FROM comps GROUP BY vec_id),
+       |dots AS (SELECT comps.vec_id, comps.label, cent.clabel,
+       |        CAST(sum(comps.xq * cent.c) AS BIGINT) AS dp
+       |      FROM comps JOIN cent ON cent.i = comps.i
+       |      GROUP BY comps.vec_id, comps.label, cent.clabel),
+       |scored AS (SELECT d.vec_id, d.label, d.clabel,
+       |        round(CAST(d.dp AS DOUBLE) / (v.nv * c.nc), 6) AS score
+       |      FROM dots d JOIN vnorm v ON v.vec_id = d.vec_id
+       |      JOIN cnorm c ON c.clabel = d.clabel)""".stripMargin
+
+  /** Spark twin of [[CentroidCte]]: (vec_id, label, clabel, score) */
+  private def centroidScored(spark: SparkSession, sfDir: String): DataFrame = {
+    val comps = embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        posexplode(toDouble(col("embedding"))).as(Seq("i", "x")))
+      .select(col("vec_id"), col("label"), col("i"),
+        floor(col("x") * 1000000).cast("long").as("xq"))
+    val cent = comps.groupBy(col("label").as("clabel"), col("i"))
+      .agg(sum("xq").as("c"))
+    val cnorm = cent.groupBy("clabel")
+      .agg(sqrt(sum(col("c") * col("c")).cast("double")).as("nc"))
+    val vnorm = comps.groupBy("vec_id")
+      .agg(sqrt(sum(col("xq") * col("xq")).cast("double")).as("nv"))
+    val dots = comps.join(broadcast(cent), Seq("i"))
+      .groupBy("vec_id", "label", "clabel")
+      .agg(sum(col("xq") * col("c")).as("dp"))
+    dots
+      .join(broadcast(vnorm), Seq("vec_id"))
+      .join(broadcast(cnorm), Seq("clabel"))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        round(col("dp").cast("double") / (col("nv") * col("nc")), 6).as("score"))
+  }
+
   /** brute-force cosine top-k for qid < NumQueries; rounded to 6 dp before
-    * ranking so Spark and DuckDB order identically */
+    * ranking so Spark and DuckDB order identically. Norms are computed ONCE
+    * per vector before the pair join (sqrt∘dot of the same array is the
+    * same double either way) — recomputing them per pair would triple the
+    * flops of the dominant stage. */
   def bruteForce(spark: SparkSession, sfDir: String): DataFrame = {
     val e = embeddings(spark, sfDir)
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qe"))
+      .withColumn("nq", norm(col("qe")))
     val cand = e.select(col("vec_id").as("nid"), toDouble(col("embedding")).as("ne"))
+      .withColumn("nn", norm(col("ne")))
     val w = Window.partitionBy("qid").orderBy(col("sim6").desc, col("nid"))
     cand.join(broadcast(q), col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
-        round(dot(col("qe"), col("ne")) / (norm(col("qe")) * norm(col("ne"))), 6).as("sim6"))
+        round(dot(col("qe"), col("ne")) / (col("nq") * col("nn")), 6).as("sim6"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= TopK)
       .select("qid", "rnk", "nid", "sim6")
@@ -97,10 +151,11 @@ object SimilarityOps {
     // theory puts the per-pair miss probability at (1-0.398)^24 ≈ 5e-6.
     // At a production threshold (≥ 0.8) the same operator gets sharper,
     // not weaker: p_match per table rises from 0.40 to 0.73 and buckets
-    // enrich true pairs exponentially in the bit count. The band side is
-    // broadcast here because the demo key space (24 tables × 4 codes) is
-    // tiny; at production bit widths (8+) the key space is large, bucket
-    // skew disappears, and the same plan runs as a shuffled equi-join.
+    // enrich true pairs exponentially in the bit count. Broadcast hints on
+    // the band/embedding sides are gated on BroadcastMaxVectors: below it
+    // (demo sizes) they skip a shuffle; above it the hints disappear and
+    // AQE plans the same joins as shuffled equi-joins, which is the shape
+    // that survives a corpus-scale run.
     GraftQuery("sim_near_dup_pairs",
       """WITH p AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
         |        round(list_sum(list_transform(generate_series(1, len(a.embedding)),
@@ -114,6 +169,12 @@ object SimilarityOps {
         |ORDER BY a, b""".stripMargin,
       bench = true) { (spark, sfDir) =>
       val e = embeddings(spark, sfDir)
+      // explicit broadcast hints are only sound while the corpus is small —
+      // at production scale they would OOM the driver, so gate them on the
+      // vector count (a metadata-only parquet count) and fall back to AQE's
+      // own choice (shuffled equi-join) beyond the cutoff
+      val smallCorpus = e.count() <= BroadcastMaxVectors
+      def hinted(df: DataFrame): DataFrame = if (smallCorpus) broadcast(df) else df
       // all 24 codes packed into one long per vector (one codegen pass)
       val coded = e.select(col("vec_id"),
         graft.functions.HyperplaneCodes.hyperplaneCodeWord(
@@ -127,20 +188,27 @@ object SimilarityOps {
       val y = bands.select(col("vec_id").as("b"), col("w").as("wb"), col("t"), col("code"))
       // keep each pair only at its FIRST matching table — dedups without a
       // distinct shuffle. "All tables below t differ" is pure bit math on
-      // the packed words (z marks differing 2-bit groups at even bit
-      // positions), so the whole join+dedup stage stays in codegen.
-      val m01 = java.lang.Long.toString(0x5555555555555555L)
-      val below = s"(shiftleft(CAST(1 AS BIGINT), $NearDupBits * t) - 1) & ${m01}L"
-      val firstMatch =
-        expr(s"(((wa ^ wb) | ((wa ^ wb) >> 1)) & $below) = ($below)")
-      val cands = x.join(broadcast(y), Seq("t", "code"))
+      // the packed words: OR the xor over all bits-1 right-shifts so any
+      // differing bit lands on its group's low bit, then require every
+      // group below table t to differ. Valid for any NearDupBits width.
+      val groupLow = (0 until 64 / NearDupBits)
+        .map(k => 1L << (NearDupBits * k)).reduce(_ | _)
+      val collapsedDiff = (0 until NearDupBits)
+        .map(s => s"((wa ^ wb) >> $s)").mkString("(", " | ", ")")
+      val below = s"(shiftleft(CAST(1 AS BIGINT), $NearDupBits * t) - 1) & ${groupLow}L"
+      val firstMatch = expr(s"($collapsedDiff & $below) = ($below)")
+      val cands = x.join(hinted(y), Seq("t", "code"))
         .filter(col("a") < col("b") && firstMatch)
         .select("a", "b")
+      // norms once per vector, not per candidate pair (3× fewer flops in
+      // the verify stage, bit-identical doubles)
       val qa = e.select(col("vec_id").as("a"), toDouble(col("embedding")).as("ea"))
+        .withColumn("na", norm(col("ea")))
       val qb = e.select(col("vec_id").as("b"), toDouble(col("embedding")).as("eb"))
-      cands.join(broadcast(qa), Seq("a")).join(broadcast(qb), Seq("b"))
+        .withColumn("nb", norm(col("eb")))
+      cands.join(hinted(qa), Seq("a")).join(hinted(qb), Seq("b"))
         .select(col("a"), col("b"),
-          round(dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb"))), 6).as("sim6"))
+          round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("sim6"))
         .filter(col("sim6") >= 0.4)
         .orderBy("a", "b")
     },
@@ -153,51 +221,111 @@ object SimilarityOps {
     // — a float avg would differ between partial-agg orders and engines),
     // so the argmax is bit-reproducible and the operator fully oracled.
     GraftQuery("sim_label_centroids",
-      s"""WITH comps AS (SELECT vec_id, label, i - 1 AS i,
-         |        CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xq
-         |      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) ii),
-         |cent AS (SELECT label AS clabel, i, CAST(sum(xq) AS BIGINT) AS c
-         |      FROM comps GROUP BY label, i),
-         |cnorm AS (SELECT clabel, sqrt(CAST(sum(c * c) AS DOUBLE)) AS nc FROM cent GROUP BY clabel),
-         |vnorm AS (SELECT vec_id, sqrt(CAST(sum(xq * xq) AS DOUBLE)) AS nv FROM comps GROUP BY vec_id),
-         |dots AS (SELECT comps.vec_id, comps.label, cent.clabel,
-         |        CAST(sum(comps.xq * cent.c) AS BIGINT) AS dp
-         |      FROM comps JOIN cent ON cent.i = comps.i
-         |      GROUP BY comps.vec_id, comps.label, cent.clabel),
-         |scored AS (SELECT d.vec_id, d.label, d.clabel,
-         |        round(CAST(d.dp AS DOUBLE) / (v.nv * c.nc), 6) AS score
-         |      FROM dots d JOIN vnorm v ON v.vec_id = d.vec_id
-         |      JOIN cnorm c ON c.clabel = d.clabel),
+      s"""WITH $CentroidCte,
          |best AS (SELECT vec_id, label, clabel AS pred_label,
          |        row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, clabel) AS rnk
          |      FROM scored)
          |SELECT label, pred_label, count(*) AS n FROM best WHERE rnk = 1
          |GROUP BY label, pred_label ORDER BY label, pred_label""".stripMargin) { (spark, sfDir) =>
-      val comps = embeddings(spark, sfDir)
-        .select(col("vec_id"), col("label"),
-          posexplode(toDouble(col("embedding"))).as(Seq("i", "x")))
-        .select(col("vec_id"), col("label"), col("i"),
-          floor(col("x") * 1000000).cast("long").as("xq"))
-      val cent = comps.groupBy(col("label").as("clabel"), col("i"))
-        .agg(sum("xq").as("c"))
-      val cnorm = cent.groupBy("clabel")
-        .agg(sqrt(sum(col("c") * col("c")).cast("double")).as("nc"))
-      val vnorm = comps.groupBy("vec_id")
-        .agg(sqrt(sum(col("xq") * col("xq")).cast("double")).as("nv"))
-      val dots = comps.join(broadcast(cent), Seq("i"))
-        .groupBy("vec_id", "label", "clabel")
-        .agg(sum(col("xq") * col("c")).as("dp"))
       val w = Window.partitionBy("vec_id").orderBy(col("score").desc, col("clabel"))
-      dots
-        .join(broadcast(vnorm), Seq("vec_id"))
-        .join(broadcast(cnorm), Seq("clabel"))
-        .select(col("vec_id"), col("label"), col("clabel"),
-          round(col("dp").cast("double") / (col("nv") * col("nc")), 6).as("score"))
+      centroidScored(spark, sfDir)
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") === 1)
         .groupBy(col("label"), col("clabel").as("pred_label"))
         .agg(count(lit(1)).as("n"))
         .orderBy("label", "pred_label")
+    },
+
+    // IVF-style ANN: the label centroids act as the coarse codebook (a
+    // supervised stand-in for the k-means quantizer — deterministic, so the
+    // whole operator stays oracle-able). Every vector is assigned to its
+    // nearest centroid's inverted list; a query probes its IvfProbes
+    // nearest lists and exact-re-ranks only those lists' members. At
+    // corpus scale the assignment is one argmax over K centroid dots per
+    // vector and the probe join is an equi-join on list id — no all-pairs
+    // stage anywhere. Recall vs brute force is asserted in SimilaritySpec
+    // (the demo corpus is near-orthogonal, so recall here reflects how
+    // label-clustered the space is; at a real corpus's cluster structure
+    // the same operator sharpens).
+    GraftQuery("sim_ann_ivf",
+      s"""WITH $CentroidCte,
+         |ranked AS (SELECT vec_id, clabel AS list,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, clabel) AS r
+         |      FROM scored),
+         |assign AS (SELECT vec_id, list FROM ranked WHERE r = 1),
+         |probes AS (SELECT vec_id AS qid, list FROM ranked
+         |      WHERE r <= $IvfProbes AND vec_id < $NumQueries),
+         |cands AS (SELECT p.qid, a.vec_id AS nid
+         |      FROM probes p JOIN assign a ON a.list = p.list
+         |      WHERE a.vec_id <> p.qid),
+         |p2 AS (SELECT cands.qid, cands.nid,
+         |        round(list_sum(list_transform(generate_series(1, 64),
+         |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         |          / (sqrt(list_sum(list_transform(generate_series(1, 64),
+         |               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+         |           * sqrt(list_sum(list_transform(generate_series(1, 64),
+         |               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+         |          , 6) AS sim6
+         |      FROM cands
+         |      JOIN embeddings a ON a.vec_id = cands.qid
+         |      JOIN embeddings b ON b.vec_id = cands.nid),
+         |r2 AS (SELECT qid, nid, sim6,
+         |        row_number() OVER (PARTITION BY qid ORDER BY sim6 DESC, nid) AS rnk
+         |      FROM p2)
+         |SELECT qid, rnk, nid, sim6 FROM r2 WHERE rnk <= $TopK
+         |ORDER BY qid, rnk""".stripMargin) { (spark, sfDir) =>
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("score").desc, col("clabel"))
+      val ranked = centroidScored(spark, sfDir)
+        .withColumn("r", row_number().over(wAssign))
+        .select(col("vec_id"), col("clabel").as("list"), col("r"))
+      val assign = ranked.filter(col("r") === 1).select("vec_id", "list")
+      val probes = ranked.filter(col("r") <= IvfProbes && col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("list"))
+      val cands = assign.join(broadcast(probes), Seq("list"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"))
+      val e = embeddings(spark, sfDir)
+      val q = e.select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qe"))
+        .withColumn("nq", norm(col("qe")))
+      val c = e.select(col("vec_id").as("nid"), toDouble(col("embedding")).as("ne"))
+        .withColumn("nn", norm(col("ne")))
+      val w = Window.partitionBy("qid").orderBy(col("sim6").desc, col("nid"))
+      cands.join(broadcast(q), Seq("qid")).join(c, Seq("nid"))
+        .select(col("qid"), col("nid"),
+          round(dot(col("qe"), col("ne")) / (col("nq") * col("nn")), 6).as("sim6"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+        .select("qid", "rnk", "nid", "sim6")
+        .orderBy("qid", "rnk")
+    },
+
+    // symmetric int8 quantization of the embedding column (the storage /
+    // bandwidth shrink a training pipeline applies before shipping vectors):
+    // per-vector scale = max|x| / 127, q_i = floor(x_i · 127 / max|x|).
+    // All outputs are exact integers (plus the 6dp scale), so the operator
+    // is bit-oracled; the checksum qnorm2 pins every component.
+    GraftQuery("sim_quantize_int8",
+      """WITH m AS (SELECT vec_id,
+        |        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx,
+        |        embedding FROM embeddings),
+        |qq AS (SELECT vec_id, mx,
+        |        list_transform(embedding,
+        |          x -> CAST(floor(CAST(x AS DOUBLE) * 127 / mx) AS BIGINT)) AS q
+        |      FROM m)
+        |SELECT vec_id, round(mx / 127, 6) AS scale6,
+        |       CAST(list_sum(q) AS BIGINT) AS qsum,
+        |       CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS qnorm2
+        |FROM qq ORDER BY vec_id""".stripMargin) { (spark, sfDir) =>
+      embeddings(spark, sfDir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("ed"))
+        .withColumn("mx", array_max(transform(col("ed"), x => abs(x))))
+        .withColumn("q", transform(col("ed"),
+          x => floor(x * lit(127) / col("mx")).cast("long")))
+        .select(col("vec_id"),
+          round(col("mx") / 127, 6).as("scale6"),
+          aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("qsum"),
+          aggregate(col("q"), lit(0L), (acc, v) => acc + v * v).as("qnorm2"))
+        .orderBy("vec_id")
     },
 
     // multi-table random-hyperplane LSH: bucket join + exact re-rank within
@@ -267,13 +395,15 @@ object SimilarityOps {
       val cands = codes.join(broadcast(qcodes), Seq("t", "code"))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("nid")).distinct()
-      // exact re-rank of candidates
+      // exact re-rank of candidates (norms once per vector, see bruteForce)
       val q = e.select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qe"))
+        .withColumn("nq", norm(col("qe")))
       val c = e.select(col("vec_id").as("nid"), toDouble(col("embedding")).as("ne"))
+        .withColumn("nn", norm(col("ne")))
       val w = Window.partitionBy("qid").orderBy(col("sim6").desc, col("nid"))
       cands.join(broadcast(q), Seq("qid")).join(c, Seq("nid"))
         .select(col("qid"), col("nid"),
-          round(dot(col("qe"), col("ne")) / (norm(col("qe")) * norm(col("ne"))), 6).as("sim6"))
+          round(dot(col("qe"), col("ne")) / (col("nq") * col("nn")), 6).as("sim6"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= TopK)
         .select("qid", "rnk", "nid", "sim6")

@@ -209,9 +209,12 @@ object TextOps {
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin) { (spark, sfDir) =>
       docs(spark, sfDir)
         .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+        // guard: slice() throws on negative length for a 0-token document,
+        // where the oracle's generate_series(1, -1) yields empty instead
         .select(explode(expr(
-          "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), " +
-            "(a, b) -> concat(a, ' ', b))")).as("bigram"))
+          "CASE WHEN size(toks) >= 2 THEN " +
+            "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), " +
+            "(a, b) -> concat(a, ' ', b)) ELSE CAST(array() AS array<string>) END")).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))
         .limit(50)

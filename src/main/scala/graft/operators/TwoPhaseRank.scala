@@ -26,6 +26,11 @@ object TwoPhaseRank {
       .persist() // pin partition assignment across the count and rank passes
     val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("n"))
       .orderBy("__pid").as[(Int, Long)].collect()
+    // the counts action materialized `ranged`; the input cache is done.
+    // `ranged` itself backs the returned (lazy) plan, so its release is
+    // deferred to graft.CacheTracker.releaseAll() after the query's action.
+    input.unpersist(blocking = false)
+    graft.CacheTracker.track(ranged)
     val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
     val offDf = counts.map(_._1).zip(offsets.map(_._2)).toSeq.toDF("__pid", "__off")
     val w = Window.partitionBy("__pid").orderBy(sortCols: _*)

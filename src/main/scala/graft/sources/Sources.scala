@@ -110,14 +110,23 @@ object Sources {
     * listing from O(files) to O(oversized dirs + top-level fits).
     * Returns (path, size, is_dir): is_dir=true rows are pruned subtree
     * totals, is_dir=false rows are individual files under oversized dirs —
-    * together they cover every file exactly once (SourcesSpec property). */
+    * together they cover every file exactly once (SourcesSpec property).
+    *
+    * Exclusion composes with the cutoff by DISABLING it: a pruned
+    * directory's size comes from getContentSummary, which counts every
+    * descendant including excluded ones, so taking the cutoff under a
+    * non-trivial `exclude` would skew packing totals. With
+    * `exclude = Some(p)` the walk therefore always descends (paying the
+    * full listing, like `usageScan`) and filters per entry; pruning is
+    * only applied on the `None` path where the summary is exact. */
   def usageScanPruned(
       spark: SparkSession,
       seedDirs: Seq[String],
       capacity: Long,
-      exclude: String => Boolean = _ => false): DataFrame = {
+      exclude: Option[String => Boolean] = None): DataFrame = {
     import spark.implicits._
-    val excludeB = spark.sparkContext.broadcast(exclude)
+    val excludeB = spark.sparkContext.broadcast(exclude.getOrElse((_: String) => false))
+    val cutoffEnabled = exclude.isEmpty
     val scanned = spark.createDataset(seedDirs)
       .repartition(math.min(seedDirs.size, 32).max(1))
       .mapPartitions { dirs =>
@@ -129,7 +138,8 @@ object Sources {
             val sp = dir.toUri.getPath
             if (excludeB.value(sp)) Iterator.empty
             else {
-              val total = fs.getContentSummary(dir).getLength
+              val total = if (cutoffEnabled) fs.getContentSummary(dir).getLength
+                          else Long.MaxValue
               if (total <= capacity) Iterator((sp, total, true)) // cutoff: don't descend
               else {
                 val entries = try fs.listStatus(dir).iterator

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-operator invariants for the round-3 additions (each is also
+  * hash-oracled; these pin the semantic relationships the oracle can't). */
+class OperatorInvariantSpec extends AnyFunSuite {
+
+  test("containment dominates Jaccard on every overlapping pair") {
+    val spark = TestSpark.spark
+    val jac = SparkEntry.queries("dedup_jaccard")(spark, TestSpark.Sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val cont = SparkEntry.queries("dedup_containment")(spark, TestSpark.Sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3)))).toMap
+    // C(A,B) = i/|A| ≥ i/(|A|+|B|-i) = J(A,B); every Jaccard pair must
+    // appear with both containments ≥ its Jaccard (containment is rounded
+    // to 6dp in the query output, hence the half-ulp-of-6dp tolerance)
+    assert(jac.nonEmpty)
+    jac.foreach { case (pair, j) =>
+      val (cab, cba) = cont.getOrElse(pair, fail(s"pair $pair missing from containment"))
+      assert(cab >= j - 5e-7 && cba >= j - 5e-7, s"$pair: containment below Jaccard")
+    }
+  }
+
+  test("funnel stage times are ordered and monotone-decreasing in reach") {
+    val spark = TestSpark.spark
+    val rows = SparkEntry.queries("events_funnel")(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    var nView = 0; var nClick = 0; var nPurchase = 0
+    rows.foreach { r =>
+      nView += 1
+      if (!r.isNullAt(2)) {
+        nClick += 1
+        assert(r.getLong(2) >= r.getLong(1), "click before first view")
+        if (!r.isNullAt(3)) {
+          nPurchase += 1
+          assert(r.getLong(3) >= r.getLong(2), "purchase before first qualifying click")
+        }
+      } else assert(r.isNullAt(3), "purchase stage reached without click stage")
+    }
+    assert(nView >= nClick && nClick >= nPurchase)
+    assert(nPurchase > 0, "no user completes the funnel in testdata")
+  }
+}

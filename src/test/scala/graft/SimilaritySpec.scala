@@ -58,6 +58,40 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  /** IVF recall: the demo corpus is near-orthogonal (no real cluster
+    * structure), so probing 3 of 10 lists has a random-probe baseline of
+    * 0.30 recall; measured 0.47-0.50 at sf0.001/sf0.01 — the supervised
+    * codebook beats random probing, and the floor asserts that margin. */
+  test("ann ivf recall@10 >= 0.4 vs brute force (above the 0.3 random-probe baseline)") {
+    val spark = TestSpark.spark
+    Seq(TestSpark.Sf, "/root/testdata/sf0.01").foreach { sf =>
+      val brute = SparkEntry.queries("sim_cosine_topk")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val ivf = SparkEntry.queries("sim_ann_ivf")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val recall = (brute & ivf).size.toDouble / brute.size
+      info(f"$sf ivf recall@10 = $recall%.3f")
+      assert(recall >= 0.4, s"$sf: IVF recall $recall below 0.4 floor")
+    }
+  }
+
+  test("int8 quantization round-trips within one quantization step per component") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val e = Tables.embeddings(spark, TestSpark.Sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
+      .withColumn("mx", array_max(transform(col("ed"), x => abs(x))))
+      .withColumn("q", transform(col("ed"),
+        x => floor(x * lit(127) / col("mx")).cast("long")))
+    // every |q_i| ≤ 127 and dequantized q_i·mx/127 is within one step of x_i
+    val bad = e.select(col("vec_id"),
+        expr("exists(q, v -> abs(v) > 127)").as("overflow"),
+        expr("exists(zip_with(q, ed, (v, x) -> abs(v * mx / 127 - x) > mx / 127 + 1e-12), b -> b)")
+          .as("offgrid"))
+      .filter(col("overflow") || col("offgrid")).count()
+    assert(bad == 0)
+  }
+
   test("top-1 neighbor similarity is sane (cosine in [-1, 1], high for near-dups)") {
     val spark = TestSpark.spark
     val rows = SparkEntry.queries("sim_cosine_topk")(spark, TestSpark.Sf).collect()
