@@ -49,8 +49,21 @@ object RefFixtures {
   /** ACL records (copy-acls.sh:64 shape): per file a 4-entry ACL covering
     * the 3-field, scoped 4-field, and empty-id grammars (copy-acls.py:14-20).
     * Distinct — getfacl emits one record per path (sf0.001 contains one
-    * fully-duplicated lineitem tuple). */
+    * fully-duplicated lineitem tuple).
+    *
+    * Memoized per (session, sfDir) and persisted, like the dedup family's
+    * shingle frame: the distinct shuffles the full lineitem key set, and
+    * every ACL-family query starts from this same small dimension — one
+    * materialization amortizes it across the family. Deliberately NOT
+    * CacheTracker-released (bounded: one narrow row per file). */
+  private val aclCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def aclRecords(spark: SparkSession, sfDir: String): DataFrame =
+    aclCache.getOrElseUpdate((spark, sfDir), aclRecordsUncached(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def aclRecordsUncached(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       // dedupe on the 4 raw keys BEFORE deriving strings/arrays: every output
       // column is a pure function of these, and the shuffle carries 4 longs

@@ -60,6 +60,23 @@ class PlanSpec extends AnyFunSuite {
       s"centroid assignment degenerated to all-pairs:\n$p")
   }
 
+  test("ivf candidate generation is an equi-join on list id, never all-pairs") {
+    val df = SparkEntry.queries("sim_ann_ivf")(TestSpark.spark, TestSpark.Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"IVF degenerated to all-pairs:\n$p")
+  }
+
+  test("containment pairs ride the same windowless bucket join as Jaccard") {
+    val df = SparkEntry.queries("dedup_containment")(TestSpark.spark, TestSpark.Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"containment reintroduced a window shuffle:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"containment degenerated to all-pairs:\n$p")
+  }
+
   test("filters and column pruning reach the parquet scan") {
     val exec = SparkEntry.queries("tpch_q6")(TestSpark.spark, TestSpark.Sf)
       .queryExecution.executedPlan.toString
