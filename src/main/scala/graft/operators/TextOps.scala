@@ -146,6 +146,108 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003): the
+    // positional 8-gram hash stream, min-selected over every window of 4
+    // consecutive hashes — the local fingerprint set that makes partial-copy
+    // detection robust to insertions (guarantee: any shared run of
+    // k+w-1 = 11 chars shares a fingerprint). Pure per-row array ops until
+    // the final explode; emitted as (doc_id, fp) rows.
+    GraftQuery("text_winnow", {
+      val hSql = h8Sql("substr(text, i, 8)")
+      s"""WITH hs AS (SELECT doc_id,
+         |      list_transform(generate_series(1, length(text) - 7), i -> $hSql) AS h
+         |    FROM documents),
+         |w AS (SELECT doc_id,
+         |      list_distinct(list_transform(generate_series(1, len(h) - 3),
+         |        i -> list_min(h[i:i+3]))) AS fps
+         |    FROM hs WHERE len(h) >= 4)
+         |SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp
+         |FROM w ORDER BY doc_id, fp""".stripMargin
+    }) { (spark, sfDir) =>
+      docs(spark, sfDir)
+        .withColumn("h", graft.functions.ShingleHashes.shingleHashes(col("text"), 8))
+        .filter(size(col("h")) >= 4)
+        .withColumn("fps", array_distinct(expr(
+          "transform(sequence(1, size(h) - 3), i -> array_min(slice(h, i, 4)))")))
+        .select(col("doc_id"), explode(col("fps")).as("fp"))
+        .orderBy("doc_id", "fp")
+    },
+
+    // the end-to-end corpus-cleaning funnel a training pipeline runs before
+    // mixing sources: quality gate → language gate → exact-dedup gate →
+    // split assignment, reported as per-stage retention counts. One scan,
+    // one md5-partitioned window (distributes — no global window), one
+    // final aggregation; each gate reuses the exact expressions of its
+    // standalone operator so the composite can't drift from the parts.
+    GraftQuery("corpus_clean",
+      s"""WITH t AS (SELECT doc_id, text,
+         |    regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
+         |f AS (SELECT doc_id, text,
+         |    (CAST(length(text) AS BIGINT) >= 100 AND CAST(len(toks) AS BIGINT) >= 20
+         |     AND (CASE WHEN len(toks) = 0 THEN 0.0
+         |          ELSE CAST(len(list_distinct(toks)) AS BIGINT) * 1.0 / CAST(len(toks) AS BIGINT) END) >= 0.2
+         |     AND (CASE WHEN len(toks) = 0 THEN 0.0
+         |          ELSE ${hitsSql("toks", StopEn)} * 1.0 / CAST(len(toks) AS BIGINT) END)
+         |         BETWEEN 0.01 AND 0.6) AS keep_q,
+         |    (${hitsSql("toks", StopEn)} >= ${hitsSql("toks", StopDe)}
+         |     AND ${hitsSql("toks", StopEn)} >= ${hitsSql("toks", StopFr)}) AS is_en
+         |  FROM t),
+         |u AS (SELECT doc_id, keep_q, is_en,
+         |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS is_uniq
+         |  FROM f),
+         |c AS (SELECT CAST(count(*) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN keep_q THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |    CAST(sum(CASE WHEN keep_q AND is_en THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         |    CAST(sum(CASE WHEN keep_q AND is_en AND is_uniq THEN 1 ELSE 0 END) AS BIGINT) AS n4
+         |  FROM u),
+         |s AS (SELECT CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN '5_train'
+         |             WHEN (doc_id * 2654435761) % 100 < 95 THEN '6_val'
+         |             ELSE '7_test' END AS stage
+         |      FROM u WHERE keep_q AND is_en AND is_uniq)
+         |SELECT stage, n FROM (
+         |  SELECT '1_total' AS stage, n1 AS n FROM c
+         |  UNION ALL SELECT '2_quality', n2 FROM c
+         |  UNION ALL SELECT '3_english', n3 FROM c
+         |  UNION ALL SELECT '4_unique', n4 FROM c
+         |  UNION ALL SELECT stage, CAST(count(*) AS BIGINT) FROM s GROUP BY stage)
+         |ORDER BY stage""".stripMargin) { (spark, sfDir) =>
+      val t = docs(spark, sfDir)
+        .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+      val f = t.select(col("doc_id"), col("text"),
+        (length(col("text")).cast("long") >= 100 &&
+          size(col("toks")).cast("long") >= 20 &&
+          when(size(col("toks")) === 0, lit(0.0))
+            .otherwise(size(array_distinct(col("toks"))).cast("long") * lit(1.0)
+              / size(col("toks")).cast("long")) >= 0.2 &&
+          when(size(col("toks")) === 0, lit(0.0))
+            .otherwise(hits(col("toks"), StopEn) * lit(1.0) / size(col("toks")).cast("long"))
+            .between(0.01, 0.6)).as("keep_q"),
+        (hits(col("toks"), StopEn) >= hits(col("toks"), StopDe) &&
+          hits(col("toks"), StopEn) >= hits(col("toks"), StopFr)).as("is_en"))
+      val u = f.withColumn("is_uniq",
+        row_number().over(Window.partitionBy(md5(col("text").cast("binary")))
+          .orderBy("doc_id")) === 1)
+        .select("doc_id", "keep_q", "is_en", "is_uniq")
+      val c = u.agg(
+        count(lit(1)).as("n1"),
+        sum(when(col("keep_q"), 1).otherwise(0)).cast("long").as("n2"),
+        sum(when(col("keep_q") && col("is_en"), 1).otherwise(0)).cast("long").as("n3"),
+        sum(when(col("keep_q") && col("is_en") && col("is_uniq"), 1).otherwise(0))
+          .cast("long").as("n4"))
+      val stages = c.select(explode(array(
+        struct(lit("1_total").as("stage"), col("n1").as("n")),
+        struct(lit("2_quality").as("stage"), col("n2").as("n")),
+        struct(lit("3_english").as("stage"), col("n3").as("n")),
+        struct(lit("4_unique").as("stage"), col("n4").as("n")))).as("e"))
+        .select(col("e.stage"), col("e.n"))
+      val splits = u.filter(col("keep_q") && col("is_en") && col("is_uniq"))
+        .withColumn("b", (col("doc_id") * 2654435761L) % 100)
+        .withColumn("stage", when(col("b") < 90, "5_train")
+          .when(col("b") < 95, "6_val").otherwise("7_test"))
+        .groupBy("stage").agg(count(lit(1)).as("n"))
+      stages.unionByName(splits).orderBy("stage")
+    },
+
     // deterministic train/val/test assignment: Knuth-hash bucket of doc_id —
     // stable across runs/engines, no RNG (the reproducible corpus split)
     GraftQuery("text_split_assign",
