@@ -77,6 +77,49 @@ object StreamOps {
       .toDF("user_id", "n", "max_value")
   }
 
+  /** state for statefulFunnel: first-view / first-qualifying-click /
+    * first-qualifying-purchase micros, -1 = stage not reached */
+  final case class Funnel(view: Long, click: Long, purchase: Long)
+
+  /** Streaming twin of the batch `events_funnel` operator: per-user ordered
+    * view→click→purchase stage times via flatMapGroupsWithState. Rows are
+    * event-time-sorted WITHIN each (user, microbatch) group — stage order
+    * at equal timestamps follows the batch semantics (a click at exactly
+    * the first-view instant qualifies), hence the stage-priority tiebreak —
+    * and the state machine is monotone, so the fold is exactly incremental
+    * across batches that arrive in event-time order. Per-group buffering is
+    * bounded by the user's rows in ONE microbatch, not the stream. */
+  def statefulFunnel(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val prio = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+    val typed = events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id").as("uid"), col("event_type").as("etype"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+      .as[(Long, String, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Funnel, (Long, Option[Long], Option[Long], Option[Long])](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, String, Long)], state: GroupState[Funnel]) =>
+          var st = state.getOption.getOrElse(Funnel(-1L, -1L, -1L))
+          rows.toArray.sortBy { case (_, et, us) => (us, prio(et)) }.foreach {
+            case (_, "view", us) if st.view < 0 => st = st.copy(view = us)
+            case (_, "click", us) if st.view >= 0 && st.click < 0 && us >= st.view =>
+              st = st.copy(click = us)
+            case (_, "purchase", us) if st.click >= 0 && st.purchase < 0 && us >= st.click =>
+              st = st.copy(purchase = us)
+            case _ => ()
+          }
+          state.update(st)
+          if (st.view >= 0)
+            Iterator((uid, Some(st.view),
+              if (st.click >= 0) Some(st.click) else None,
+              if (st.purchase >= 0) Some(st.purchase) else None))
+          else Iterator.empty
+      }
+      .toDF("user_id", "t_view", "t_click", "t_purchase")
+  }
+
   /** stream-stream interval self-join: pairs of events by the same user
     * within a 1-minute follow window. Both sides watermarked; the time-bound
     * predicate lets the state store expire rows — the canonical bounded

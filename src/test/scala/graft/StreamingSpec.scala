@@ -136,4 +136,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.select("user_id").distinct().count()
       == events.select("user_id").distinct().count())
   }
+
+  test("stateful streaming funnel == batch events_funnel") {
+    val spark = TestSpark.spark
+    val stream = StreamOps.statefulFunnel(spark,
+      StreamOps.eventStream(spark, TestSpark.Sf))
+    val got = StreamOps.runAppendToCompletion(stream, "funnel_test")
+      .collect()
+      .map(r => (r.getLong(0),
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))))
+      .toMap
+    val want = SparkEntry.queries("events_funnel")(spark, TestSpark.Sf)
+      .collect()
+      .map(r => (r.getLong(0),
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))))
+      .toMap
+    assert(want.nonEmpty)
+    assert(got == want, {
+      val diff = (want.keySet ++ got.keySet)
+        .filter(k => want.get(k) != got.get(k)).take(5)
+      s"funnel mismatch on users $diff: batch=${diff.map(want.get)}, stream=${diff.map(got.get)}"
+    })
+  }
 }
