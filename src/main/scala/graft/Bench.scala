@@ -40,7 +40,8 @@ object Bench {
             false
         }
       val dt = (System.nanoTime() - t0) / 1e9
-      CacheTracker.releaseAll() // outside the timed section
+      // blocking: async block removal must not bleed into the next timing
+      CacheTracker.releaseAll(blocking = true)
       (name, dt, ok)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }

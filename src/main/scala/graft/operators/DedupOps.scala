@@ -71,14 +71,21 @@ object DedupOps {
        |dfreq AS (SELECT h, count(*) AS df FROM shraw GROUP BY h),
        |shf AS (SELECT s.doc_id, s.h FROM shraw s JOIN dfreq USING (h) WHERE dfreq.df <= $MaxDf)""".stripMargin
 
+  /** shared SQL stage over shf: per-doc sizes + pairwise intersection
+    * counts — the CTE twin of [[pairIntersections]], reused by the Jaccard,
+    * containment and clustering oracles so the family's hottest join shape
+    * exists exactly once per engine */
+  private val PairCte: String =
+    s"""sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+       |          FROM shf a JOIN shf b ON a.h = b.h AND a.doc_id < b.doc_id
+       |          GROUP BY a.doc_id, b.doc_id)""".stripMargin
+
   /** exact pairwise Jaccard ≥ threshold over df-filtered shingles — both the
     * exact operator and the oracle for the MinHash variant */
   private val JaccardSql: String =
     s"""WITH $ShinglesCte,
-       |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
-       |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
-       |          FROM shf a JOIN shf b ON a.h = b.h AND a.doc_id < b.doc_id
-       |          GROUP BY a.doc_id, b.doc_id)
+       |$PairCte
        |SELECT inter.ida AS a, inter.idb AS b,
        |       CAST(inter.i AS DOUBLE) / (sa.n + sb.n - inter.i) AS jacc
        |FROM inter
@@ -87,17 +94,21 @@ object DedupOps {
        |WHERE CAST(inter.i AS DOUBLE) / (sa.n + sb.n - inter.i) >= $JaccardThreshold
        |ORDER BY a, b""".stripMargin
 
-  /** all pairs with Jaccard similarity (unfiltered): the shingle bucket
-    * equi-join, sizes carried through the join so no post-join size lookup
-    * is needed — bounded by the df cap (Σ_h df(h)² ≤ MaxDf · rows). */
-  private def jaccardPairs(s: DataFrame): DataFrame = {
+  /** the family's shared candidate stage: every overlapping pair with its
+    * intersection count and both set sizes — the shingle bucket equi-join,
+    * sizes carried through the join so no post-join size lookup is needed;
+    * bounded by the df cap (Σ_h df(h)² ≤ MaxDf · rows). */
+  private def pairIntersections(s: DataFrame): DataFrame = {
     val a = s.select(col("doc_id").as("a"), col("n").as("na"), explode(col("sh")).as("h"))
     val b = s.select(col("doc_id").as("b"), col("n").as("nb"), explode(col("sh")).as("h"))
     a.join(b, Seq("h")).filter(col("a") < col("b"))
       .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("i"))
-      .select(col("a"), col("b"),
-        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jacc"))
   }
+
+  /** all pairs with Jaccard similarity (unfiltered) */
+  private def jaccardPairs(s: DataFrame): DataFrame =
+    pairIntersections(s).select(col("a"), col("b"),
+      (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jacc"))
 
   /** 32-bit SimHash per document over distinct tokens (portable H8 base) */
   private def simhashDf(spark: SparkSession, sfDir: String): DataFrame =
@@ -184,10 +195,7 @@ object DedupOps {
     // near-dup graphs); oracle: recursive-CTE transitive closure.
     GraftQuery("dedup_clusters",
       s"""WITH RECURSIVE $ShinglesCte,
-         |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
-         |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
-         |          FROM shf a JOIN shf b ON a.h = b.h AND a.doc_id < b.doc_id
-         |          GROUP BY a.doc_id, b.doc_id),
+         |$PairCte,
          |pairs AS (SELECT inter.ida AS a, inter.idb AS b FROM inter
          |          JOIN sizes sa ON sa.doc_id = inter.ida
          |          JOIN sizes sb ON sb.doc_id = inter.idb
@@ -247,10 +255,7 @@ object DedupOps {
     // a pair is emitted when either direction's containment clears the bar.
     GraftQuery("dedup_containment",
       s"""WITH $ShinglesCte,
-         |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
-         |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
-         |          FROM shf a JOIN shf b ON a.h = b.h AND a.doc_id < b.doc_id
-         |          GROUP BY a.doc_id, b.doc_id)
+         |$PairCte
          |SELECT inter.ida AS a, inter.idb AS b,
          |       round(CAST(inter.i AS DOUBLE) / sa.n, 6) AS c_ab,
          |       round(CAST(inter.i AS DOUBLE) / sb.n, 6) AS c_ba
@@ -260,11 +265,7 @@ object DedupOps {
          |WHERE CAST(inter.i AS DOUBLE) / sa.n >= $JaccardThreshold
          |   OR CAST(inter.i AS DOUBLE) / sb.n >= $JaccardThreshold
          |ORDER BY a, b""".stripMargin) { (spark, sfDir) =>
-      val s = docShingles(spark, sfDir)
-      val a = s.select(col("doc_id").as("a"), col("n").as("na"), explode(col("sh")).as("h"))
-      val b = s.select(col("doc_id").as("b"), col("n").as("nb"), explode(col("sh")).as("h"))
-      a.join(b, Seq("h")).filter(col("a") < col("b"))
-        .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("i"))
+      pairIntersections(docShingles(spark, sfDir))
         .filter(col("i").cast("double") / col("na") >= JaccardThreshold ||
           col("i").cast("double") / col("nb") >= JaccardThreshold)
         .select(col("a"), col("b"),

@@ -27,9 +27,17 @@ object SimilarityOps {
   val NearDupTables = 24
   val NearDupBits = 2
   val NearDupSeed = 42L
-  /** above this corpus size the near-dup broadcast hints are dropped and
-    * the bucket/verify joins run as AQE-planned shuffled equi-joins */
-  val BroadcastMaxVectors = 100000L
+  /** Above this corpus size the near-dup broadcast hints are dropped and
+    * the bucket/verify joins run as AQE-planned shuffled equi-joins. The
+    * cutoff is derived from a byte budget, not a row count: the widest
+    * broadcast side is the embedding re-attach (~64 doubles + array
+    * overhead per row) and each of the three hinted sides must fit the
+    * budget individually. 32 MB / ~600 B ≈ 55k vectors. */
+  val BroadcastBudgetBytes: Long = 32L << 20
+  val EmbBytesPerVector: Long = 64 * 8 + 88 // components + array/row overhead
+  val BandBytesPerVector: Long = NearDupTables * 28L // (t, code, id, word) rows
+  val BroadcastMaxVectors: Long =
+    BroadcastBudgetBytes / math.max(EmbBytesPerVector, BandBytesPerVector)
 
   /** in-order dot product — custom codegen expression (same fold order as
     * the aggregate(zip_with(...)) composition and the DuckDB oracle) */

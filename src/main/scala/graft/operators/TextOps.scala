@@ -192,18 +192,19 @@ object TextOps {
          |    (${hitsSql("toks", StopEn)} >= ${hitsSql("toks", StopDe)}
          |     AND ${hitsSql("toks", StopEn)} >= ${hitsSql("toks", StopFr)}) AS is_en
          |  FROM t),
-         |u AS (SELECT doc_id, keep_q, is_en,
+         |surv AS (SELECT doc_id, text FROM f WHERE keep_q AND is_en),
+         |u AS (SELECT doc_id,
          |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS is_uniq
-         |  FROM f),
-         |c AS (SELECT CAST(count(*) AS BIGINT) AS n1,
-         |    CAST(sum(CASE WHEN keep_q THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-         |    CAST(sum(CASE WHEN keep_q AND is_en THEN 1 ELSE 0 END) AS BIGINT) AS n3,
-         |    CAST(sum(CASE WHEN keep_q AND is_en AND is_uniq THEN 1 ELSE 0 END) AS BIGINT) AS n4
-         |  FROM u),
+         |  FROM surv),
+         |c AS (SELECT
+         |    (SELECT CAST(count(*) AS BIGINT) FROM f) AS n1,
+         |    (SELECT CAST(sum(CASE WHEN keep_q THEN 1 ELSE 0 END) AS BIGINT) FROM f) AS n2,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM surv) AS n3,
+         |    (SELECT CAST(sum(CASE WHEN is_uniq THEN 1 ELSE 0 END) AS BIGINT) FROM u) AS n4),
          |s AS (SELECT CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN '5_train'
          |             WHEN (doc_id * 2654435761) % 100 < 95 THEN '6_val'
          |             ELSE '7_test' END AS stage
-         |      FROM u WHERE keep_q AND is_en AND is_uniq)
+         |      FROM u WHERE is_uniq)
          |SELECT stage, n FROM (
          |  SELECT '1_total' AS stage, n1 AS n FROM c
          |  UNION ALL SELECT '2_quality', n2 FROM c
@@ -224,23 +225,26 @@ object TextOps {
             .between(0.01, 0.6)).as("keep_q"),
         (hits(col("toks"), StopEn) >= hits(col("toks"), StopDe) &&
           hits(col("toks"), StopEn) >= hits(col("toks"), StopFr)).as("is_en"))
-      val u = f.withColumn("is_uniq",
+      // dedup runs over the documents that SURVIVED the earlier gates: a
+      // surviving doc must never be dropped because a rejected duplicate
+      // had a lower doc_id (dedup-after-filter semantics)
+      val surv = f.filter(col("keep_q") && col("is_en"))
+      val u = surv.withColumn("is_uniq",
         row_number().over(Window.partitionBy(md5(col("text").cast("binary")))
           .orderBy("doc_id")) === 1)
-        .select("doc_id", "keep_q", "is_en", "is_uniq")
-      val c = u.agg(
+        .select("doc_id", "is_uniq")
+      val c = f.agg(
         count(lit(1)).as("n1"),
         sum(when(col("keep_q"), 1).otherwise(0)).cast("long").as("n2"),
-        sum(when(col("keep_q") && col("is_en"), 1).otherwise(0)).cast("long").as("n3"),
-        sum(when(col("keep_q") && col("is_en") && col("is_uniq"), 1).otherwise(0))
-          .cast("long").as("n4"))
-      val stages = c.select(explode(array(
+        sum(when(col("keep_q") && col("is_en"), 1).otherwise(0)).cast("long").as("n3"))
+      val c4 = u.agg(sum(when(col("is_uniq"), 1).otherwise(0)).cast("long").as("n4"))
+      val stages = c.crossJoin(c4).select(explode(array(
         struct(lit("1_total").as("stage"), col("n1").as("n")),
         struct(lit("2_quality").as("stage"), col("n2").as("n")),
         struct(lit("3_english").as("stage"), col("n3").as("n")),
         struct(lit("4_unique").as("stage"), col("n4").as("n")))).as("e"))
         .select(col("e.stage"), col("e.n"))
-      val splits = u.filter(col("keep_q") && col("is_en") && col("is_uniq"))
+      val splits = u.filter(col("is_uniq"))
         .withColumn("b", (col("doc_id") * 2654435761L) % 100)
         .withColumn("stage", when(col("b") < 90, "5_train")
           .when(col("b") < 95, "6_val").otherwise("7_test"))

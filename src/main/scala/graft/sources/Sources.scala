@@ -112,21 +112,16 @@ object Sources {
     * totals, is_dir=false rows are individual files under oversized dirs —
     * together they cover every file exactly once (SourcesSpec property).
     *
-    * Exclusion composes with the cutoff by DISABLING it: a pruned
-    * directory's size comes from getContentSummary, which counts every
-    * descendant including excluded ones, so taking the cutoff under a
-    * non-trivial `exclude` would skew packing totals. With
-    * `exclude = Some(p)` the walk therefore always descends (paying the
-    * full listing, like `usageScan`) and filters per entry; pruning is
-    * only applied on the `None` path where the summary is exact. */
+    * Deliberately takes NO exclusion predicate: a pruned directory's size
+    * comes from getContentSummary, which counts every descendant including
+    * ones an exclusion would drop, so pruning and exclusion compose
+    * unsoundly — a scan that must exclude paths uses `usageScan` (full
+    * walk, per-entry filter) instead of a mode flag here. */
   def usageScanPruned(
       spark: SparkSession,
       seedDirs: Seq[String],
-      capacity: Long,
-      exclude: Option[String => Boolean] = None): DataFrame = {
+      capacity: Long): DataFrame = {
     import spark.implicits._
-    val excludeB = spark.sparkContext.broadcast(exclude.getOrElse((_: String) => false))
-    val cutoffEnabled = exclude.isEmpty
     val scanned = spark.createDataset(seedDirs)
       .repartition(math.min(seedDirs.size, 32).max(1))
       .mapPartitions { dirs =>
@@ -136,20 +131,15 @@ object Sources {
           val fs = seed.getFileSystem(conf)
           def walk(dir: Path): Iterator[(String, Long, Boolean)] = {
             val sp = dir.toUri.getPath
-            if (excludeB.value(sp)) Iterator.empty
+            val total = fs.getContentSummary(dir).getLength
+            if (total <= capacity) Iterator((sp, total, true)) // cutoff: don't descend
             else {
-              val total = if (cutoffEnabled) fs.getContentSummary(dir).getLength
-                          else Long.MaxValue
-              if (total <= capacity) Iterator((sp, total, true)) // cutoff: don't descend
-              else {
-                val entries = try fs.listStatus(dir).iterator
-                              catch { case _: java.io.FileNotFoundException => Iterator.empty }
-                entries.flatMap { st =>
-                  val p = st.getPath.toUri.getPath
-                  if (excludeB.value(p)) Iterator.empty
-                  else if (st.isDirectory) walk(st.getPath)
-                  else Iterator((p, st.getLen, false))
-                }
+              val entries = try fs.listStatus(dir).iterator
+                            catch { case _: java.io.FileNotFoundException => Iterator.empty }
+              entries.flatMap { st =>
+                val p = st.getPath.toUri.getPath
+                if (st.isDirectory) walk(st.getPath)
+                else Iterator((p, st.getLen, false))
               }
             }
           }

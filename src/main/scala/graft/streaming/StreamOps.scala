@@ -88,7 +88,14 @@ object StreamOps {
     * the first-view instant qualifies), hence the stage-priority tiebreak —
     * and the state machine is monotone, so the fold is exactly incremental
     * across batches that arrive in event-time order. Per-group buffering is
-    * bounded by the user's rows in ONE microbatch, not the stream. */
+    * bounded by the user's rows in ONE microbatch, not the stream.
+    *
+    * Emission is UPSERT-shaped: every microbatch that touches a user emits
+    * that user's CURRENT state, so a multi-batch run produces one row per
+    * (user, touching batch) and the consumer keeps the most advanced row
+    * per user (the monotone state means latest == most stages filled).
+    * With a single AvailableNow batch this degenerates to exactly one row
+    * per user. */
   def statefulFunnel(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     val prio = Map("view" -> 0, "click" -> 1, "purchase" -> 2)

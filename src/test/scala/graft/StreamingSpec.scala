@@ -141,13 +141,19 @@ class StreamingSpec extends AnyFunSuite {
     val spark = TestSpark.spark
     val stream = StreamOps.statefulFunnel(spark,
       StreamOps.eventStream(spark, TestSpark.Sf))
+    // upsert semantics: keep the most advanced state per user (one row per
+    // touching microbatch may be emitted; the state is monotone)
     val got = StreamOps.runAppendToCompletion(stream, "funnel_test")
       .collect()
       .map(r => (r.getLong(0),
         (if (r.isNullAt(1)) None else Some(r.getLong(1)),
           if (r.isNullAt(2)) None else Some(r.getLong(2)),
           if (r.isNullAt(3)) None else Some(r.getLong(3)))))
-      .toMap
+      .groupBy(_._1)
+      .map { case (uid, rows) =>
+        (uid, rows.map(_._2).maxBy { case (v, c, p) =>
+          (v.isDefined, c.isDefined, p.isDefined) })
+      }
     val want = SparkEntry.queries("events_funnel")(spark, TestSpark.Sf)
       .collect()
       .map(r => (r.getLong(0),
