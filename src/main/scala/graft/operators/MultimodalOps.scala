@@ -37,6 +37,41 @@ object MultimodalOps {
         .orderBy("doc_id")
     },
 
+    // asset-level dedup over the opaque binary payload: exact identity is
+    // md5 over the bytes (modality-agnostic — works for any blob), and
+    // near-identity is a perceptual-hash stand-in that buckets assets by a
+    // quantized content-composition signature (per-class byte histograms —
+    // the same bucket-then-verify shape a real pHash/aHash pipeline uses,
+    // with the codec-dependent hash swapped out in MediaPipeline). Emits
+    // every near-bucket with >= 2 members plus its exact-distinct count,
+    // so exact-dup subsets inside a near-bucket are visible.
+    GraftQuery("multimodal_dedup",
+      """WITH h AS (SELECT doc_id, md5(text) AS xh,
+        |    CAST(len(regexp_extract_all(text, '[a-z]')) // 32 AS BIGINT) AS b_alpha,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) // 8 AS BIGINT) AS b_digit,
+        |    CAST(len(regexp_extract_all(text, ' ')) // 16 AS BIGINT) AS b_space,
+        |    CAST(octet_length(encode(text)) // 64 AS BIGINT) AS b_bytes
+        |  FROM documents)
+        |SELECT b_alpha, b_digit, b_space, b_bytes,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT xh) AS BIGINT) AS n_exact,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM h GROUP BY b_alpha, b_digit, b_space, b_bytes HAVING count(*) >= 2
+        |ORDER BY b_alpha, b_digit, b_space, b_bytes""".stripMargin) { (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .withColumn("bytes", encode(col("text"), "UTF-8"))
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("xh"),
+          expr("CAST(size(regexp_extract_all(text, '[a-z]', 0)) AS BIGINT) DIV 32").as("b_alpha"),
+          expr("CAST(size(regexp_extract_all(text, '[0-9]', 0)) AS BIGINT) DIV 8").as("b_digit"),
+          expr("CAST(size(regexp_extract_all(text, ' ', 0)) AS BIGINT) DIV 16").as("b_space"),
+          expr("CAST(length(bytes) AS BIGINT) DIV 64").as("b_bytes"))
+        .groupBy("b_alpha", "b_digit", "b_space", "b_bytes")
+        .agg(count(lit(1)).as("n"), countDistinct(col("xh")).as("n_exact"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .filter(col("n") >= 2)
+        .orderBy("b_alpha", "b_digit", "b_space", "b_bytes")
+    },
+
     // frame-sampling schedule: the video analogue of chunk_plan — given
     // per-asset duration/fps metadata (derived deterministically from the
     // payload here; from a container probe in production), emit the
