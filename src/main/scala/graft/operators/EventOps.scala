@@ -89,7 +89,8 @@ object EventOps {
         |SELECT v.user_id, t_view, t_click, t_purchase
         |FROM v LEFT JOIN c ON c.user_id = v.user_id
         |       LEFT JOIN p ON p.user_id = v.user_id
-        |ORDER BY v.user_id""".stripMargin) { (spark, sfDir) =>
+        |ORDER BY v.user_id""".stripMargin,
+      bench = true) { (spark, sfDir) =>
       val e = Tables.events(spark, sfDir)
         .select(col("user_id"), col("event_type"),
           expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
@@ -104,6 +105,38 @@ object EventOps {
       v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
         .select("user_id", "t_view", "t_click", "t_purchase")
         .orderBy("user_id")
+    },
+
+    // cohort retention matrix: users cohorted by first-signup day, counted
+    // as retained on each of the next 7 days they produce ANY event. The
+    // classic growth-analytics rollup: one conditional-min aggregation for
+    // cohort anchors, one distinct on (user, cohort, offset), one count —
+    // all co-partitioned on user_id until the final small aggregation.
+    GraftQuery("events_retention",
+      """WITH e AS (SELECT user_id, event_type,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d FROM events),
+        |s AS (SELECT user_id, CAST(min(d) AS BIGINT) AS cohort_d
+        |      FROM e WHERE event_type = 'signup' GROUP BY user_id),
+        |a AS (SELECT DISTINCT e.user_id, s.cohort_d, e.d - s.cohort_d AS off
+        |      FROM e JOIN s ON s.user_id = e.user_id
+        |      WHERE e.d - s.cohort_d BETWEEN 0 AND 6)
+        |SELECT cohort_d, CAST(off AS BIGINT) AS day_offset,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM a GROUP BY cohort_d, off ORDER BY cohort_d, day_offset""".stripMargin) {
+      (spark, sfDir) =>
+      val e = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("d"))
+      val s = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("d").as("cohort_d"))
+      e.join(s, "user_id")
+        .withColumn("off", col("d") - col("cohort_d"))
+        .filter(col("off").between(0, 6))
+        .select("user_id", "cohort_d", "off").distinct()
+        .groupBy("cohort_d", "off")
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("cohort_d"), col("off").as("day_offset"), col("n_users"))
+        .orderBy("cohort_d", "day_offset")
     },
 
     // session windows: 30-minute gap per user (gaps-and-islands oracle)

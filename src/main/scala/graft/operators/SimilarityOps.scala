@@ -281,7 +281,8 @@ object SimilarityOps {
          |        row_number() OVER (PARTITION BY qid ORDER BY sim6 DESC, nid) AS rnk
          |      FROM p2)
          |SELECT qid, rnk, nid, sim6 FROM r2 WHERE rnk <= $TopK
-         |ORDER BY qid, rnk""".stripMargin) { (spark, sfDir) =>
+         |ORDER BY qid, rnk""".stripMargin,
+      bench = true) { (spark, sfDir) =>
       val wAssign = Window.partitionBy("vec_id").orderBy(col("score").desc, col("clabel"))
       val ranked = centroidScored(spark, sfDir)
         .withColumn("r", row_number().over(wAssign))

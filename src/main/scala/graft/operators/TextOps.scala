@@ -211,7 +211,8 @@ object TextOps {
          |  UNION ALL SELECT '3_english', n3 FROM c
          |  UNION ALL SELECT '4_unique', n4 FROM c
          |  UNION ALL SELECT stage, CAST(count(*) AS BIGINT) FROM s GROUP BY stage)
-         |ORDER BY stage""".stripMargin) { (spark, sfDir) =>
+         |ORDER BY stage""".stripMargin,
+      bench = true) { (spark, sfDir) =>
       val t = docs(spark, sfDir)
         .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
       val f = t.select(col("doc_id"), col("text"),
