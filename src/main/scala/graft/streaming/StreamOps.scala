@@ -28,6 +28,19 @@ object StreamOps {
     raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
   }
 
+  /** a directory of event-shaped parquet files as a stream, one file per
+    * microbatch (maxFilesPerTrigger=1) — the multi-batch harness for the
+    * stateful operators' incremental paths. Files are picked up in
+    * modification-time order, so a writer that emits time-ordered files
+    * gets event-time-ordered batches. */
+  def eventStreamFromDir(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+  }
+
   /** tumbling 5-minute counts with a 10-minute watermark */
   def tumblingCounts(events: DataFrame): DataFrame =
     events

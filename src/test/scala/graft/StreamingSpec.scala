@@ -137,6 +137,57 @@ class StreamingSpec extends AnyFunSuite {
       == events.select("user_id").distinct().count())
   }
 
+  test("stateful funnel folds incrementally across MULTIPLE microbatches") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    // split events into two time-ordered files -> two microbatches
+    val dir = java.nio.file.Files.createTempDirectory("funnel_batches").toString
+    val ev = graft.Tables.events(spark, TestSpark.Sf)
+      .withColumn("us", expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+    val cut = ev.selectExpr("percentile(us, 0.5)").first().getDouble(0).toLong
+    // ts back to the raw long nanos shape eventStreamFromDir re-derives from
+    def dump(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      df.select(col("event_id"), (col("us") * 1000).as("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.parquet(s"$dir/$name")
+    dump(ev.filter(col("us") <= cut), "b0")
+    dump(ev.filter(col("us") > cut), "b1")
+    // flatten into one dir with ordered modification times
+    val flat = java.nio.file.Files.createTempDirectory("funnel_flat").toString
+    Seq("b0", "b1").zipWithIndex.foreach { case (b, i) =>
+      val src = new java.io.File(s"$dir/$b").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$flat/part-$b.parquet")
+      java.nio.file.Files.copy(src.toPath, dst.toPath)
+      dst.setLastModified(System.currentTimeMillis() - 60000 + i * 30000)
+    }
+    val stream = StreamOps.statefulFunnel(spark,
+      StreamOps.eventStreamFromDir(spark, flat)
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)")))
+    val rows = StreamOps.runAppendToCompletion(stream, "funnel_multi_test").collect()
+    // more emissions than users touched in only one batch proves >1 batch ran
+    assert(rows.length > rows.map(_.getLong(0)).distinct.length,
+      "expected upsert re-emissions across multiple microbatches")
+    val got = rows
+      .map(r => (r.getLong(0),
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))))
+      .groupBy(_._1)
+      .map { case (uid, rs) =>
+        (uid, rs.map(_._2).maxBy { case (v, c, p) =>
+          (v.isDefined, c.isDefined, p.isDefined) })
+      }
+    val want = SparkEntry.queries("events_funnel")(spark, TestSpark.Sf)
+      .collect()
+      .map(r => (r.getLong(0),
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))))
+      .toMap
+    assert(got == want, "incremental multi-batch funnel diverged from batch")
+  }
+
   test("stateful streaming funnel == batch events_funnel") {
     val spark = TestSpark.spark
     val stream = StreamOps.statefulFunnel(spark,
