@@ -107,6 +107,36 @@ object EventOps {
         .orderBy("user_id")
     },
 
+    // event-sequence transition matrix: counts of consecutive (src, dst)
+    // event-type pairs per user within the session gap — the first-order
+    // Markov structure of the event stream (what feeds next-event
+    // prediction / anomalous-path detection). One window over
+    // (user, time, full tiebreak) then a 25-cell aggregation; the lag
+    // window distributes on user_id.
+    GraftQuery("events_transitions",
+      s"""WITH e AS (SELECT event_id, user_id, event_type,
+         |        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         |l AS (SELECT user_id, event_type, us,
+         |        lag(event_type) OVER (PARTITION BY user_id
+         |          ORDER BY us, event_type, event_id) AS src,
+         |        lag(us) OVER (PARTITION BY user_id
+         |          ORDER BY us, event_type, event_id) AS prev_us
+         |      FROM e)
+         |SELECT src, event_type AS dst, CAST(count(*) AS BIGINT) AS n
+         |FROM l WHERE src IS NOT NULL AND us - prev_us < $GapUs
+         |GROUP BY src, event_type ORDER BY src, dst""".stripMargin) { (spark, sfDir) =>
+      val w = Window.partitionBy("user_id").orderBy("us", "event_type", "event_id")
+      Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+        .withColumn("src", lag("event_type", 1).over(w))
+        .withColumn("prev_us", lag("us", 1).over(w))
+        .filter(col("src").isNotNull && col("us") - col("prev_us") < GapUs)
+        .groupBy(col("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("src", "dst")
+    },
+
     // cohort retention matrix: users cohorted by first-signup day, counted
     // as retained on each of the next 7 days they produce ANY event. The
     // classic growth-analytics rollup: one conditional-min aggregation for

@@ -327,6 +327,38 @@ object TextOps {
         .limit(50)
     },
 
+    // per-document rarity (surprisal proxy): Σ_tokens floor(T / tf(token)),
+    // T = corpus token count — an inverse-frequency-weighted unigram score,
+    // the monotone integer-exact stand-in for unigram-LM perplexity (a true
+    // Σ -ln p would hinge on cross-engine libm ULP agreement under floor();
+    // integer division cannot drift). High score = rare-token-heavy
+    // document. Corpus term frequencies broadcast into a per-token join,
+    // then one exact integer sum per document.
+    GraftQuery("text_rarity_score",
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS t
+        |  FROM documents),
+        |tf AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM tf)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(tt // c) AS BIGINT) AS surprisal,
+        |       round(CAST(sum(tt // c) AS DOUBLE) / count(*), 2) AS avg2
+        |FROM tok JOIN tf USING (t) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
+      val tok = docs(spark, sfDir)
+        .select(col("doc_id"), explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("t"))
+      val tf = tok.groupBy("t").agg(count(lit(1)).as("c"))
+      val tot = tf.agg(sum("c").as("tt"))
+      tok.join(broadcast(tf), Seq("t"))
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(expr("tt DIV c")).as("surprisal"))
+        .select(col("doc_id"), col("n_tokens"), col("surprisal"),
+          round(col("surprisal").cast("double") / col("n_tokens"), 2).as("avg2"))
+        .orderBy("doc_id")
+    },
+
     // vocabulary building: top tokens by document frequency
     GraftQuery("text_vocab_topdf",
       """WITH t AS (SELECT DISTINCT doc_id, tok FROM (
