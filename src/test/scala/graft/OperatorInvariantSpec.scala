@@ -22,6 +22,29 @@ class OperatorInvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal near-dup buckets contain at least as many assets as exact groups") {
+    val spark = TestSpark.spark
+    val rows = SparkEntry.queries("multimodal_dedup")(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, nExact) = (r.getLong(4), r.getLong(5))
+      assert(n >= 2 && nExact >= 1 && nExact <= n,
+        s"bucket ${r.toSeq.take(4)}: n=$n n_exact=$nExact")
+      assert(r.getLong(6) <= r.getLong(7), "min_doc > max_doc")
+    }
+  }
+
+  test("rarity score is bounded below by n_tokens (every term contributes >= 1)") {
+    val spark = TestSpark.spark
+    val rows = SparkEntry.queries("text_rarity_score")(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // tt DIV c >= 1 since c <= tt, so surprisal >= n_tokens
+      assert(r.getLong(2) >= r.getLong(1),
+        s"doc ${r.getLong(0)}: surprisal ${r.getLong(2)} < n_tokens ${r.getLong(1)}")
+    }
+  }
+
   test("funnel stage times are ordered and monotone-decreasing in reach") {
     val spark = TestSpark.spark
     val rows = SparkEntry.queries("events_funnel")(spark, TestSpark.Sf).collect()
