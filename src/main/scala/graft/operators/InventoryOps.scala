@@ -240,7 +240,7 @@ object InventoryOps {
          |FROM d ORDER BY idx""".stripMargin) { (spark, sfDir) =>
       val dirs = inventory(spark, sfDir).filter(col("is_folder"))
         .withColumn("depth", length(col("name")) - length(regexp_replace(col("name"), "/", "")))
-      TwoPhaseRank.rowNumber(dirs, "idx", 8, col("depth"), col("name"))
+      TwoPhaseRank.rowNumber(dirs, "idx", -1, col("depth"), col("name"))
         .select("idx", "name", "depth")
         .orderBy("idx")
     },

@@ -44,15 +44,18 @@ object PackingOps {
     * sum — range-partition by path, cumsum within partitions, add
     * per-partition offsets computed from the (tiny) per-partition totals.
     * No single-partition stage; only one long per partition reaches the
-    * driver. Shared by pack_nextfit_dist and pack_units. */
-  def nextFitDist(spark: SparkSession, sizes: DataFrame, nParts: Int = 8): DataFrame = {
+    * driver. Shared by pack_nextfit_dist and pack_units.
+    * `nParts <= 0` (the default) follows the session's shuffle parallelism;
+    * the unit assignment is identical for any partition count. */
+  def nextFitDist(spark: SparkSession, sizes: DataFrame, nParts: Int = -1): DataFrame = {
+    val n = if (nParts > 0) nParts else spark.sessionState.conf.numShufflePartitions
     // persist the aggregated input FIRST: repartitionByRange runs a
     // sampling job, which would otherwise recompute the whole upstream
     // pipeline once more just to pick range boundaries
     val sized = sizes
       .withColumn("eff", when(col("size") > Capacity, 0L).otherwise(col("size")))
       .persist()
-    val ranged = sized.repartitionByRange(nParts, col("path"))
+    val ranged = sized.repartitionByRange(n, col("path"))
       .withColumn("pid", spark_partition_id())
       .persist() // pin partition assignment across the two passes
     val offsets = ranged.groupBy("pid").agg(sum("eff").as("psum"))

@@ -14,14 +14,19 @@ import org.apache.spark.sql.functions._
   */
 object TwoPhaseRank {
 
-  /** append column `idxCol` = 1-based global row number by `sortCols` */
+  /** append column `idxCol` = 1-based global row number by `sortCols`.
+    * `numParts <= 0` follows the session's shuffle parallelism — the
+    * numbering is identical for ANY partition count, so the choice is
+    * purely about parallelism at the target scale. */
   def rowNumber(df: DataFrame, idxCol: String, numParts: Int, sortCols: Column*): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val nParts = if (numParts > 0) numParts
+                 else spark.sessionState.conf.numShufflePartitions
     // persist the input FIRST so repartitionByRange's boundary-sampling job
     // reads the cache instead of recomputing the upstream pipeline
     val input = df.persist()
-    val ranged = input.repartitionByRange(numParts, sortCols: _*)
+    val ranged = input.repartitionByRange(nParts, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
       .persist() // pin partition assignment across the count and rank passes
     val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("n"))
