@@ -210,41 +210,8 @@ object DedupOps {
       val pairs = jaccardPairs(docShingles(spark, sfDir))
         .filter(col("jacc") >= JaccardThreshold)
         .select("a", "b")
-      val edges = pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var labels = edges.select(col("a").as("id")).distinct()
-        .select(col("id"), col("id").as("lbl"))
-      var converged = false
-      var iter = 0
-      // rounds bounded by component diameter; MaxIters is a runaway guard,
-      // and hitting it without convergence fails LOUDLY — silently emitting
-      // partial labels would be wrong clusters (a diameter > MaxIters
-      // component is possible at corpus scale even if absent here)
-      val MaxIters = 50
-      while (!converged && iter < MaxIters) {
-        val viaNeighbors = labels
-          .join(edges, labels("id") === edges("a"))
-          .select(col("b").as("id"), col("lbl"))
-        val next = labels.unionByName(viaNeighbors)
-          .groupBy("id").agg(min("lbl").as("lbl"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val changed = next.alias("n")
-          .join(labels.alias("o"), col("n.id") === col("o.id"))
-          .filter(col("n.lbl") =!= col("o.lbl")).count()
-        labels.unpersist() // superseded iteration (no-op on the unpersisted seed)
-        labels = next
-        converged = changed == 0
-        iter += 1
-      }
-      if (!converged)
-        throw new IllegalStateException(
-          s"dedup_clusters: label propagation did not converge in $MaxIters rounds")
-      // the converged label frame is materialized; edges are no longer
-      // referenced by the returned plan. Final labels back the lazy result,
-      // so their release is deferred to CacheTracker.
-      edges.unpersist(blocking = false)
-      graft.CacheTracker.track(labels)
-      labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+      GraphOps.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("cluster"))
         .orderBy("doc_id")
     },
 

@@ -107,6 +107,47 @@ object EventOps {
         .orderBy("user_id")
     },
 
+    // per-type outlier detection: top-5 |z-score| events per event type.
+    // Moments accumulate as EXACT integer sums of value-cents (order-free,
+    // engine-free); the mean/std/z float math then runs on identical exact
+    // inputs in both engines, so rounded z-scores are bit-stable. The
+    // anomaly scan a pipeline runs before trusting event-derived features.
+    GraftQuery("events_anomaly",
+      """WITH e AS (SELECT event_id, event_type,
+        |        CAST(floor(value * 100) AS BIGINT) AS vc FROM events),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(vc) AS BIGINT) AS s1, CAST(sum(vc * vc) AS BIGINT) AS s2
+        |      FROM e GROUP BY event_type),
+        |z AS (SELECT e.event_id, e.event_type, e.vc,
+        |        round((e.vc - CAST(s.s1 AS DOUBLE) / s.n)
+        |          / sqrt(CAST(s.s2 AS DOUBLE) / s.n
+        |                 - (CAST(s.s1 AS DOUBLE) / s.n) * (CAST(s.s1 AS DOUBLE) / s.n)), 6) AS z6
+        |      FROM e JOIN s USING (event_type)),
+        |r AS (SELECT event_type, event_id, vc, z6,
+        |        row_number() OVER (PARTITION BY event_type
+        |                           ORDER BY abs(z6) DESC, event_id) AS rnk
+        |      FROM z)
+        |SELECT event_type, CAST(rnk AS BIGINT) AS rnk, event_id, vc, z6
+        |FROM r WHERE rnk <= 5 ORDER BY event_type, rnk""".stripMargin) { (spark, sfDir) =>
+      val e = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * 100).cast("long").as("vc"))
+      val s = e.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum("vc").as("s1"),
+        sum(col("vc") * col("vc")).as("s2"))
+      val mean = col("s1").cast("double") / col("n")
+      val w = Window.partitionBy("event_type").orderBy(abs(col("z6")).desc, col("event_id"))
+      e.join(broadcast(s), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("vc"),
+          round((col("vc") - mean)
+            / sqrt(col("s2").cast("double") / col("n") - mean * mean), 6).as("z6"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select("event_type", "rnk", "event_id", "vc", "z6")
+        .orderBy("event_type", "rnk")
+    },
+
     // event-sequence transition matrix: counts of consecutive (src, dst)
     // event-type pairs per user within the session gap — the first-order
     // Markov structure of the event stream (what feeds next-event

@@ -59,6 +59,69 @@ object SimilarityOps {
   /** number of inverted lists probed per query in sim_ann_ivf */
   val IvfProbes = 3
 
+  /** demo-regime near-dup cosine threshold (testdata max cosine ≈ 0.51) */
+  val NearDupThreshold = 0.4
+
+  /** brute-force all-pairs cosine CTE `p(ida, idb, sim6)` — the oracle's
+    * ground truth for the LSH pair path and the closure base for
+    * sim_dup_clusters */
+  private val BrutePairCte: String =
+    """p AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+      |        round(list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |          / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+      |           * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+      |               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS sim6
+      |      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)""".stripMargin
+
+  /** Embedding near-dup pairs (a, b, sim6 ≥ NearDupThreshold), unsorted:
+    * LSH bucket candidates + exact cosine verification. Explicit broadcast
+    * hints are only sound while the corpus is small — at production scale
+    * they would OOM the driver, so they are gated on the vector count (a
+    * metadata-only parquet count) and beyond the cutoff AQE plans the same
+    * joins as shuffled equi-joins. Norms are computed once per vector, not
+    * per candidate pair (3× fewer flops in the verify stage, bit-identical
+    * doubles). */
+  def nearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir)
+    val smallCorpus = e.count() <= BroadcastMaxVectors
+    def hinted(df: DataFrame): DataFrame = if (smallCorpus) broadcast(df) else df
+    // all 24 codes packed into one long per vector (one codegen pass)
+    val coded = e.select(col("vec_id"),
+      graft.functions.HyperplaneCodes.hyperplaneCodeWord(
+        toDouble(col("embedding")), NearDupTables, NearDupBits, NearDupSeed).as("w"))
+    val bands = coded
+      .select(col("vec_id"), col("w"),
+        explode(sequence(lit(0), lit(NearDupTables - 1))).as("t"))
+      .select(col("vec_id"), col("w"), col("t"),
+        expr(s"(w >> ($NearDupBits * t)) & ${(1 << NearDupBits) - 1}").as("code"))
+    val x = bands.select(col("vec_id").as("a"), col("w").as("wa"), col("t"), col("code"))
+    val y = bands.select(col("vec_id").as("b"), col("w").as("wb"), col("t"), col("code"))
+    // keep each pair only at its FIRST matching table — dedups without a
+    // distinct shuffle. "All tables below t differ" is pure bit math on
+    // the packed words: OR the xor over all bits-1 right-shifts so any
+    // differing bit lands on its group's low bit, then require every
+    // group below table t to differ. Valid for any NearDupBits width.
+    val groupLow = (0 until 64 / NearDupBits)
+      .map(k => 1L << (NearDupBits * k)).reduce(_ | _)
+    val collapsedDiff = (0 until NearDupBits)
+      .map(s => s"((wa ^ wb) >> $s)").mkString("(", " | ", ")")
+    val below = s"(shiftleft(CAST(1 AS BIGINT), $NearDupBits * t) - 1) & ${groupLow}L"
+    val firstMatch = expr(s"($collapsedDiff & $below) = ($below)")
+    val cands = x.join(hinted(y), Seq("t", "code"))
+      .filter(col("a") < col("b") && firstMatch)
+      .select("a", "b")
+    val qa = e.select(col("vec_id").as("a"), toDouble(col("embedding")).as("ea"))
+      .withColumn("na", norm(col("ea")))
+    val qb = e.select(col("vec_id").as("b"), toDouble(col("embedding")).as("eb"))
+      .withColumn("nb", norm(col("eb")))
+    cands.join(hinted(qa), Seq("a")).join(hinted(qb), Seq("b"))
+      .select(col("a"), col("b"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("sim6"))
+      .filter(col("sim6") >= NearDupThreshold)
+  }
+
   /** shared CTE: per-(vector, label-centroid) cosine score on 1e6-quantized
     * integer components — exact sums, so partial-agg order and engine cannot
     * flip an argmax (what makes the centroid/IVF operators oracle-able) */
@@ -165,60 +228,31 @@ object SimilarityOps {
     // AQE plans the same joins as shuffled equi-joins, which is the shape
     // that survives a corpus-scale run.
     GraftQuery("sim_near_dup_pairs",
-      """WITH p AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
-        |        round(list_sum(list_transform(generate_series(1, len(a.embedding)),
-        |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-        |          / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
-        |               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
-        |           * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
-        |               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS sim6
-        |      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-        |SELECT ida AS a, idb AS b, sim6 FROM p WHERE sim6 >= 0.4
-        |ORDER BY a, b""".stripMargin,
+      s"""WITH $BrutePairCte
+         |SELECT ida AS a, idb AS b, sim6 FROM p WHERE sim6 >= $NearDupThreshold
+         |ORDER BY a, b""".stripMargin,
       bench = true) { (spark, sfDir) =>
-      val e = embeddings(spark, sfDir)
-      // explicit broadcast hints are only sound while the corpus is small —
-      // at production scale they would OOM the driver, so gate them on the
-      // vector count (a metadata-only parquet count) and fall back to AQE's
-      // own choice (shuffled equi-join) beyond the cutoff
-      val smallCorpus = e.count() <= BroadcastMaxVectors
-      def hinted(df: DataFrame): DataFrame = if (smallCorpus) broadcast(df) else df
-      // all 24 codes packed into one long per vector (one codegen pass)
-      val coded = e.select(col("vec_id"),
-        graft.functions.HyperplaneCodes.hyperplaneCodeWord(
-          toDouble(col("embedding")), NearDupTables, NearDupBits, NearDupSeed).as("w"))
-      val bands = coded
-        .select(col("vec_id"), col("w"),
-          explode(sequence(lit(0), lit(NearDupTables - 1))).as("t"))
-        .select(col("vec_id"), col("w"), col("t"),
-          expr(s"(w >> ($NearDupBits * t)) & ${(1 << NearDupBits) - 1}").as("code"))
-      val x = bands.select(col("vec_id").as("a"), col("w").as("wa"), col("t"), col("code"))
-      val y = bands.select(col("vec_id").as("b"), col("w").as("wb"), col("t"), col("code"))
-      // keep each pair only at its FIRST matching table — dedups without a
-      // distinct shuffle. "All tables below t differ" is pure bit math on
-      // the packed words: OR the xor over all bits-1 right-shifts so any
-      // differing bit lands on its group's low bit, then require every
-      // group below table t to differ. Valid for any NearDupBits width.
-      val groupLow = (0 until 64 / NearDupBits)
-        .map(k => 1L << (NearDupBits * k)).reduce(_ | _)
-      val collapsedDiff = (0 until NearDupBits)
-        .map(s => s"((wa ^ wb) >> $s)").mkString("(", " | ", ")")
-      val below = s"(shiftleft(CAST(1 AS BIGINT), $NearDupBits * t) - 1) & ${groupLow}L"
-      val firstMatch = expr(s"($collapsedDiff & $below) = ($below)")
-      val cands = x.join(hinted(y), Seq("t", "code"))
-        .filter(col("a") < col("b") && firstMatch)
-        .select("a", "b")
-      // norms once per vector, not per candidate pair (3× fewer flops in
-      // the verify stage, bit-identical doubles)
-      val qa = e.select(col("vec_id").as("a"), toDouble(col("embedding")).as("ea"))
-        .withColumn("na", norm(col("ea")))
-      val qb = e.select(col("vec_id").as("b"), toDouble(col("embedding")).as("eb"))
-        .withColumn("nb", norm(col("eb")))
-      cands.join(hinted(qa), Seq("a")).join(hinted(qb), Seq("b"))
-        .select(col("a"), col("b"),
-          round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("sim6"))
-        .filter(col("sim6") >= 0.4)
-        .orderBy("a", "b")
+      nearDupPairs(spark, sfDir).orderBy("a", "b")
+    },
+
+    // connected components over the embedding near-dup pair graph — the
+    // dedup-by-embedding canonical-document assignment (the text-shingle
+    // twin is dedup_clusters). Pairs come from the LSH candidate path
+    // above; the label propagation is GraphOps.connectedComponents; the
+    // oracle replays the closure over the brute-force pair SQL.
+    GraftQuery("sim_dup_clusters",
+      s"""WITH RECURSIVE $BrutePairCte,
+         |pairs AS (SELECT ida AS a, idb AS b FROM p WHERE sim6 >= $NearDupThreshold),
+         |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT a AS src, b AS dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a)
+         |SELECT src AS vec_id, least(src, min(dst)) AS cluster
+         |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin) { (spark, sfDir) =>
+      GraphOps.connectedComponents(nearDupPairs(spark, sfDir).select("a", "b"))
+        .select(col("id").as("vec_id"), col("cluster"))
+        .orderBy("vec_id")
     },
 
     // label-centroid assignment (the label-noise / cluster-purity check a
