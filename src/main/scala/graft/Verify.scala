@@ -25,10 +25,21 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      def runOnce(): Unit = fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      try runOnce()
+      catch { case first: Throwable =>
+        // a long-lived verify JVM accumulates memoized family caches; on a
+        // memory-shaped failure, drop everything cached and retry once
+        System.err.println(s"[verify] $name failed (${first.getMessage}); " +
+          "clearing caches and retrying once")
+        try {
+          CacheTracker.releaseAll(blocking = true)
+          spark.catalog.clearCache() // memoized family frames recompute uncached
+          runOnce()
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
       finally CacheTracker.releaseAll() // per-query helper caches
     }

@@ -20,8 +20,22 @@ object GraphOps {
     val edges = pairs.select(col("a"), col("b"))
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (possibly expensive) pair pipeline in isolation NOW:
+    // every loop iteration then plans against the tiny cached edge list
+    // instead of interleaving its jobs with the upstream's memory peak
+    edges.count()
+    // Each round MUST truncate lineage (localCheckpoint), not merely
+    // persist: a persisted frame still carries its full logical plan, so
+    // labels_n would embed labels_{n-1} twice (union + join) and the plan
+    // doubles per round — at the ~15-round diameters real near-dup graphs
+    // have, Catalyst re-analyzes a 2^15-node tree and the driver melts
+    // (observed: 59 CPU-minutes stuck planning at sf0.1). The eager local
+    // checkpoint pins each round's labels as materialized blocks with an
+    // O(1) plan; superseded rounds' blocks are reclaimed by the context
+    // cleaner once unreferenced.
     var labels = edges.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -30,11 +44,10 @@ object GraphOps {
         .select(col("b").as("id"), col("lbl"))
       val next = labels.unionByName(viaNeighbors)
         .groupBy("id").agg(min("lbl").as("lbl"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val changed = next.alias("n")
         .join(labels.alias("o"), col("n.id") === col("o.id"))
         .filter(col("n.lbl") =!= col("o.lbl")).count()
-      labels.unpersist() // superseded iteration (no-op on the unpersisted seed)
       labels = next
       converged = changed == 0
       iter += 1
@@ -42,11 +55,9 @@ object GraphOps {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents: label propagation did not converge in $maxIters rounds")
-    // the converged label frame is materialized; edges are no longer
-    // referenced by the returned plan. Final labels back the lazy result,
-    // so their release is deferred to CacheTracker.
+    // edges are no longer referenced by the returned plan (labels is a
+    // checkpointed frame with O(1) lineage)
     edges.unpersist(blocking = false)
-    graft.CacheTracker.track(labels)
     labels.select(col("id"), col("lbl").as("cluster"))
   }
 }
