@@ -13,7 +13,8 @@ object SparkEntry {
     InventoryOps.queries ++ PackingOps.queries ++ ScalarOps.queries ++
       RelationalOps.queries ++ HeadlineOps.queries ++ TextOps.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++ EventOps.queries ++
-      MultimodalOps.queries ++ SqlOps.queries ++ ExtraAggOps.queries
+      MultimodalOps.queries ++ SqlOps.queries ++ ExtraAggOps.queries ++
+      TrainPrepOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Distinct-identities pipeline (§7.2 step 1): scan → project → explode →

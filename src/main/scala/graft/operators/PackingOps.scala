@@ -46,14 +46,17 @@ object PackingOps {
     * No single-partition stage; only one long per partition reaches the
     * driver. Shared by pack_nextfit_dist and pack_units.
     * `nParts <= 0` (the default) follows the session's shuffle parallelism;
-    * the unit assignment is identical for any partition count. */
-  def nextFitDist(spark: SparkSession, sizes: DataFrame, nParts: Int = -1): DataFrame = {
+    * the unit assignment is identical for any partition count. `capacity`
+    * defaults to the Data-Box size; train_pack_sequences reuses the same
+    * prefix sum with a token budget. */
+  def nextFitDist(spark: SparkSession, sizes: DataFrame, nParts: Int = -1,
+      capacity: Long = Capacity): DataFrame = {
     val n = if (nParts > 0) nParts else spark.sessionState.conf.numShufflePartitions
     // persist the aggregated input FIRST: repartitionByRange runs a
     // sampling job, which would otherwise recompute the whole upstream
     // pipeline once more just to pick range boundaries
     val sized = sizes
-      .withColumn("eff", when(col("size") > Capacity, 0L).otherwise(col("size")))
+      .withColumn("eff", when(col("size") > capacity, 0L).otherwise(col("size")))
       .persist()
     val ranged = sized.repartitionByRange(n, col("path"))
       .withColumn("pid", spark_partition_id())
@@ -76,8 +79,8 @@ object PackingOps {
       .withColumn("local_cum", sum("eff").over(w))
       .join(broadcast(offDf), Seq("pid"))
       .withColumn("cum", col("local_cum") + col("offset"))
-      .withColumn("unit", when(col("size") > Capacity, lit(0L))
-        .otherwise(expr(s"cum DIV ${Capacity}L") + 1))
+      .withColumn("unit", when(col("size") > capacity, lit(0L))
+        .otherwise(expr(s"cum DIV ${capacity}L") + 1))
       .select("path", "size", "unit")
   }
 

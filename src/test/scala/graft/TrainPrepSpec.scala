@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TrainPrepOps
+
+/** Invariants for the training-corpus preparation tier (each query is also
+  * hash-oracled; these pin semantics the oracle can't express). */
+class TrainPrepSpec extends AnyFunSuite {
+
+  test("decontam_ngram excludes the eval split and flags exactly the overlapping docs") {
+    val spark = TestSpark.spark
+    val rows = SparkEntry.queries("decontam_ngram")(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    // eval docs never appear in the output
+    assert(rows.forall(_.getLong(0) % 50 != 7))
+    // contaminated <=> n_shared >= 1, and a nonzero tail exists in this corpus
+    rows.foreach { r =>
+      assert(r.getBoolean(2) == (r.getLong(1) >= 1),
+        s"doc ${r.getLong(0)}: flag/count disagree")
+    }
+    assert(rows.exists(_.getBoolean(2)), "probed corpus has near-dups of eval docs")
+    // brute-force recompute: a doc is contaminated iff one of its 5-token
+    // grams appears verbatim in some eval doc
+    def grams(text: String): Set[String] = {
+      val toks = "[a-z0-9]+".r.findAllIn(text).toIndexedSeq
+      if (toks.size < TrainPrepOps.DecontamN) Set.empty
+      else toks.sliding(TrainPrepOps.DecontamN).map(_.mkString(" ")).toSet
+    }
+    val docs = Tables.documents(spark, TestSpark.Sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val evalGrams = docs.collect { case (id, t) if id % 50 == 7 => grams(t) }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    rows.foreach { r =>
+      val expected = grams(docs(r.getLong(0))).count(evalGrams.contains).toLong
+      assert(r.getLong(1) == expected,
+        s"doc ${r.getLong(0)}: n_shared ${r.getLong(1)} != brute-force $expected")
+    }
+  }
+
+  test("text_repetition fractions are consistent and keep matches the thresholds") {
+    val spark = TestSpark.spark
+    val rows = SparkEntry.queries("text_repetition")(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nb, nd, tn) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nd >= 1 && nd <= nb && tn >= 1 && tn <= nb, s"doc ${r.getLong(0)}: counts")
+      val dup = (nb - nd).toDouble / nb
+      val top = tn.toDouble / nb
+      assert(math.abs(r.getDouble(4) - dup) <= 5e-7, "dup_frac rounding")
+      assert(math.abs(r.getDouble(5) - top) <= 5e-7, "top_frac rounding")
+      assert(r.getBoolean(6) == (dup <= 0.1 && top <= 0.1), "keep verdict")
+    }
+  }
+
+  test("train_pack_sequences equals the exact sequential concat-and-chop fold") {
+    val spark = TestSpark.spark
+    val rows = SparkEntry.queries("train_pack_sequences")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    var cum = 0L
+    rows.foreach { case (id, n, seq) =>
+      val expected = if (n > TrainPrepOps.SeqBudget) 0L
+      else { cum += n; cum / TrainPrepOps.SeqBudget + 1 }
+      assert(seq == expected, s"doc $id: seq $seq != sequential fold $expected")
+    }
+    // windows fill to the budget: every non-final window's token total
+    // lands in (budget - maxDoc, budget + maxDoc)
+    val maxDoc = rows.map(_._2).max
+    val perSeq = rows.filter(_._3 > 0).groupBy(_._3).view.mapValues(_.map(_._2).sum)
+    val last = perSeq.keys.max
+    perSeq.foreach { case (seq, total) =>
+      assert(total < TrainPrepOps.SeqBudget + maxDoc, s"window $seq overfull: $total")
+      if (seq != last)
+        assert(total > TrainPrepOps.SeqBudget - maxDoc, s"window $seq underfull: $total")
+    }
+  }
+}
