@@ -95,6 +95,30 @@ object SqlOps {
         .orderBy("name")
     },
 
+    // LATERAL correlated subquery with ORDER BY + LIMIT — per-customer
+    // top-2 orders. Catalyst decorrelates the limit into a ranked window
+    // join; no per-row re-execution (the nested-loop shape the reference's
+    // per-item Python loops would imply)
+    GraftQuery("sql_lateral_topn",
+      """SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |ORDER BY c.c_custkey, l.o_orderkey""".stripMargin,
+      ) { (spark, sfDir) =>
+      register(spark, sfDir)
+      spark.sql(
+        """SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+          |FROM customer_v c, LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders_v o
+          |  WHERE o.o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+          |WHERE c.c_mktsegment = 'BUILDING'
+          |ORDER BY c.c_custkey, l.o_orderkey""".stripMargin)
+    },
+
     // IN-subquery (planned as left-semi)
     GraftQuery("sql_in_subquery",
       """SELECT count(*) AS n FROM customer

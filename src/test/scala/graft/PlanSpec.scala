@@ -81,6 +81,16 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       s"containment degenerated to all-pairs:\n$p")
   }
 
+  test("decontamination joins the gram corpus against a broadcast eval side") {
+    val df = SparkEntry.queries("decontam_ngram")(TestSpark.spark, TestSpark.Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the eval gram set is the tiny side by construction: the corpus scan
+    // must stream past a broadcast, never shuffle into a sort-merge join
+    assert(p.contains("BroadcastHashJoin"), s"decontam lost its broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"decontam shuffles the corpus grams:\n$p")
+  }
+
   test("filters and column pruning reach the parquet scan") {
     val exec = SparkEntry.queries("tpch_q6")(TestSpark.spark, TestSpark.Sf)
       .queryExecution.executedPlan.toString
@@ -178,6 +188,36 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       assert(p.contains("skew=true") && p.contains("AQEShuffleRead skewed"),
         s"AQE did not split the skewed partition:\n$p")
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
+  test("runtime bloom filter from a selective dim filter prunes the fact scan") {
+    val spark = TestSpark.spark
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffled join
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // production default only arms the filter for 10GB+ fact scans; lower
+      // it so the test-sized fact side exercises the same machinery
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val l = Tables.lineitem(spark, TestSpark.Sf)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val o = Tables.orders(spark, TestSpark.Sf)
+        .filter(col("o_totalprice") > 400000).select(col("o_orderkey"))
+      val j = l.join(o, col("l_orderkey") === col("o_orderkey")).agg(count(lit(1)).as("n"))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      // the dim filter's bloom filter is pushed into the fact side BEFORE
+      // the join's shuffle — rows for unsold orders never leave the scan stage
+      assert(p.contains("might_contain"), s"no runtime bloom filter injected:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
   }
 
   test("cached dataset is served from the in-memory columnar store") {
