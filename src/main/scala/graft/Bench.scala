@@ -41,6 +41,8 @@ object Bench {
     val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
     val results = names.map { name =>
       var failed = false
+      // a failed run's elapsed time IS recorded: a newly-broken query must
+      // never read as a 0-second speedup in the scored total
       val times = (1 to iters).flatMap { _ =>
         if (failed) None
         else {
@@ -50,15 +52,20 @@ object Bench {
             catch {
               case t: Throwable =>
                 System.err.println(s"[bench] $name FAILED: $t")
+                failed = true
                 false
             }
           val dt = (System.nanoTime() - t0) / 1e9
           // blocking: async block removal must not bleed into the next timing
           CacheTracker.releaseAll(blocking = true)
-          if (ok) Some(dt) else { failed = true; None }
+          Some(dt)
         }
       }
-      val median = if (times.isEmpty) 0.0 else times.sorted.apply(times.size / 2)
+      val sorted = times.sorted
+      val median =
+        if (sorted.isEmpty) 0.0
+        else if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+        else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2
       (name, median, times.headOption.getOrElse(0.0), !failed)
     }
     val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }
@@ -68,7 +75,8 @@ object Bench {
     val errs = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"errors":$errs,"sf":"$sfDir"}""")
+    val coldTotal = results.map(_._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"cold_total":$coldTotal,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

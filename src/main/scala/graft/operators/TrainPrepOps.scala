@@ -27,12 +27,13 @@ object TrainPrepOps {
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
 
-  /** 5-token-gram strings per row, empty when the doc is shorter than n
-    * (sequence(1, negative) would count DOWN in Spark — guard required) */
-  private val GramsExpr: String =
-    s"""CASE WHEN size(toks) >= $DecontamN THEN
-       |  transform(sequence(1, size(toks) - ${DecontamN - 1}),
-       |    i -> array_join(slice(toks, i, $DecontamN), ' '))
+  /** space-joined n-token-gram strings per row, empty when the doc is
+    * shorter than n (sequence(1, negative) would count DOWN in Spark —
+    * guard required) */
+  private def gramsExpr(n: Int): String =
+    s"""CASE WHEN size(toks) >= $n THEN
+       |  transform(sequence(1, size(toks) - ${n - 1}),
+       |    i -> array_join(slice(toks, i, $n), ' '))
        |ELSE CAST(array() AS array<string>) END""".stripMargin
 
   val queries: Seq[GraftQuery] = Seq(
@@ -60,17 +61,22 @@ object TrainPrepOps {
          |FROM t LEFT JOIN ov ON ov.doc_id = t.doc_id
          |WHERE t.doc_id % 50 <> 7 ORDER BY t.doc_id""".stripMargin,
       bench = true) { (spark, sfDir) =>
-      val t = docs(spark, sfDir)
+      val d = docs(spark, sfDir)
+      // grams are generated AFTER the split filters: the eval pipeline only
+      // tokenizes the 2% benchmark slice, and the corpus side never
+      // shuffles its grams — duplicates collapse in the per-doc
+      // countDistinct AFTER the broadcast join, so only matching grams
+      // (rare by construction) reach the aggregation exchange
+      def gramsOf(df: DataFrame): DataFrame = df
         .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
-      val grams = t
-        .select(col("doc_id"), explode(expr(GramsExpr)).as("gram"))
+        .select(col("doc_id"), explode(expr(gramsExpr(DecontamN))).as("gram"))
         .select(col("doc_id"), md5(col("gram").cast("binary")).as("gh"))
-        .distinct()
-      val evalGrams = grams.filter(col("doc_id") % 50 === 7).select("gh").distinct()
-      val overlap = grams.filter(col("doc_id") % 50 =!= 7)
+      val evalGrams = gramsOf(d.filter(col("doc_id") % 50 === 7))
+        .select("gh").distinct()
+      val overlap = gramsOf(d.filter(col("doc_id") % 50 =!= 7))
         .join(broadcast(evalGrams), Seq("gh"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-      t.filter(col("doc_id") % 50 =!= 7).select("doc_id")
+        .groupBy("doc_id").agg(countDistinct("gh").as("n_shared"))
+      d.filter(col("doc_id") % 50 =!= 7).select("doc_id")
         .join(overlap, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_shared"), lit(0L)).as("n_shared"),
@@ -101,10 +107,7 @@ object TrainPrepOps {
         |FROM a ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
       val t = docs(spark, sfDir)
         .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
-      val b = t.select(col("doc_id"), explode(expr(
-        "CASE WHEN size(toks) >= 2 THEN " +
-          "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), " +
-          "(a, b) -> concat(a, ' ', b)) ELSE CAST(array() AS array<string>) END")).as("bg"))
+      val b = t.select(col("doc_id"), explode(expr(gramsExpr(2))).as("bg"))
       val a = b.groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
         .groupBy("doc_id")
         .agg(sum("n").as("n_bigrams"), count(lit(1)).as("n_distinct_bg"),
@@ -140,8 +143,9 @@ object TrainPrepOps {
       val sizes = docs(spark, sfDir)
         .select(
           // zero-padded key: string range-partitioning must agree with
-          // numeric doc_id order (ids are non-negative)
-          lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+          // numeric doc_id order; %019d covers any non-negative long
+          // (lpad would TRUNCATE ids beyond the pad width)
+          format_string("%019d", col("doc_id")).as("path"),
           size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).cast("long").as("size"))
       PackingOps.nextFitDist(spark, sizes, capacity = SeqBudget)
         .select(col("path").cast("long").as("doc_id"),

@@ -67,8 +67,10 @@ class TrainPrepSpec extends AnyFunSuite {
       assert(seq == expected, s"doc $id: seq $seq != sequential fold $expected")
     }
     // windows fill to the budget: every non-final window's token total
-    // lands in (budget - maxDoc, budget + maxDoc)
-    val maxDoc = rows.map(_._2).max
+    // lands in (budget - maxDoc, budget + maxDoc). maxDoc ranges over
+    // PACKED docs only — an oversized (seq 0) doc contributes nothing to
+    // any window and would only slacken the bounds
+    val maxDoc = rows.filter(_._3 > 0).map(_._2).max
     val perSeq = rows.filter(_._3 > 0).groupBy(_._3).view.mapValues(_.map(_._2).sum)
     val last = perSeq.keys.max
     perSeq.foreach { case (seq, total) =>
