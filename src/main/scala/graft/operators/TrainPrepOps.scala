@@ -29,8 +29,8 @@ object TrainPrepOps {
 
   /** space-joined n-token-gram strings per row, empty when the doc is
     * shorter than n (sequence(1, negative) would count DOWN in Spark —
-    * guard required) */
-  private def gramsExpr(n: Int): String =
+    * guard required). Shared with the streaming decontamination gate. */
+  private[graft] def gramsExpr(n: Int): String =
     s"""CASE WHEN size(toks) >= $n THEN
        |  transform(sequence(1, size(toks) - ${n - 1}),
        |    i -> array_join(slice(toks, i, $n), ' '))

@@ -140,6 +140,37 @@ object StreamOps {
       .toDF("user_id", "t_view", "t_click", "t_purchase")
   }
 
+  /** the documents table as a bounded stream (file source over the same
+    * parquet the batch operators read) */
+  def docStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(spark.read.option("pathGlobFilter", "documents.parquet").parquet(sfDir).schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+
+  /** Streaming decontamination gate — the stream-STATIC join: incoming
+    * training documents' exploded 5-token-gram hashes flow past the fixed
+    * benchmark gram set (batch-computed once, broadcast). Stateless append
+    * mode, no watermark: each microbatch is one scan + broadcast probe, so
+    * the continuous-ingestion pipeline never accumulates state. Emits raw
+    * (doc_id, gh) matches; the per-doc rollup belongs to the consumer
+    * (foreachBatch / the sink), keeping the streaming stage shuffle-free. */
+  def decontamMatches(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = graft.operators.TrainPrepOps.DecontamN
+    val evalGrams = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 50 === 7)
+      .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+      .select(explode(expr(graft.operators.TrainPrepOps.gramsExpr(n))).as("gram"))
+      .select(md5(col("gram").cast("binary")).as("gh"))
+      .distinct()
+    docStream(spark, sfDir)
+      .filter(col("doc_id") % 50 =!= 7)
+      .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+      .select(col("doc_id"), explode(expr(graft.operators.TrainPrepOps.gramsExpr(n))).as("gram"))
+      .select(col("doc_id"), md5(col("gram").cast("binary")).as("gh"))
+      .join(broadcast(evalGrams), Seq("gh"))
+  }
+
   /** stream-stream interval self-join: pairs of events by the same user
     * within a 1-minute follow window. Both sides watermarked; the time-bound
     * predicate lets the state store expire rows — the canonical bounded

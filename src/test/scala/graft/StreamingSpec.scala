@@ -92,6 +92,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want) // event_ids are unique, so dedup must be lossless
   }
 
+  test("stream-static decontamination join == batch decontam_ngram counts") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val matches = graft.streaming.StreamOps.runAppendToCompletion(
+      graft.streaming.StreamOps.decontamMatches(spark, TestSpark.Sf), "decontam_stream")
+    // duplicates within a doc are emitted by design (stateless stage);
+    // the consumer-side rollup must reproduce the batch per-doc counts
+    val streamed = matches.groupBy("doc_id")
+      .agg(countDistinct("gh").as("n_shared")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = SparkEntry.queries("decontam_ngram")(spark, TestSpark.Sf).collect()
+    assert(batch.exists(_.getBoolean(2)), "corpus has contaminated docs")
+    batch.foreach { r =>
+      assert(streamed.getOrElse(r.getLong(0), 0L) == r.getLong(1),
+        s"doc ${r.getLong(0)}: stream ${streamed.get(r.getLong(0))} != batch ${r.getLong(1)}")
+    }
+  }
+
   test("stream-stream interval join == batch interval join") {
     val spark = TestSpark.spark
     val stream = StreamOps.followWithinMinute(StreamOps.eventStream(spark, TestSpark.Sf))
