@@ -39,6 +39,31 @@ class TrainPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("gramsExpr matches the Scala sliding-window reference on random token counts") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val words = Vector("a", "bb", "ccc", "the", "of", "data", "spark", "x9", "q")
+    val texts = (1 to 200).map { i =>
+      val k = rnd.nextInt(12) // 0..11 tokens exercises the short-doc guard
+      (i.toLong, Seq.fill(k)(words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val df = texts.toDF("doc_id", "text")
+      .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+    for (n <- Seq(2, 5)) {
+      val got = df.select(col("doc_id"),
+        expr(graft.operators.TrainPrepOps.gramsExpr(n)).as("grams"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      texts.foreach { case (id, text) =>
+        val toks = "[a-z0-9]+".r.findAllIn(text).toIndexedSeq
+        val expected =
+          if (toks.size < n) Seq.empty else toks.sliding(n).map(_.mkString(" ")).toSeq
+        assert(got(id) == expected, s"n=$n doc $id")
+      }
+    }
+  }
+
   test("text_repetition fractions are consistent and keep matches the thresholds") {
     val spark = TestSpark.spark
     val rows = SparkEntry.queries("text_repetition")(spark, TestSpark.Sf).collect()
