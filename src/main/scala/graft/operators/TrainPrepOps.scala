@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftQuery
@@ -36,6 +36,17 @@ object TrainPrepOps {
        |    i -> array_join(slice(toks, i, $n), ' '))
        |ELSE CAST(array() AS array<string>) END""".stripMargin
 
+  /** the held-out eval split (the deterministic 2% "benchmark") — the ONE
+    * definition the batch gate and the streaming gate both key on */
+  private[graft] def isEvalDoc: Column = col("doc_id") % 50 === 7
+
+  /** (doc_id, gh): md5 digests of each document's 5-token grams — the
+    * decontamination join key pipeline, shared batch/streaming */
+  private[graft] def gramsOf(df: DataFrame): DataFrame = df
+    .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+    .select(col("doc_id"), explode(expr(gramsExpr(DecontamN))).as("gram"))
+    .select(col("doc_id"), md5(col("gram").cast("binary")).as("gh"))
+
   val queries: Seq[GraftQuery] = Seq(
 
     // benchmark decontamination: flag training documents that share any
@@ -67,16 +78,11 @@ object TrainPrepOps {
       // shuffles its grams — duplicates collapse in the per-doc
       // countDistinct AFTER the broadcast join, so only matching grams
       // (rare by construction) reach the aggregation exchange
-      def gramsOf(df: DataFrame): DataFrame = df
-        .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
-        .select(col("doc_id"), explode(expr(gramsExpr(DecontamN))).as("gram"))
-        .select(col("doc_id"), md5(col("gram").cast("binary")).as("gh"))
-      val evalGrams = gramsOf(d.filter(col("doc_id") % 50 === 7))
-        .select("gh").distinct()
-      val overlap = gramsOf(d.filter(col("doc_id") % 50 =!= 7))
+      val evalGrams = gramsOf(d.filter(isEvalDoc)).select("gh").distinct()
+      val overlap = gramsOf(d.filter(!isEvalDoc))
         .join(broadcast(evalGrams), Seq("gh"))
         .groupBy("doc_id").agg(countDistinct("gh").as("n_shared"))
-      d.filter(col("doc_id") % 50 =!= 7).select("doc_id")
+      d.filter(!isEvalDoc).select("doc_id")
         .join(overlap, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_shared"), lit(0L)).as("n_shared"),

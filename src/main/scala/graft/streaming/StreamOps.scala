@@ -144,30 +144,30 @@ object StreamOps {
     * parquet the batch operators read) */
   def docStream(spark: SparkSession, sfDir: String): DataFrame =
     spark.readStream
-      .schema(spark.read.option("pathGlobFilter", "documents.parquet").parquet(sfDir).schema)
+      .schema(graft.Tables.documents(spark, sfDir).schema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(sfDir)
 
   /** Streaming decontamination gate — the stream-STATIC join: incoming
     * training documents' exploded 5-token-gram hashes flow past the fixed
-    * benchmark gram set (batch-computed once, broadcast). Stateless append
-    * mode, no watermark: each microbatch is one scan + broadcast probe, so
-    * the continuous-ingestion pipeline never accumulates state. Emits raw
-    * (doc_id, gh) matches; the per-doc rollup belongs to the consumer
-    * (foreachBatch / the sink), keeping the streaming stage shuffle-free. */
+    * benchmark gram set (computed and persisted once — Spark re-executes
+    * the static subplan per microbatch, so without the persist every batch
+    * would re-tokenize the eval slice and re-run its distinct; like the
+    * dedup family's docShingles this session-lifetime cache is deliberately
+    * NOT CacheTracker-managed, and it is bounded at one row per eval gram).
+    * Stateless append mode, no watermark: each microbatch is one scan +
+    * broadcast probe, so the continuous-ingestion pipeline never
+    * accumulates state. Emits raw (doc_id, gh) matches; the per-doc rollup
+    * belongs to the consumer (foreachBatch / the sink), keeping the
+    * streaming stage shuffle-free. The gram pipeline and eval-split
+    * predicate are the batch operator's own (TrainPrepOps.gramsOf /
+    * isEvalDoc), so the gate cannot drift from the oracled query. */
   def decontamMatches(spark: SparkSession, sfDir: String): DataFrame = {
-    val n = graft.operators.TrainPrepOps.DecontamN
-    val evalGrams = graft.Tables.documents(spark, sfDir)
-      .filter(col("doc_id") % 50 === 7)
-      .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
-      .select(explode(expr(graft.operators.TrainPrepOps.gramsExpr(n))).as("gram"))
-      .select(md5(col("gram").cast("binary")).as("gh"))
-      .distinct()
-    docStream(spark, sfDir)
-      .filter(col("doc_id") % 50 =!= 7)
-      .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
-      .select(col("doc_id"), explode(expr(graft.operators.TrainPrepOps.gramsExpr(n))).as("gram"))
-      .select(col("doc_id"), md5(col("gram").cast("binary")).as("gh"))
+    import graft.operators.TrainPrepOps.{gramsOf, isEvalDoc}
+    val evalGrams = gramsOf(
+      graft.Tables.documents(spark, sfDir).filter(isEvalDoc))
+      .select("gh").distinct().persist()
+    gramsOf(docStream(spark, sfDir).filter(!isEvalDoc))
       .join(broadcast(evalGrams), Seq("gh"))
   }
 
