@@ -24,31 +24,84 @@ object CopyExecutor {
 
   final case class CopyResult(name: String, status: String, detail: String)
 
+  /** 20 MiB — the reference's ranged-copy block size (copy-to-adls.py:24
+    * BLOCK_SIZE; BASELINE.md constant). chunk_plan (PackingOps) is the
+    * oracled schedule of exactly this loop's (offset, len) pairs. */
+  val BlockSize: Long = 20L * 1024 * 1024
+
+  /** The reference's copy inner loop (copy-to-adls.py:55-91), one file:
+    * create the destination, then for each offset in range(0, length,
+    * blockSize): ranged GET from the source → append at that position on
+    * the destination, and finally flush at the total length. Runs inside
+    * an executor task; returns the chunk count. */
+  private def copyChunked(src: FileOps, dst: FileOps, name: String,
+      totalLen: Long, blockSize: Long): Long = {
+    dst.createFile(name)
+    var off = 0L
+    var chunks = 0L
+    while (off < totalLen) {
+      val n = math.min(blockSize, totalLen - off).toInt
+      dst.append(name, off, src.readRange(name, off, n))
+      off += n
+      chunks += 1
+    }
+    dst.flush(name, totalLen)
+    chunks
+  }
+
   /** Copy an inventory (name, parent_directory, is_folder, owner, grp,
-    * perms, length) into `ops`' namespace. Returns per-item status. */
+    * perms, length) into `ops`' namespace. Returns per-item status.
+    *
+    * With `source` set, file bytes are streamed through the chunked
+    * ranged-read → append → flush loop above (the declared inventory
+    * `length` drives the chunk schedule, exactly as the reference trusts
+    * its inventory listing — copy-to-adls.py:64). Without a source (no
+    * byte store to read from), a deterministic stub payload of
+    * `length % 4096` bytes is written whole — the metadata/ACL/quarantine
+    * path is identical either way. */
   def copyInventory(
       spark: SparkSession,
       inventory: DataFrame,
       ops: FileOps,
-      parallelism: Int = 8): DataFrame = {
+      parallelism: Int = 8,
+      source: Option[FileOps] = None,
+      blockSize: Long = BlockSize): DataFrame = {
     import spark.implicits._
 
-    // phase 1: dirs, shallowest first, sequential on the driver (cheap:
-    // dirs ≪ files) — mirrors the reference's sequential dir phase
+    // phase 1: dirs, one DISTRIBUTED action per depth level, shallowest
+    // first. Levels are a barrier (an action completes before the next
+    // starts), so parents exist before children without any global order —
+    // and within a level mkdirs are embarrassingly parallel. Only the
+    // distinct depth values (~tree height, tens at most) reach the driver;
+    // the dirs frame itself never does — at 100 TB / O(10M) directories
+    // the old collect() here was a multi-GB driver array.
     val dirs = inventory.filter(col("is_folder"))
       .withColumn("depth", length(col("name")) - length(regexp_replace(col("name"), "/", "")))
-      .orderBy("depth", "name")
-      .select("name", "owner", "grp", "perms")
-      .collect()
-    val dirResults = dirs.map { r =>
-      try {
-        ops.mkdirs(r.getString(0))
-        ops.setOwnership(r.getString(0), r.getString(1), r.getString(2), r.getString(3))
-        CopyResult(r.getString(0), "ok", "dir")
-      } catch {
-        case e: Exception => CopyResult(r.getString(0), "failed", e.getMessage)
-      }
+      .select("depth", "name", "owner", "grp", "perms")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val depths = dirs.select("depth").distinct().as[Int].collect().sorted
+    val dirResults = depths.map { d =>
+      val level = dirs.filter(col("depth") === d)
+        .select("name", "owner", "grp", "perms")
+        .repartition(parallelism)
+        .as[(String, String, String, String)]
+        .mapPartitions { it =>
+          it.map { case (name, owner, grp, perms) =>
+            try {
+              ops.mkdirs(name)
+              ops.setOwnership(name, owner, grp, perms)
+              CopyResult(name, "ok", "dir")
+            } catch {
+              case e: Exception => CopyResult(name, "failed", String.valueOf(e.getMessage))
+            }
+          }
+        }
+        .toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      level.count() // the per-level barrier: parents before children
+      level
     }
+    dirs.unpersist(blocking = false)
 
     // phase 2: files, partition-parallel
     val files = inventory.filter(!col("is_folder"))
@@ -59,13 +112,18 @@ object CopyExecutor {
       .mapPartitions { it =>
         it.map { case (name, owner, grp, perms, len) =>
           try {
-            // content stub: the real engine streams ranged chunks
-            // (PackingOps.chunk_plan is the chunk schedule); here we
-            // materialize a deterministic payload of the declared length
-            val content = new Array[Byte]((len % 4096).toInt.max(1))
-            ops.write(name, content)
+            val detail = source match {
+              case Some(src) =>
+                val chunks = copyChunked(src, ops, name, len, blockSize)
+                s"file chunks=$chunks"
+              case None =>
+                // no byte store behind this inventory: deterministic stub
+                // payload so the metadata path still lands real files
+                ops.write(name, new Array[Byte]((len % 4096).toInt.max(1)))
+                "file"
+            }
             ops.setOwnership(name, owner, grp, perms)
-            CopyResult(name, "ok", "file")
+            CopyResult(name, "ok", detail)
           } catch {
             case e: Exception => CopyResult(name, "failed", String.valueOf(e.getMessage))
           }
@@ -76,10 +134,11 @@ object CopyExecutor {
       // every downstream action on the returned frame would re-run the
       // writes (benign for idempotent overwrites, wrong for append/flush
       // sinks); task-level retries remain idempotent-overwrite by design
+      // (createFile truncates, so a retried file restarts from offset 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     fileResults.count()
 
-    spark.createDataFrame(dirResults.toIndexedSeq).unionByName(fileResults)
+    dirResults.foldLeft(fileResults)(_ unionByName _)
   }
 
   final case class UnitRun(unit: Long, nPaths: Long, startMs: Long, endMs: Long)

@@ -21,6 +21,36 @@ trait FileOps extends Serializable {
   def read(path: String): Array[Byte]
   /** op 12 analogue: record owner/group/permissions for a path */
   def setOwnership(path: String, owner: String, group: String, perms: String): Unit
+
+  // ---- chunked byte-stream surface (op 5 consumer, copy-to-adls.py:55-91):
+  // the four REST verbs of the reference's copy inner loop — ranged GET from
+  // the source, create + append-at-position + flush on the destination.
+  // Defaults are whole-file fallbacks so simple FileOps decorators keep
+  // working; HadoopFileOps overrides all four with streaming forms.
+
+  /** byte length of an existing file */
+  def length(path: String): Long = read(path).length.toLong
+  /** ranged GET (x-ms-range bytes=offset..offset+len-1, copy-to-adls.py:66-69) */
+  def readRange(path: String, offset: Long, len: Int): Array[Byte] = {
+    val all = read(path)
+    java.util.Arrays.copyOfRange(all, offset.toInt, (offset + len).toInt)
+  }
+  /** PUT: create an empty file, overwriting (copy-to-adls.py:19-27) */
+  def createFile(path: String): Unit = write(path, Array.emptyByteArray)
+  /** PATCH action=append&position=offset (copy-to-adls.py:76-82): offset
+    * must equal the current file length — the ADLS position contract */
+  def append(path: String, offset: Long, data: Array[Byte]): Unit = {
+    val cur = read(path)
+    require(cur.length.toLong == offset,
+      s"append position mismatch on $path: at=${cur.length} expected=$offset")
+    write(path, cur ++ data)
+  }
+  /** PATCH action=flush&position=length (copy-to-adls.py:84-89): seals the
+    * file and validates the final length */
+  def flush(path: String, totalLen: Long): Unit = {
+    val got = length(path)
+    require(got == totalLen, s"flush length mismatch on $path: at=$got expected=$totalLen")
+  }
 }
 
 /** Hadoop-FileSystem-backed implementation; works for file://, hdfs://,
@@ -38,6 +68,15 @@ final class HadoopFileOps(root: String, conf: Map[String, String] = Map.empty)
     val c = new Configuration()
     conf.foreach { case (k, v) => c.set(k, v) }
     new Path(root).getFileSystem(c)
+  }
+
+  /** Chunked writes go through the raw stream layer: LocalFileSystem wraps a
+    * ChecksumFileSystem whose append() throws and whose .crc sidecars would
+    * be invalidated by append-at-offset; cloud FSes (abfss, graftfs) pass
+    * through unchanged. */
+  @transient private lazy val rawFs: FileSystem = fs match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case other => other
   }
 
   private def p(path: String) = new Path(root + path)
@@ -62,4 +101,34 @@ final class HadoopFileOps(root: String, conf: Map[String, String] = Map.empty)
 
   override def setOwnership(path: String, owner: String, group: String, perms: String): Unit =
     write(path + ".acl", s"$owner:$group:$perms".getBytes("UTF-8"))
+
+  override def length(path: String): Long = rawFs.getFileStatus(p(path)).getLen
+
+  override def readRange(path: String, offset: Long, len: Int): Array[Byte] = {
+    val in = rawFs.open(p(path))
+    try {
+      val buf = new Array[Byte](len)
+      in.readFully(offset, buf)
+      buf
+    } finally in.close()
+  }
+
+  override def createFile(path: String): Unit = {
+    val out = rawFs.create(p(path), true)
+    out.close()
+  }
+
+  override def append(path: String, offset: Long, data: Array[Byte]): Unit = {
+    val cur = rawFs.getFileStatus(p(path)).getLen
+    require(cur == offset,
+      s"append position mismatch on $path: at=$cur expected=$offset")
+    val out = rawFs.append(p(path))
+    try out.write(data) finally out.close()
+  }
+
+  override def flush(path: String, totalLen: Long): Unit = {
+    val got = rawFs.getFileStatus(p(path)).getLen
+    require(got == totalLen,
+      s"flush length mismatch on $path: at=$got expected=$totalLen")
+  }
 }
