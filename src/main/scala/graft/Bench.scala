@@ -41,8 +41,6 @@ object Bench {
     val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
     val results = names.map { name =>
       var failed = false
-      // a failed run's elapsed time IS recorded: a newly-broken query must
-      // never read as a 0-second speedup in the scored total
       val times = (1 to iters).flatMap { _ =>
         if (failed) None
         else {
@@ -58,15 +56,20 @@ object Bench {
           val dt = (System.nanoTime() - t0) / 1e9
           // blocking: async block removal must not bleed into the next timing
           CacheTracker.releaseAll(blocking = true)
-          Some(dt)
+          Some((dt, ok))
         }
       }
-      val sorted = times.sorted
+      // the published number is the median of SUCCESSFUL runs only — a
+      // failure at iter k>1 must not smear an aborted-run time into the
+      // steady-state estimate. A query with zero successes publishes its
+      // failure's elapsed time (never 0: a newly-broken query must not read
+      // as a speedup) and is flagged in `errors` either way.
+      val good = times.collect { case (dt, true) => dt }.sorted
       val median =
-        if (sorted.isEmpty) 0.0
-        else if (sorted.size % 2 == 1) sorted(sorted.size / 2)
-        else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2
-      (name, median, times.headOption.getOrElse(0.0), !failed)
+        if (good.isEmpty) times.headOption.map(_._1).getOrElse(0.0)
+        else if (good.size % 2 == 1) good(good.size / 2)
+        else (good(good.size / 2 - 1) + good(good.size / 2)) / 2
+      (name, median, times.headOption.map(_._1).getOrElse(0.0), !failed)
     }
     val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-factor amplifier for SCALING.md evidence: replicates the driver's
+  * sf0.1 tables `factor`× with key-consistent shifts, producing an sf1-shaped
+  * directory WITHOUT touching /root/testdata (output goes under target/).
+  *
+  * Join keys shift together (o_orderkey/l_orderkey, o_custkey/c_custkey,
+  * l_partkey/p_partkey, l_suppkey/s_suppkey) so every foreign-key
+  * relationship — and therefore every join/agg cardinality ratio — scales
+  * linearly. The two free-text/vector tables are mutated per replica so the
+  * similarity operators see new content rather than 10 verbatim clones
+  * (verbatim clones would synthesize a quadratic near-dup blow-up no real
+  * 10× corpus has):
+  *  - documents: replicas r>0 interleave the replica digit every 7 chars —
+  *    every 8-shingle crosses an inserted digit, so cross-replica Jaccard
+  *    collapses while within-replica relationships are preserved.
+  *  - embeddings: replicas rotate the component vector by 7r positions —
+  *    cosine within a replica is rotation-invariant (pair structure
+  *    preserved), cosine across replicas of the same vector decorrelates.
+  * Dimension tables (region, nation) and the label/lang/source vocabularies
+  * stay fixed, as they would at a real 10× of the same corpus.
+  */
+object ScaleData {
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dst = if (args.length > 1) args(1) else "/root/repo/target/testdata/sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(name: String): DataFrame = Tables.table(spark, src, name)
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+    def stride(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).first().getLong(0) + 1
+    /** replica-expand: one row per (row, r) with per-replica column edits */
+    def amplify(df: DataFrame, edits: (DataFrame, Long) => DataFrame): DataFrame =
+      (0L until factor).map(r => edits(df, r)).reduce(_ unionByName _)
+
+    // key strides (max+1) so shifted keys never collide across replicas
+    val custK = stride(read("customer"), "c_custkey")
+    val suppK = stride(read("supplier"), "s_suppkey")
+    val partK = stride(read("part"), "p_partkey")
+    val ordK = stride(read("orders"), "o_orderkey")
+    val docK = stride(read("documents"), "doc_id")
+    val vecK = stride(read("embeddings"), "vec_id")
+    val evK = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = read("events")
+      (stride(e, "event_id"), stride(e, "user_id"))
+    }
+
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+    write(amplify(read("customer"), (d, r) =>
+      d.withColumn("c_custkey", col("c_custkey") + lit(r * custK))), "customer")
+    write(amplify(read("supplier"), (d, r) =>
+      d.withColumn("s_suppkey", col("s_suppkey") + lit(r * suppK))), "supplier")
+    write(amplify(read("part"), (d, r) =>
+      d.withColumn("p_partkey", col("p_partkey") + lit(r * partK))), "part")
+    write(amplify(read("orders"), (d, r) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(r * ordK))
+        .withColumn("o_custkey", col("o_custkey") + lit(r * custK))), "orders")
+    write(amplify(read("lineitem"), (d, r) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(r * ordK))
+        .withColumn("l_partkey", col("l_partkey") + lit(r * partK))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(r * suppK))), "lineitem")
+    write(amplify(read("events"), (d, r) =>
+      d.withColumn("event_id", col("event_id") + lit(r * evK._1))
+        .withColumn("user_id", col("user_id") + lit(r * evK._2))), "events")
+    write(amplify(read("documents"), (d, r) =>
+      d.withColumn("doc_id", col("doc_id") + lit(r * docK))
+        .withColumn("text",
+          if (r == 0L) col("text")
+          else regexp_replace(col("text"), "(.{7})", "$1" + (r % 10)))
+        .withColumn("n_chars", length(col("text")).cast("long"))), "documents")
+    write(amplify(read("embeddings"), (d, r) => {
+      val shift = ((r * 7) % 64).toInt
+      d.withColumn("vec_id", col("vec_id") + lit(r * vecK))
+        .withColumn("embedding",
+          if (shift == 0) col("embedding")
+          else concat(expr(s"slice(embedding, ${shift + 1}, ${64 - shift})"),
+            expr(s"slice(embedding, 1, $shift)")))
+    }), "embeddings")
+
+    println(s"wrote ${factor}x of $src to $dst")
+    spark.stop()
+  }
+}

@@ -168,10 +168,13 @@ object DedupOps {
       val s = docShingles(spark, sfDir)
       val sig = s.select(col("doc_id"),
         graft.functions.MinHashSig.minhashSig(col("sh"), NumPerms).as("sig"))
+      // band key is a packed struct (band, h1, h2) — 2 longs + an int on the
+      // wire instead of a rendered string; this join is the hottest dedup
+      // shuffle, so key width is shuffle bytes at 100 TB
       val bands = sig.select(col("doc_id"),
         explode(array((0 until NumBands).map(bd =>
-          concat_ws(":", lit(bd), element_at(col("sig"), 2 * bd + 1),
-            element_at(col("sig"), 2 * bd + 2))): _*))
+          struct(lit(bd).as("band"), element_at(col("sig"), 2 * bd + 1).as("h1"),
+            element_at(col("sig"), 2 * bd + 2).as("h2"))): _*))
           .as("bandkey"))
       val cands = bands.alias("x").join(bands.alias("y"), Seq("bandkey"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))

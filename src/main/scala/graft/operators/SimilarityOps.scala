@@ -21,12 +21,32 @@ object SimilarityOps {
   /** ANN LSH: 8 tables × 4 hyperplane bits */
   val Tables4 = 8
   val BitsPerTable = 4
-  /** near-dup LSH: 24 tables × 2 sign bits, splitmix64 hyperplanes — sized
-    * for measured 100% recall at the demo threshold 0.4 (see the
-    * sim_near_dup_pairs scaladoc) */
-  val NearDupTables = 24
-  val NearDupBits = 2
   val NearDupSeed = 42L
+
+  /** per-hyperplane sign-agreement probability for a pair at cosine exactly
+    * tau (Charikar STOC 2002: P[h(a)=h(b)] = 1 - θ/π) */
+  def pMatch(tau: Double): Double = 1.0 - math.acos(tau) / math.Pi
+
+  /** Derive the LSH shape from the threshold instead of hard-coding it:
+    * bits = the widest table keeping per-table match probability p^bits ≥
+    * 1/3 (each extra bit roughly halves random-pair collisions but decays
+    * true-pair matches by p — a sharper tau affords more bits, which is
+    * what keeps candidate counts sub-quadratic at production thresholds),
+    * tables = the fewest t with miss probability (1 - p^bits)^t ≤ missProb.
+    * tau=0.4 → (23, 2); tau=0.8 → (23, 4). Pure function of (tau,
+    * missProb): the plan is reproducible across runs and engines. */
+  def nearDupParams(tau: Double, missProb: Double = 1e-5): (Int, Int) = {
+    val p = pMatch(tau)
+    val bits = math.max(2, math.min(8,
+      math.floor(math.log(1.0 / 3) / math.log(p)).toInt))
+    val pt = math.pow(p, bits)
+    val tables = math.max(1, math.ceil(math.log(missProb) / math.log1p(-pt)).toInt)
+    (tables, bits)
+  }
+
+  /** demo-regime near-dup LSH shape (threshold 0.4): 23 tables × 2 bits */
+  val NearDupTables: Int = nearDupParams(0.4)._1
+  val NearDupBits: Int = nearDupParams(0.4)._2
   /** Above this corpus size the near-dup broadcast hints are dropped and
     * the bucket/verify joins run as AQE-planned shuffled equi-joins. The
     * cutoff is derived from a byte budget, not a row count: the widest
@@ -75,43 +95,85 @@ object SimilarityOps {
       |               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS sim6
       |      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)""".stripMargin
 
-  /** Embedding near-dup pairs (a, b, sim6 ≥ NearDupThreshold), unsorted:
-    * LSH bucket candidates + exact cosine verification. Explicit broadcast
-    * hints are only sound while the corpus is small — at production scale
-    * they would OOM the driver, so they are gated on the vector count (a
-    * metadata-only parquet count) and beyond the cutoff AQE plans the same
-    * joins as shuffled equi-joins. Norms are computed once per vector, not
-    * per candidate pair (3× fewer flops in the verify stage, bit-identical
+  /** The derived LSH plan for a threshold: `tables` tables of `bits` sign
+    * bits packed into ⌈tables/(63 div bits)⌉ 64-bit words (one
+    * HyperplaneCodeWord codegen pass per word, independent hyperplanes per
+    * word via seed+wordIdx). Global table g lives in word g/tablesPerWord,
+    * slot g%tablesPerWord. */
+  final case class NearDupPlan(tau: Double, tables: Int, bits: Int) {
+    val tablesPerWord: Int = 63 / bits
+    val nWords: Int = (tables + tablesPerWord - 1) / tablesPerWord
+    def tablesInWord(k: Int): Int = math.min(tablesPerWord, tables - k * tablesPerWord)
+    /** estimated broadcast bytes per vector for the band side */
+    def bandBytesPerVector: Long = tables * 28L + nWords * 16L
+  }
+
+  def nearDupPlan(tau: Double): NearDupPlan = {
+    val (t, b) = nearDupParams(tau)
+    NearDupPlan(tau, t, b)
+  }
+
+  /** LSH bucket candidate pairs (a, b) for a threshold plan, each pair
+    * emitted exactly once — at its FIRST matching global table — so no
+    * distinct shuffle is needed. "All tables before g differ" is pure bit
+    * math on the packed words: OR the xor over all bits-1 right-shifts so
+    * any differing bit lands on its group's low bit, then require every
+    * group before table g to differ — within g's own word via the
+    * below-slot mask, and in every earlier word via that word's full group
+    * mask. Valid for any bits width and any word count. */
+  def nearDupCandidates(spark: SparkSession, sfDir: String, tau: Double): DataFrame = {
+    val plan = nearDupPlan(tau)
+    val e = embeddings(spark, sfDir)
+    val smallCorpus = e.count() <=
+      BroadcastBudgetBytes / math.max(EmbBytesPerVector, plan.bandBytesPerVector)
+    def hinted(df: DataFrame): DataFrame = if (smallCorpus) broadcast(df) else df
+    val wordCols = (0 until plan.nWords).map { k =>
+      graft.functions.HyperplaneCodes.hyperplaneCodeWord(
+        toDouble(col("embedding")), plan.tablesInWord(k), plan.bits, NearDupSeed + k)
+    }
+    val tpw = plan.tablesPerWord
+    val b = plan.bits
+    val coded = e.select(col("vec_id"), array(wordCols: _*).as("ws"))
+    val bands = coded
+      .select(col("vec_id"), col("ws"),
+        explode(sequence(lit(0), lit(plan.tables - 1))).as("g"))
+      .withColumn("code", expr(
+        s"(element_at(ws, CAST(g DIV $tpw AS INT) + 1) >> ($b * (g % $tpw))) & ${(1 << b) - 1}"))
+    val x = bands.select(col("vec_id").as("a"), col("ws").as("wsa"), col("g"), col("code"))
+    val y = bands.select(col("vec_id").as("b"), col("ws").as("wsb"), col("g"), col("code"))
+    def collapsed(k: Int): String = (0 until b)
+      .map(s => s"((element_at(wsa, ${k + 1}) ^ element_at(wsb, ${k + 1})) >> $s)")
+      .mkString("(", " | ", ")")
+    def groupMask(k: Int): Long =
+      (0 until plan.tablesInWord(k)).map(t => 1L << (b * t)).reduce(_ | _)
+    // every word before g's word must differ in EVERY table...
+    val earlierWords = (0 until plan.nWords).map { k =>
+      s"((g DIV $tpw) <= $k OR ((${collapsed(k)} & ${groupMask(k)}L) = ${groupMask(k)}L))"
+    }.mkString(" AND ")
+    // ...and within g's word, every table before g's slot must differ
+    val withinWord = (0 until plan.nWords).map { k =>
+      val below = s"((shiftleft(CAST(1 AS BIGINT), $b * (g % $tpw)) - 1) & ${groupMask(k)}L)"
+      s"WHEN (g DIV $tpw) = $k THEN ((${collapsed(k)} & $below) = $below)"
+    }.mkString(" ")
+    val firstMatch = expr(s"($earlierWords) AND (CASE $withinWord END)")
+    x.join(hinted(y), Seq("g", "code"))
+      .filter(col("a") < col("b") && firstMatch)
+      .select("a", "b")
+  }
+
+  /** Embedding near-dup pairs (a, b, sim6 ≥ tau), unsorted: LSH bucket
+    * candidates + exact cosine verification. Explicit broadcast hints are
+    * only sound while the corpus is small — at production scale they would
+    * OOM the driver, so they are gated on the vector count (a metadata-only
+    * parquet count) and beyond the cutoff AQE plans the same joins as
+    * shuffled equi-joins. Norms are computed once per vector, not per
+    * candidate pair (3× fewer flops in the verify stage, bit-identical
     * doubles). */
-  def nearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  def nearDupPairsAt(spark: SparkSession, sfDir: String, tau: Double): DataFrame = {
     val e = embeddings(spark, sfDir)
     val smallCorpus = e.count() <= BroadcastMaxVectors
     def hinted(df: DataFrame): DataFrame = if (smallCorpus) broadcast(df) else df
-    // all 24 codes packed into one long per vector (one codegen pass)
-    val coded = e.select(col("vec_id"),
-      graft.functions.HyperplaneCodes.hyperplaneCodeWord(
-        toDouble(col("embedding")), NearDupTables, NearDupBits, NearDupSeed).as("w"))
-    val bands = coded
-      .select(col("vec_id"), col("w"),
-        explode(sequence(lit(0), lit(NearDupTables - 1))).as("t"))
-      .select(col("vec_id"), col("w"), col("t"),
-        expr(s"(w >> ($NearDupBits * t)) & ${(1 << NearDupBits) - 1}").as("code"))
-    val x = bands.select(col("vec_id").as("a"), col("w").as("wa"), col("t"), col("code"))
-    val y = bands.select(col("vec_id").as("b"), col("w").as("wb"), col("t"), col("code"))
-    // keep each pair only at its FIRST matching table — dedups without a
-    // distinct shuffle. "All tables below t differ" is pure bit math on
-    // the packed words: OR the xor over all bits-1 right-shifts so any
-    // differing bit lands on its group's low bit, then require every
-    // group below table t to differ. Valid for any NearDupBits width.
-    val groupLow = (0 until 64 / NearDupBits)
-      .map(k => 1L << (NearDupBits * k)).reduce(_ | _)
-    val collapsedDiff = (0 until NearDupBits)
-      .map(s => s"((wa ^ wb) >> $s)").mkString("(", " | ", ")")
-    val below = s"(shiftleft(CAST(1 AS BIGINT), $NearDupBits * t) - 1) & ${groupLow}L"
-    val firstMatch = expr(s"($collapsedDiff & $below) = ($below)")
-    val cands = x.join(hinted(y), Seq("t", "code"))
-      .filter(col("a") < col("b") && firstMatch)
-      .select("a", "b")
+    val cands = nearDupCandidates(spark, sfDir, tau)
     val qa = e.select(col("vec_id").as("a"), toDouble(col("embedding")).as("ea"))
       .withColumn("na", norm(col("ea")))
     val qb = e.select(col("vec_id").as("b"), toDouble(col("embedding")).as("eb"))
@@ -119,8 +181,11 @@ object SimilarityOps {
     cands.join(hinted(qa), Seq("a")).join(hinted(qb), Seq("b"))
       .select(col("a"), col("b"),
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("sim6"))
-      .filter(col("sim6") >= NearDupThreshold)
+      .filter(col("sim6") >= tau)
   }
+
+  def nearDupPairs(spark: SparkSession, sfDir: String): DataFrame =
+    nearDupPairsAt(spark, sfDir, NearDupThreshold)
 
   /** shared CTE: per-(vector, label-centroid) cosine score on 1e6-quantized
     * integer components — exact sums, so partial-agg order and engine cannot
@@ -163,6 +228,150 @@ object SimilarityOps {
       .join(broadcast(cnorm), Seq("clabel"))
       .select(col("vec_id"), col("label"), col("clabel"),
         round(col("dp").cast("double") / (col("nv") * col("nc")), 6).as("score"))
+  }
+
+  // ---- deterministic integer k-means (the IVF coarse codebook) ----
+
+  /** IVF codebook size and Lloyd round count — fixed so the operator is a
+    * pure function of the data (oracle-able) */
+  val KmeansK = 10
+  val KmeansIters = 5
+
+  /** (vec_id, i, xq): 1e6-quantized integer components — all k-means
+    * arithmetic runs on these, so every distance comparison is exact and
+    * engine/partitioning-independent */
+  private def quantComps(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), posexplode(toDouble(col("embedding"))).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"), floor(col("x") * 1000000).cast("long").as("xq"))
+
+  /** Deterministic k-means over the quantized components: farthest-point
+    * init (k-center greedy: first pick = max ‖v‖², then argmax of min
+    * distance² to the chosen set, ties to the smaller vec_id), then
+    * KmeansIters Lloyd rounds whose centroids are FLOOR-MEAN integer
+    * vectors (floorDiv of exact integer sums — a float mean would drift
+    * between partial-agg orders and engines). Empty clusters keep their
+    * previous centroid. Returns the K×64 centroid matrix.
+    *
+    * Scale shape: centroids live on the driver (K×64 longs — bytes), data
+    * stays distributed; each init step and each Lloyd round is one
+    * distributed aggregation over the components (the canonical Spark
+    * k-means layout). Distance argmins compare n2c - 2·v·c — the v-constant
+    * term drops out of per-vector comparisons. */
+  def kmeansCodebook(spark: SparkSession, sfDir: String): Array[Array[Long]] = {
+    import spark.implicits._
+    val comps = quantComps(embeddings(spark, sfDir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.CacheTracker.track(comps)
+    val vn2 = comps.groupBy("vec_id").agg(sum(col("xq") * col("xq")).as("n2"))
+
+    def centDf(cents: Seq[Array[Long]]): DataFrame =
+      cents.zipWithIndex.flatMap { case (cs, c) =>
+        cs.zipWithIndex.map { case (x, i) => (c, i, x) }
+      }.toDF("c", "i", "x")
+    def n2cDf(cents: Seq[Array[Long]]): DataFrame =
+      cents.zipWithIndex.map { case (cs, c) => (c, cs.map(x => x * x).sum) }
+        .toDF("c", "n2c")
+    def components(vid: Long): Array[Long] =
+      comps.filter(col("vec_id") === vid).orderBy("i").select("xq").as[Long].collect()
+
+    // farthest-point init
+    val first = vn2.orderBy(col("n2").desc, col("vec_id")).limit(1)
+      .collect()(0).getLong(0)
+    var cents = Vector(components(first))
+    while (cents.size < KmeansK) {
+      val pick = comps.join(broadcast(centDf(cents)), Seq("i"))
+        .groupBy("vec_id", "c").agg(sum(col("xq") * col("x")).as("dp"))
+        .join(broadcast(n2cDf(cents)), Seq("c"))
+        .groupBy("vec_id").agg(min(col("n2c") - col("dp") * 2).as("m"))
+        .join(vn2, Seq("vec_id"))
+        .orderBy((col("n2") + col("m")).desc, col("vec_id")).limit(1)
+        .collect()(0).getLong(0)
+      cents :+= components(pick)
+    }
+
+    // Lloyd rounds: assign to argmin distance (tie: smaller list id), then
+    // floor-mean integer centroid per (list, component) — one distributed
+    // aggregation per round, K×64 rows back to the driver
+    for (_ <- 0 until KmeansIters) {
+      val asg = comps.join(broadcast(centDf(cents)), Seq("i"))
+        .groupBy("vec_id", "c").agg(sum(col("xq") * col("x")).as("dp"))
+        .join(broadcast(n2cDf(cents)), Seq("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("n2c") - col("dp") * 2, col("c"))))
+        .filter(col("rn") === 1)
+        .select("vec_id", "c")
+      val sums = comps.join(asg, Seq("vec_id"))
+        .groupBy("c", "i")
+        .agg(sum("xq").as("s"), count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      cents = cents.zipWithIndex.map { case (prev, c) =>
+        Array.tabulate(prev.length) { i =>
+          sums.get((c, i)).fold(prev(i)) { case (s, n) => Math.floorDiv(s, n) }
+        }
+      }
+    }
+    cents.toArray
+  }
+
+  /** DuckDB twin of [[kmeansCodebook]] + final list scoring, generated by
+    * unrolling the same K init steps and KmeansIters Lloyd rounds as CTE
+    * stages (every stage is exact integer arithmetic, so the unrolled SQL
+    * lands on bit-identical centroids). Ends with `ranked(vec_id, c, r)` —
+    * vectors ranked by distance to each final centroid. */
+  private def kmeansOracleCtes: String = {
+    // multiply-referenced CTEs are MATERIALIZED (DuckDB-only syntax — the
+    // oracle never runs through Spark): without it DuckDB inlines every one
+    // of the ~30 comps references into its own parquet scan and runs out of
+    // file handles
+    val sb = new StringBuilder
+    sb ++= s"""comps AS MATERIALIZED (SELECT vec_id, i - 1 AS i,
+              |        CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+              |      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) ii),
+              |vn2 AS MATERIALIZED (SELECT vec_id, CAST(sum(xq * xq) AS BIGINT) AS n2 FROM comps GROUP BY vec_id),
+              |pick1 AS (SELECT vec_id FROM vn2 ORDER BY n2 DESC, vec_id LIMIT 1),
+              |chos1 AS (SELECT 0 AS c, i, xq AS x FROM comps WHERE vec_id = (SELECT vec_id FROM pick1))""".stripMargin
+    for (k <- 2 to KmeansK) {
+      sb ++= s""",
+                |mdp$k AS (SELECT comps.vec_id, ch.c, CAST(sum(comps.xq * ch.x) AS BIGINT) AS dp
+                |      FROM comps JOIN chos${k - 1} ch ON ch.i = comps.i GROUP BY comps.vec_id, ch.c),
+                |cn$k AS (SELECT c, CAST(sum(x * x) AS BIGINT) AS n2c FROM chos${k - 1} GROUP BY c),
+                |md$k AS (SELECT d.vec_id, min(cn.n2c - 2 * d.dp) AS m
+                |      FROM mdp$k d JOIN cn$k cn ON cn.c = d.c GROUP BY d.vec_id),
+                |pick$k AS (SELECT md$k.vec_id FROM md$k JOIN vn2 ON vn2.vec_id = md$k.vec_id
+                |      ORDER BY (vn2.n2 + md$k.m) DESC, md$k.vec_id LIMIT 1),
+                |chos$k AS MATERIALIZED (SELECT * FROM chos${k - 1} UNION ALL
+                |      SELECT ${k - 1} AS c, i, xq AS x FROM comps
+                |      WHERE vec_id = (SELECT vec_id FROM pick$k))""".stripMargin
+    }
+    sb ++= s""",
+              |ca0 AS MATERIALIZED (SELECT * FROM chos$KmeansK)""".stripMargin
+    for (j <- 0 until KmeansIters) {
+      sb ++= s""",
+                |dj$j AS (SELECT comps.vec_id, ct.c, CAST(sum(comps.xq * ct.x) AS BIGINT) AS dp
+                |      FROM comps JOIN ca$j ct ON ct.i = comps.i GROUP BY comps.vec_id, ct.c),
+                |cnj$j AS (SELECT c, CAST(sum(x * x) AS BIGINT) AS n2c FROM ca$j GROUP BY c),
+                |asg$j AS MATERIALIZED (SELECT vec_id, c FROM (
+                |      SELECT d.vec_id, d.c, row_number() OVER (PARTITION BY d.vec_id
+                |          ORDER BY cn.n2c - 2 * d.dp, d.c) AS rn
+                |      FROM dj$j d JOIN cnj$j cn ON cn.c = d.c) t$j WHERE rn = 1),
+                |sm$j AS (SELECT a.c, comps.i, CAST(sum(comps.xq) AS BIGINT) AS s,
+                |        CAST(count(*) AS BIGINT) AS cnt
+                |      FROM comps JOIN asg$j a ON a.vec_id = comps.vec_id GROUP BY a.c, comps.i),
+                |ca${j + 1} AS MATERIALIZED (SELECT p.c, p.i,
+                |        COALESCE((s.s - ((s.s % s.cnt) + s.cnt) % s.cnt) // s.cnt, p.x) AS x
+                |      FROM ca$j p LEFT JOIN sm$j s ON s.c = p.c AND s.i = p.i)""".stripMargin
+    }
+    val J = KmeansIters
+    sb ++= s""",
+              |djF AS (SELECT comps.vec_id, ct.c, CAST(sum(comps.xq * ct.x) AS BIGINT) AS dp
+              |      FROM comps JOIN ca$J ct ON ct.i = comps.i GROUP BY comps.vec_id, ct.c),
+              |cnjF AS (SELECT c, CAST(sum(x * x) AS BIGINT) AS n2c FROM ca$J GROUP BY c),
+              |ranked AS MATERIALIZED (SELECT d.vec_id, d.c, row_number() OVER (PARTITION BY d.vec_id
+              |          ORDER BY cn.n2c - 2 * d.dp, d.c) AS r
+              |      FROM djF d JOIN cnjF cn ON cn.c = d.c)""".stripMargin
+    sb.result()
   }
 
   /** brute-force cosine top-k for qid < NumQueries; rounded to 6 dp before
@@ -212,27 +421,39 @@ object SimilarityOps {
 
     // embedding-cosine near-duplicate pairs (dedup-by-embedding): LSH
     // bucket candidates + exact cosine verification, oracled against the
-    // brute-force all-pairs SQL. Candidates come from 24 hyperplane tables
-    // of 2 sign bits each (HyperplaneCodes, one codegen pass per row);
-    // each candidate pair is emitted exactly once — at its FIRST matching
-    // table — so no distinct shuffle is needed. Parameters are sized for
-    // the demo threshold 0.4 (the testdata's max cosine is ~0.51, far
-    // below real near-dup territory): measured recall is 100% at sf0.01
-    // and sf0.1 with every true pair matching ≥ 3 tables, and independence
-    // theory puts the per-pair miss probability at (1-0.398)^24 ≈ 5e-6.
-    // At a production threshold (≥ 0.8) the same operator gets sharper,
-    // not weaker: p_match per table rises from 0.40 to 0.73 and buckets
-    // enrich true pairs exponentially in the bit count. Broadcast hints on
-    // the band/embedding sides are gated on BroadcastMaxVectors: below it
-    // (demo sizes) they skip a shuffle; above it the hints disappear and
-    // AQE plans the same joins as shuffled equi-joins, which is the shape
-    // that survives a corpus-scale run.
+    // brute-force all-pairs SQL. The LSH shape is DERIVED from the
+    // threshold by nearDupParams — tau=0.4 → 23 tables × 2 sign bits,
+    // per-pair miss ≤ 1e-5 at the threshold (measured recall 100% at
+    // sf0.001/sf0.01, asserted in SimilaritySpec); each candidate pair is
+    // emitted exactly once — at its FIRST matching table — so no distinct
+    // shuffle is needed. The demo threshold is 0.4 because the testdata's
+    // max cosine is ~0.51; the production-threshold variant below (tau=0.8
+    // → 23 tables × 4 bits) shows the derivation sharpening the buckets:
+    // doubling the bit width quarters random-pair collisions while the
+    // table count stays flat. Broadcast hints on the band/embedding sides
+    // are gated on BroadcastMaxVectors: below it (demo sizes) they skip a
+    // shuffle; above it the hints disappear and AQE plans the same joins
+    // as shuffled equi-joins, which is the shape that survives a
+    // corpus-scale run.
     GraftQuery("sim_near_dup_pairs",
       s"""WITH $BrutePairCte
          |SELECT ida AS a, idb AS b, sim6 FROM p WHERE sim6 >= $NearDupThreshold
          |ORDER BY a, b""".stripMargin,
       bench = true) { (spark, sfDir) =>
       nearDupPairs(spark, sfDir).orderBy("a", "b")
+    },
+
+    // the production-threshold variant: same operator, tau=0.8, LSH shape
+    // derived (23 tables × 4 bits — p_match/table 0.40, same as the demo's,
+    // from a per-hyperplane p of 0.795 vs 0.631). On the demo corpus the
+    // verified output is empty (max cosine ~0.51) but the full candidate /
+    // verify pipeline runs; SimilaritySpec pins the candidate-count drop
+    // vs tau=0.4 (sharper buckets → fewer candidates on the SAME corpus).
+    GraftQuery("sim_near_dup_t08",
+      s"""WITH $BrutePairCte
+         |SELECT ida AS a, idb AS b, sim6 FROM p WHERE sim6 >= 0.8
+         |ORDER BY a, b""".stripMargin) { (spark, sfDir) =>
+      nearDupPairsAt(spark, sfDir, 0.8).orderBy("a", "b")
     },
 
     // connected components over the embedding near-dup pair graph — the
@@ -278,24 +499,25 @@ object SimilarityOps {
         .orderBy("label", "pred_label")
     },
 
-    // IVF-style ANN: the label centroids act as the coarse codebook (a
-    // supervised stand-in for the k-means quantizer — deterministic, so the
-    // whole operator stays oracle-able). Every vector is assigned to its
-    // nearest centroid's inverted list; a query probes its IvfProbes
-    // nearest lists and exact-re-ranks only those lists' members. At
-    // corpus scale the assignment is one argmax over K centroid dots per
-    // vector and the probe join is an equi-join on list id — no all-pairs
-    // stage anywhere. Recall vs brute force is asserted in SimilaritySpec
-    // (the demo corpus is near-orthogonal, so recall here reflects how
-    // label-clustered the space is; at a real corpus's cluster structure
-    // the same operator sharpens).
+    // IVF-style ANN with a LEARNED coarse codebook: deterministic integer
+    // k-means (farthest-point init + 5 floor-mean Lloyd rounds — see
+    // kmeansCodebook) quantizes the corpus into K inverted lists; every
+    // vector joins its nearest centroid's list, a query probes its
+    // IvfProbes nearest lists and exact-re-ranks only those lists'
+    // members. At corpus scale the codebook build is K+5 distributed
+    // aggregations with only K×64 longs ever on the driver, the assignment
+    // is one argmin over K centroid dots per vector, and the probe join is
+    // an equi-join on list id — no all-pairs stage anywhere. Every k-means
+    // step is exact integer arithmetic, so the DuckDB oracle (the same
+    // init steps and Lloyd rounds unrolled as CTEs) lands on bit-identical
+    // centroids and the operator stays fully oracled. Recall vs brute
+    // force is asserted in SimilaritySpec — the learned codebook beats the
+    // supervised label centroids it replaced because Lloyd rounds balance
+    // the lists to the actual geometry.
     GraftQuery("sim_ann_ivf",
-      s"""WITH $CentroidCte,
-         |ranked AS (SELECT vec_id, clabel AS list,
-         |        row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, clabel) AS r
-         |      FROM scored),
-         |assign AS (SELECT vec_id, list FROM ranked WHERE r = 1),
-         |probes AS (SELECT vec_id AS qid, list FROM ranked
+      s"""WITH $kmeansOracleCtes,
+         |assign AS (SELECT vec_id, c AS list FROM ranked WHERE r = 1),
+         |probes AS (SELECT vec_id AS qid, c AS list FROM ranked
          |      WHERE r <= $IvfProbes AND vec_id < $NumQueries),
          |cands AS (SELECT p.qid, a.vec_id AS nid
          |      FROM probes p JOIN assign a ON a.list = p.list
@@ -317,10 +539,20 @@ object SimilarityOps {
          |SELECT qid, rnk, nid, sim6 FROM r2 WHERE rnk <= $TopK
          |ORDER BY qid, rnk""".stripMargin,
       bench = true) { (spark, sfDir) =>
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("score").desc, col("clabel"))
-      val ranked = centroidScored(spark, sfDir)
-        .withColumn("r", row_number().over(wAssign))
-        .select(col("vec_id"), col("clabel").as("list"), col("r"))
+      import spark.implicits._
+      val cents = kmeansCodebook(spark, sfDir)
+      val centRows = cents.zipWithIndex.flatMap { case (cs, c) =>
+        cs.zipWithIndex.map { case (x, i) => (c, i, x) }
+      }.toSeq.toDF("list", "i", "x")
+      val n2c = cents.zipWithIndex.map { case (cs, c) => (c, cs.map(x => x * x).sum) }
+        .toSeq.toDF("list", "n2c")
+      val ranked = quantComps(embeddings(spark, sfDir))
+        .join(broadcast(centRows), Seq("i"))
+        .groupBy("vec_id", "list").agg(sum(col("xq") * col("x")).as("dp"))
+        .join(broadcast(n2c), Seq("list"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("n2c") - col("dp") * 2, col("list"))))
+        .select("vec_id", "list", "r")
       val assign = ranked.filter(col("r") === 1).select("vec_id", "list")
       val probes = ranked.filter(col("r") <= IvfProbes && col("vec_id") < NumQueries)
         .select(col("vec_id").as("qid"), col("list"))

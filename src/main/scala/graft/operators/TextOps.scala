@@ -201,8 +201,8 @@ object TextOps {
          |    (SELECT CAST(sum(CASE WHEN keep_q THEN 1 ELSE 0 END) AS BIGINT) FROM f) AS n2,
          |    (SELECT CAST(count(*) AS BIGINT) FROM surv) AS n3,
          |    (SELECT CAST(sum(CASE WHEN is_uniq THEN 1 ELSE 0 END) AS BIGINT) FROM u) AS n4),
-         |s AS (SELECT CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN '5_train'
-         |             WHEN (doc_id * 2654435761) % 100 < 95 THEN '6_val'
+         |s AS (SELECT CASE WHEN (doc_id % 100 * 61) % 100 < 90 THEN '5_train'
+         |             WHEN (doc_id % 100 * 61) % 100 < 95 THEN '6_val'
          |             ELSE '7_test' END AS stage
          |      FROM u WHERE is_uniq)
          |SELECT stage, n FROM (
@@ -246,7 +246,7 @@ object TextOps {
         struct(lit("4_unique").as("stage"), col("n4").as("n")))).as("e"))
         .select(col("e.stage"), col("e.n"))
       val splits = u.filter(col("is_uniq"))
-        .withColumn("b", (col("doc_id") * 2654435761L) % 100)
+        .withColumn("b", (col("doc_id") % 100 * 61) % 100)
         .withColumn("stage", when(col("b") < 90, "5_train")
           .when(col("b") < 95, "6_val").otherwise("7_test"))
         .groupBy("stage").agg(count(lit(1)).as("n"))
@@ -254,9 +254,14 @@ object TextOps {
     },
 
     // deterministic train/val/test assignment: Knuth-hash bucket of doc_id —
-    // stable across runs/engines, no RNG (the reproducible corpus split)
+    // stable across runs/engines, no RNG (the reproducible corpus split).
+    // (a*k) % 100 depends only on a % 100, so the bucket is computed as
+    // (doc_id % 100 * 61) % 100 with 61 = 2654435761 % 100: value-identical
+    // to the full product, but safe where doc_id * 2654435761 would
+    // overflow BIGINT (doc_id ≳ 3.5e9 — i.e. at the 100 TB corpus scale,
+    // where Spark would wrap silently while DuckDB errors)
     GraftQuery("text_split_assign",
-      """WITH a AS (SELECT doc_id, (doc_id * 2654435761) % 100 AS bucket FROM documents),
+      """WITH a AS (SELECT doc_id, (doc_id % 100 * 61) % 100 AS bucket FROM documents),
         |s AS (SELECT doc_id,
         |        CASE WHEN bucket < 90 THEN 'train'
         |             WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
@@ -264,7 +269,7 @@ object TextOps {
         |SELECT split, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM s GROUP BY split ORDER BY split""".stripMargin) { (spark, sfDir) =>
       docs(spark, sfDir)
-        .withColumn("bucket", (col("doc_id") * 2654435761L) % 100)
+        .withColumn("bucket", (col("doc_id") % 100 * 61) % 100)
         .withColumn("split", when(col("bucket") < 90, "train")
           .when(col("bucket") < 95, "val").otherwise("test"))
         .groupBy("split")

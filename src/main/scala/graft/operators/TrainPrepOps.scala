@@ -128,8 +128,10 @@ object TrainPrepOps {
 
     // context-window sequence packing (GPT-style concat-and-chop): the
     // corpus is concatenated in doc_id order and chopped into fixed
-    // 256-token windows; seq = the window holding each document's final
-    // token. This is exactly the next-fit relaxation, so it reuses the
+    // 256-token windows; seq = cum // 256 + 1, the floor-based next-fit
+    // relaxation (a document whose final token lands exactly on a window
+    // boundary starts the NEXT window — the same relaxation pack_nextfit
+    // applies to Data-Box bins). It reuses the
     // distributed two-phase prefix sum (PackingOps.nextFitDist) — range
     // partition, local cumsum, broadcast per-partition offsets; no global
     // single-partition window anywhere.

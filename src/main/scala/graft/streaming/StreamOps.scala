@@ -162,14 +162,42 @@ object StreamOps {
     * streaming stage shuffle-free. The gram pipeline and eval-split
     * predicate are the batch operator's own (TrainPrepOps.gramsOf /
     * isEvalDoc), so the gate cannot drift from the oracled query. */
+  private val evalGramCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def decontamMatches(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.TrainPrepOps.{gramsOf, isEvalDoc}
-    val evalGrams = gramsOf(
-      graft.Tables.documents(spark, sfDir).filter(isEvalDoc))
-      .select("gh").distinct().persist()
+    // memoized per (session, sfDir) like RefFixtures.aclRecords: restarting
+    // the streaming query must reuse the one persisted eval-gram frame, not
+    // stack a fresh persisted copy per invocation
+    val evalGrams = evalGramCache.getOrElseUpdate((spark, sfDir),
+      gramsOf(graft.Tables.documents(spark, sfDir).filter(isEvalDoc))
+        .select("gh").distinct().persist())
     gramsOf(docStream(spark, sfDir).filter(!isEvalDoc))
       .join(broadcast(evalGrams), Seq("gh"))
   }
+
+  /** Streaming near-real-time exact dedup — the streaming twin of
+    * dedup_incremental's md5 gate (TextOps): each incoming document is kept
+    * only if its content hash has NOT been seen within the watermark
+    * horizon; later arrivals of the same text are dropped by the state
+    * store. `dropDuplicatesWithinWatermark` (not plain dropDuplicates) is
+    * the point at 100 TB: state for a hash is released once the watermark
+    * passes its ingestion time + horizon, so an unbounded ingestion stream
+    * holds bounded state — the horizon is the dedup recall window, chosen
+    * per pipeline (a day's re-crawl horizon, not corpus history; the full
+    * corpus-history gate is the batch anti-join it composes with).
+    * Ingestion time is derived deterministically from doc_id (one second
+    * apart) so specs and re-runs see identical watermark behavior. */
+  def incrementalDedup(docs: DataFrame, horizon: String = "1 hour"): DataFrame =
+    docs
+      // +1 day: the unfed stream's initial watermark sits at the epoch, and
+      // doc_id 0 at exactly the epoch instant would be filtered as late
+      .withColumn("ingest_ts", expr("timestamp_seconds(doc_id + 86400)"))
+      .withColumn("h", md5(col("text").cast("binary")))
+      .withWatermark("ingest_ts", horizon)
+      .dropDuplicatesWithinWatermark("h")
+      .select(col("doc_id"), col("h"))
 
   /** stream-stream interval self-join: pairs of events by the same user
     * within a 1-minute follow window. Both sides watermarked; the time-bound

@@ -50,7 +50,7 @@ final class TracingFileOps(inner: FileOps) extends FileOps {
 
 /** copy/ACL executor over local FS: phase ordering, parallel fan-out,
   * per-item quarantine (ops 9-15, 32-34). */
-class CopyExecutorSpec extends AnyFunSuite {
+class CopyExecutorSpec extends AnyFunSuite with CacheDrained {
 
   test("copyInventory creates dirs before files, writes acl sidecars") {
     val spark = TestSpark.spark

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Cross-operator invariants for the round-3 additions (each is also
   * hash-oracled; these pin the semantic relationships the oracle can't). */
-class OperatorInvariantSpec extends AnyFunSuite {
+class OperatorInvariantSpec extends AnyFunSuite with CacheDrained {
 
   test("containment dominates Jaccard on every overlapping pair") {
     val spark = TestSpark.spark

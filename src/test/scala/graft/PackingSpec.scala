@@ -9,7 +9,7 @@ import graft.operators.PackingOps
 /** Property tests for the bin-packing allocator (SURVEY.md §5):
   * invariants of exact first-fit and its next-fit window relaxation.
   * Deterministic seeded generation (no scalatestplus bridge offline). */
-class PackingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
+class PackingSpec extends AnyFunSuite with CacheDrained {
 
   // two-phase helpers persist-and-track; drain per test like the harness does
   override def afterEach(): Unit = CacheTracker.releaseAll()

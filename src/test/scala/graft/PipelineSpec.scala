@@ -11,7 +11,7 @@ import graft.operators.PackingOps
 /** End-to-end replays of the reference's three entry points (SURVEY.md §3)
   * over the engine — what a user of the reference would actually run.
   */
-class PipelineSpec extends AnyFunSuite {
+class PipelineSpec extends AnyFunSuite with CacheDrained {
 
   test("§3.1 generate-file-list: scan → pack → partitioned filelists → validate") {
     val spark = TestSpark.spark

@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * visible in the plan, not assumed — broadcast joins stay broadcast,
   * filters and projections reach the parquet scan, bucketed joins avoid
   * shuffles, and hot paths stay inside whole-stage codegen. */
-class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
+class PlanSpec extends AnyFunSuite with CacheDrained {
 
   // queries under plan inspection persist-and-track helper frames; drain
   // per test like the harness does

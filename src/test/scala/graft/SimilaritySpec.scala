@@ -58,11 +58,40 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("near-dup LSH shape derives from the threshold with bounded miss probability") {
+    import graft.operators.SimilarityOps
+    val (t04, b04) = SimilarityOps.nearDupParams(0.4)
+    val (t08, b08) = SimilarityOps.nearDupParams(0.8)
+    // sharper threshold → wider tables (more bits), not more tables
+    assert(b08 > b04, s"bits should grow with tau: $b04 -> $b08")
+    for ((tau, t, b) <- Seq((0.4, t04, b04), (0.8, t08, b08))) {
+      val p = SimilarityOps.pMatch(tau)
+      val miss = math.pow(1 - math.pow(p, b), t)
+      assert(miss <= 1e-5, f"tau=$tau (t=$t, b=$b): miss $miss%.2e above bound")
+    }
+  }
+
+  test("tau=0.8 buckets are sharper: fewer candidates than tau=0.4 on the same corpus") {
+    import graft.operators.SimilarityOps
+    val spark = TestSpark.spark
+    val c04 = SimilarityOps.nearDupCandidates(spark, TestSpark.Sf, 0.4).count()
+    val c08 = SimilarityOps.nearDupCandidates(spark, TestSpark.Sf, 0.8).count()
+    info(s"candidates: tau=0.4 -> $c04, tau=0.8 -> $c08")
+    assert(c04 > 0)
+    assert(c08 < c04, s"expected 4-bit buckets to thin candidates: $c08 !< $c04")
+    // and the multi-word first-match dedup really is exact: no pair twice
+    val dup = SimilarityOps.nearDupCandidates(spark, TestSpark.Sf, 0.8)
+      .groupBy("a", "b").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1).count()
+    assert(dup == 0, s"$dup candidate pairs emitted at more than one table")
+  }
+
   /** IVF recall: the demo corpus is near-orthogonal (no real cluster
     * structure), so probing 3 of 10 lists has a random-probe baseline of
-    * 0.30 recall; measured 0.47-0.50 at sf0.001/sf0.01 — the supervised
-    * codebook beats random probing, and the floor asserts that margin. */
-  test("ann ivf recall@10 >= 0.4 vs brute force (above the 0.3 random-probe baseline)") {
+    * 0.30 recall. The learned k-means codebook measures 0.56 at both
+    * sf0.001 and sf0.01 — above the 0.47-0.50 ceiling of the supervised
+    * label-centroid codebook it replaced; the floor pins that margin. */
+  test("ann ivf recall@10 > 0.5 vs brute force (k-means codebook beats the 0.50 label-centroid ceiling)") {
     val spark = TestSpark.spark
     Seq(TestSpark.Sf, "/root/testdata/sf0.01").foreach { sf =>
       val brute = SparkEntry.queries("sim_cosine_topk")(spark, sf)
@@ -71,7 +100,7 @@ class SimilaritySpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
       val recall = (brute & ivf).size.toDouble / brute.size
       info(f"$sf ivf recall@10 = $recall%.3f")
-      assert(recall >= 0.4, s"$sf: IVF recall $recall below 0.4 floor")
+      assert(recall > 0.5, s"$sf: IVF recall $recall not above the 0.5 label-centroid ceiling")
     }
   }
 

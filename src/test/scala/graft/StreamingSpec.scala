@@ -6,7 +6,7 @@ import graft.streaming.StreamOps
 
 /** Structured-Streaming variants executed to completion on bounded input
   * (Trigger.AvailableNow) and compared to the batch operators. */
-class StreamingSpec extends AnyFunSuite {
+class StreamingSpec extends AnyFunSuite with CacheDrained {
 
   test("watermark drops events arriving later than the lateness bound") {
     val spark = TestSpark.spark
@@ -108,6 +108,50 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.getOrElse(r.getLong(0), 0L) == r.getLong(1),
         s"doc ${r.getLong(0)}: stream ${streamed.get(r.getLong(0))} != batch ${r.getLong(1)}")
     }
+  }
+
+  test("streaming incremental md5 dedup == batch first-occurrence dedup (single batch)") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val stream = StreamOps.incrementalDedup(
+      StreamOps.docStream(spark, TestSpark.Sf))
+    val got = StreamOps.runAppendToCompletion(stream, "incdedup_test").collect()
+    val batchHashes = graft.Tables.documents(spark, TestSpark.Sf)
+      .select(md5(col("text").cast("binary")).as("h")).distinct()
+      .collect().map(_.getString(0)).toSet
+    // exactly one survivor per distinct content hash, covering all hashes
+    assert(got.length == batchHashes.size)
+    assert(got.map(_.getString(1)).toSet == batchHashes)
+  }
+
+  test("streaming incremental dedup drops later-batch re-emissions of earlier-batch texts") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, TestSpark.Sf)
+    // b0 = first half of the corpus; b1 = second half PLUS re-emissions of
+    // ten b0 texts under fresh doc_ids (the re-crawl arriving a batch later)
+    val dir = java.nio.file.Files.createTempDirectory("incdedup_batches").toString
+    val b0 = docs.filter(col("doc_id") < 250)
+    val b1 = docs.filter(col("doc_id") >= 250).unionByName(
+      docs.filter(col("doc_id") < 10).withColumn("doc_id", col("doc_id") + 1000))
+    val flat = java.nio.file.Files.createTempDirectory("incdedup_flat").toString
+    Seq("b0" -> b0, "b1" -> b1).zipWithIndex.foreach { case ((name, df), i) =>
+      df.coalesce(1).write.parquet(s"$dir/$name")
+      val src = new java.io.File(s"$dir/$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$flat/part-$name.parquet")
+      java.nio.file.Files.copy(src.toPath, dst.toPath)
+      dst.setLastModified(System.currentTimeMillis() - 60000 + i * 30000)
+    }
+    val stream = StreamOps.incrementalDedup(
+      StreamOps.eventStreamFromDir(spark, flat))
+    val got = StreamOps.runAppendToCompletion(stream, "incdedup_multi_test").collect()
+    val keptIds = got.map(_.getLong(0)).toSet
+    // every re-emission (doc_id >= 1000) duplicates a hash the state store
+    // saw in the earlier microbatch — all must be dropped
+    assert(keptIds.forall(_ < 1000), s"re-emitted duplicates survived: ${keptIds.filter(_ >= 1000)}")
+    // and nothing else was lost: one survivor per distinct hash
+    assert(got.length == docs.select(md5(col("text").cast("binary"))).distinct().count())
   }
 
   test("stream-stream interval join == batch interval join") {

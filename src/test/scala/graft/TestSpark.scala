@@ -18,3 +18,13 @@ object TestSpark {
   }
   val Sf = "/root/testdata/sf0.001"
 }
+
+/** Drains CacheTracker-tracked blocks after every test. Any spec that runs
+  * SparkEntry queries must mix this in: tracked persists (e.g. nextFitDist's
+  * ranged frame under train_pack_sequences) otherwise accumulate in the
+  * shared session until an unrelated suite happens to release them. */
+trait CacheDrained extends org.scalatest.BeforeAndAfterEach {
+  this: org.scalatest.Suite =>
+  override def afterEach(): Unit =
+    try super.afterEach() finally CacheTracker.releaseAll()
+}

@@ -6,7 +6,7 @@ import graft.operators.TrainPrepOps
 
 /** Invariants for the training-corpus preparation tier (each query is also
   * hash-oracled; these pin semantics the oracle can't express). */
-class TrainPrepSpec extends AnyFunSuite {
+class TrainPrepSpec extends AnyFunSuite with CacheDrained {
 
   test("decontam_ngram excludes the eval split and flags exactly the overlapping docs") {
     val spark = TestSpark.spark
