@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev/scaling helper: count near-dup LSH candidate pairs and verified
+  * pairs at a scale factor and threshold — the candidate-growth evidence
+  * SCALING.md records across sf decades.
+  * Usage: runMain graft.CandCount <sfDir> [tau...]
+  */
+object CandCount {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val taus = if (args.length > 1) args.drop(1).map(_.toDouble).toSeq else Seq(0.4, 0.8)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val n = graft.Tables.embeddings(spark, sfDir).count()
+    taus.foreach { tau =>
+      val plan = graft.operators.SimilarityOps.nearDupPlan(tau)
+      val cands = graft.operators.SimilarityOps.nearDupCandidates(spark, sfDir, tau).count()
+      val pairs = graft.operators.SimilarityOps.nearDupPairsAt(spark, sfDir, tau).count()
+      println(f"[candcount] sf=$sfDir n=$n tau=$tau tables=${plan.tables} bits=${plan.bits} " +
+        f"candidates=$cands pairs=$pairs cand_frac=${cands.toDouble / (n.toDouble * (n - 1) / 2)}%.4f")
+    }
+    spark.stop()
+  }
+}

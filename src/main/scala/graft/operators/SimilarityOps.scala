@@ -133,7 +133,13 @@ object SimilarityOps {
     }
     val tpw = plan.tablesPerWord
     val b = plan.bits
+    // one narrow row per vector (id + ≤2 longs): repartitioning is cheap and
+    // decouples the candidate join's parallelism from however few parquet
+    // splits the embeddings file happens to have — the bucket join below
+    // fans each of these rows out `tables`×, so ITS width must be the
+    // session's, not the scan's
     val coded = e.select(col("vec_id"), array(wordCols: _*).as("ws"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
     val bands = coded
       .select(col("vec_id"), col("ws"),
         explode(sequence(lit(0), lit(plan.tables - 1))).as("g"))
@@ -180,7 +186,13 @@ object SimilarityOps {
       .withColumn("nb", norm(col("eb")))
     cands.join(hinted(qa), Seq("a")).join(hinted(qb), Seq("b"))
       .select(col("a"), col("b"),
-        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("sim6"))
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("sim"))
+      // conservative double pre-filter BEFORE rounding: Spark's round(_, 6)
+      // allocates a BigDecimal per row, and at a low tau the candidate set
+      // is orders of magnitude larger than the survivor set — only rows
+      // within half an ulp-of-6dp of the threshold need exact rounding
+      .filter(col("sim") >= tau - 5e-7)
+      .select(col("a"), col("b"), round(col("sim"), 6).as("sim6"))
       .filter(col("sim6") >= tau)
   }
 
@@ -257,7 +269,16 @@ object SimilarityOps {
     * distributed aggregation over the components (the canonical Spark
     * k-means layout). Distance argmins compare n2c - 2·v·c — the v-constant
     * term drops out of per-vector comparisons. */
-  def kmeansCodebook(spark: SparkSession, sfDir: String): Array[Array[Long]] = {
+  /** memoized per (session, sfDir): the codebook is a corpus-snapshot MODEL
+    * (like the dedup family's shingle frame) — a pipeline builds it once and
+    * serves queries against it; K×64 longs, so the cache is bytes */
+  private val codebookCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Array[Array[Long]]]
+
+  def kmeansCodebook(spark: SparkSession, sfDir: String): Array[Array[Long]] =
+    codebookCache.getOrElseUpdate((spark, sfDir), kmeansCodebookUncached(spark, sfDir))
+
+  private def kmeansCodebookUncached(spark: SparkSession, sfDir: String): Array[Array[Long]] = {
     import spark.implicits._
     val comps = quantComps(embeddings(spark, sfDir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
