@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++ sys.env.get("SPARK_GC_OPTS").toSeq.flatMap(_.split("\\s+"))
+// SPARK_GC_OPTS: opt-in GC tuning for scale experiments (e.g.
+// "-Xms16g -XX:+UseParallelGC" for the sf1 runs in SCALING.md §GC).
+// Deliberately NOT defaulted: this guest kernel makes first-touch of
+// fresh heap pages pathologically slow, so a large pre-sized young gen
+// (Xms=Xmx at 100g) turns every young GC into a 15s kernel-bound page
+// touch. The small-default-heap G1 config is the healthy one here.

@@ -21,7 +21,7 @@ object CandCount {
     spark.sparkContext.setLogLevel("WARN")
     val n = graft.Tables.embeddings(spark, sfDir).count()
     taus.foreach { tau =>
-      val plan = graft.operators.SimilarityOps.nearDupPlan(tau)
+      val plan = graft.operators.SimilarityOps.nearDupPlan(tau, n)
       val cands = graft.operators.SimilarityOps.nearDupCandidates(spark, sfDir, tau).count()
       val pairs = graft.operators.SimilarityOps.nearDupPairsAt(spark, sfDir, tau).count()
       println(f"[candcount] sf=$sfDir n=$n tau=$tau tables=${plan.tables} bits=${plan.bits} " +

@@ -35,13 +35,53 @@ object SimilarityOps {
     * tables = the fewest t with miss probability (1 - p^bits)^t ≤ missProb.
     * tau=0.4 → (23, 2); tau=0.8 → (23, 4). Pure function of (tau,
     * missProb): the plan is reproducible across runs and engines. */
-  def nearDupParams(tau: Double, missProb: Double = 1e-5): (Int, Int) = {
+  /** Hard cap on LSH tables: bounds the band explode factor and the
+    * first-match dedup expression width regardless of what the cost model
+    * would prefer. */
+  val MaxNearDupTables = 256
+
+  /** Derive the LSH shape (tables, bits) for a threshold — and, when the
+    * corpus size is known, for that size.
+    *
+    * Recall is a CONSTRAINT, never traded: a true pair at cosine exactly
+    * tau collides in one b-bit table w.p. pMatch(tau)^b, so every shape
+    * considered takes t = ⌈ln missProb / ln(1 − p^b)⌉ tables, which holds
+    * the per-pair miss probability at missProb for any b.
+    *
+    * Cost is the OBJECTIVE: per vector, hashing costs t·b hyperplane dots
+    * and verification costs ~one dot per colliding neighbor, of which the
+    * orthogonal-noise expectation is n·2⁻ᵇ per table. Minimizing
+    *   t(b) · (b + n · 2⁻ᵇ)
+    * grows bits ~log₂(n) as the corpus grows, so the noise-collision
+    * FRACTION falls with scale (sub-quadratic candidate growth — measured
+    * in SCALING.md), while small corpora keep the few-table cheap-hash
+    * shape. At low thresholds (τ≈0.4) the miss bound forces so many
+    * tables per added bit that every feasible shape is near-exhaustive —
+    * the regime where hyperplane LSH genuinely cannot separate weak
+    * similarity from noise; the model then just picks the cheapest
+    * near-exhaustive shape.
+    *
+    * n ≤ 0 (corpus size unknown — specs, pre-scan contexts) falls back to
+    * the round-3 threshold-only rule: bits = the largest b with
+    * p^b ≥ 1/3, capped to [2, 8]. */
+  def nearDupParams(tau: Double, missProb: Double = 1e-5, n: Long = 0L): (Int, Int) = {
     val p = pMatch(tau)
-    val bits = math.max(2, math.min(8,
-      math.floor(math.log(1.0 / 3) / math.log(p)).toInt))
-    val pt = math.pow(p, bits)
-    val tables = math.max(1, math.ceil(math.log(missProb) / math.log1p(-pt)).toInt)
-    (tables, bits)
+    def tablesFor(b: Int): Option[Int] = {
+      val pt = math.pow(p, b)
+      val t = math.ceil(math.log(missProb) / math.log1p(-pt))
+      if (t <= MaxNearDupTables) Some(math.max(1, t.toInt)) else None
+    }
+    if (n <= 0L) {
+      val bits = math.max(2, math.min(8,
+        math.floor(math.log(1.0 / 3) / math.log(p)).toInt))
+      (tablesFor(bits).getOrElse(MaxNearDupTables), bits)
+    } else {
+      val scored = (2 to 16).flatMap { b =>
+        tablesFor(b).map(t => (t, b, t * (b + n * math.pow(0.5, b))))
+      }
+      val (t, b, _) = scored.minBy(_._3)
+      (t, b)
+    }
   }
 
   /** demo-regime near-dup LSH shape (threshold 0.4): 23 tables × 2 bits */
@@ -108,8 +148,8 @@ object SimilarityOps {
     def bandBytesPerVector: Long = tables * 28L + nWords * 16L
   }
 
-  def nearDupPlan(tau: Double): NearDupPlan = {
-    val (t, b) = nearDupParams(tau)
+  def nearDupPlan(tau: Double, n: Long = 0L): NearDupPlan = {
+    val (t, b) = nearDupParams(tau, n = n)
     NearDupPlan(tau, t, b)
   }
 
@@ -122,9 +162,12 @@ object SimilarityOps {
     * below-slot mask, and in every earlier word via that word's full group
     * mask. Valid for any bits width and any word count. */
   def nearDupCandidates(spark: SparkSession, sfDir: String, tau: Double): DataFrame = {
-    val plan = nearDupPlan(tau)
     val e = embeddings(spark, sfDir)
-    val smallCorpus = e.count() <=
+    // metadata-only parquet count: sizes the LSH shape (bits grow with
+    // log2 n, see nearDupParams) and gates the broadcast hints
+    val n = e.count()
+    val plan = nearDupPlan(tau, n)
+    val smallCorpus = n <=
       BroadcastBudgetBytes / math.max(EmbBytesPerVector, plan.bandBytesPerVector)
     def hinted(df: DataFrame): DataFrame = if (smallCorpus) broadcast(df) else df
     val wordCols = (0 until plan.nWords).map { k =>
@@ -443,15 +486,18 @@ object SimilarityOps {
     // embedding-cosine near-duplicate pairs (dedup-by-embedding): LSH
     // bucket candidates + exact cosine verification, oracled against the
     // brute-force all-pairs SQL. The LSH shape is DERIVED from the
-    // threshold by nearDupParams — tau=0.4 → 23 tables × 2 sign bits,
-    // per-pair miss ≤ 1e-5 at the threshold (measured recall 100% at
-    // sf0.001/sf0.01, asserted in SimilaritySpec); each candidate pair is
-    // emitted exactly once — at its FIRST matching table — so no distinct
-    // shuffle is needed. The demo threshold is 0.4 because the testdata's
-    // max cosine is ~0.51; the production-threshold variant below (tau=0.8
-    // → 23 tables × 4 bits) shows the derivation sharpening the buckets:
-    // doubling the bit width quarters random-pair collisions while the
-    // table count stays flat. Broadcast hints on the band/embedding sides
+    // threshold AND the corpus size by nearDupParams: the per-pair miss
+    // bound (≤ 1e-5 at the threshold) fixes the table count for any bit
+    // width, and the cost model grows bits ~log2(n) so the noise-collision
+    // fraction FALLS as the corpus grows (measured recall 100% at
+    // sf0.001/sf0.01, asserted in SimilaritySpec; candidate growth
+    // sub-quadratic at tau=0.8, measured in SCALING.md). Each candidate
+    // pair is emitted exactly once — at its FIRST matching table — so no
+    // distinct shuffle is needed. The demo threshold is 0.4 because the
+    // testdata's max cosine is ~0.51; at that weak a threshold the miss
+    // bound forces near-exhaustive candidates at ANY feasible shape — the
+    // documented LSH floor — while the tau=0.8 variant below shows the
+    // buckets sharpening. Broadcast hints on the band/embedding sides
     // are gated on BroadcastMaxVectors: below it (demo sizes) they skip a
     // shuffle; above it the hints disappear and AQE plans the same joins
     // as shuffled equi-joins, which is the shape that survives a

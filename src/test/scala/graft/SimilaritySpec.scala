@@ -69,6 +69,22 @@ class SimilaritySpec extends AnyFunSuite {
       val miss = math.pow(1 - math.pow(p, b), t)
       assert(miss <= 1e-5, f"tau=$tau (t=$t, b=$b): miss $miss%.2e above bound")
     }
+    // n-aware shape: bits grow with the corpus so the orthogonal-noise
+    // collision fraction 1-(1-2^-b)^t FALLS with scale (sub-quadratic
+    // candidate growth), and the miss bound holds at every size
+    def noiseFrac(t: Int, b: Int): Double = 1 - math.pow(1 - math.pow(0.5, b), t)
+    val shapes = Seq(2000L, 20000L, 200000L).map { n =>
+      val (t, b) = SimilarityOps.nearDupParams(0.8, n = n)
+      val miss = math.pow(1 - math.pow(SimilarityOps.pMatch(0.8), b), t)
+      assert(miss <= 1e-5, f"tau=0.8 n=$n (t=$t, b=$b): miss $miss%.2e above bound")
+      assert(t <= SimilarityOps.MaxNearDupTables)
+      (n, t, b, noiseFrac(t, b))
+    }
+    info(shapes.map { case (n, t, b, f) => f"n=$n: ${t}x${b}bit frac=$f%.3f" }.mkString("; "))
+    shapes.sliding(2).foreach { case Seq((_, _, b1, f1), (n2, _, b2, f2)) =>
+      assert(b2 >= b1, s"bits must not shrink with n (n=$n2)")
+      assert(f2 < f1, s"noise-collision fraction must fall with n (n=$n2)")
+    }
   }
 
   test("tau=0.8 buckets are sharper: fewer candidates than tau=0.4 on the same corpus") {
