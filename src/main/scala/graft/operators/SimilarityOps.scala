@@ -48,18 +48,18 @@ object SimilarityOps {
     * considered takes t = ⌈ln missProb / ln(1 − p^b)⌉ tables, which holds
     * the per-pair miss probability at missProb for any b.
     *
-    * Cost is the OBJECTIVE: per vector, hashing costs t·b hyperplane dots
-    * and verification costs ~one dot per colliding neighbor, of which the
-    * orthogonal-noise expectation is n·2⁻ᵇ per table. Minimizing
-    *   t(b) · (b + n · 2⁻ᵇ)
-    * grows bits ~log₂(n) as the corpus grows, so the noise-collision
-    * FRACTION falls with scale (sub-quadratic candidate growth — measured
-    * in SCALING.md), while small corpora keep the few-table cheap-hash
-    * shape. At low thresholds (τ≈0.4) the miss bound forces so many
-    * tables per added bit that every feasible shape is near-exhaustive —
-    * the regime where hyperplane LSH genuinely cannot separate weak
-    * similarity from noise; the model then just picks the cheapest
-    * near-exhaustive shape.
+    * Cost is the OBJECTIVE: per vector, hashing costs t·b hyperplane
+    * dots, the bucket join touches ~t·n·2⁻ᵇ rows, and verification costs
+    * one dot per UNIQUE candidate — the union rate n·(1−(1−2⁻ᵇ)^t), not
+    * the per-table sum, which would overcount pairs colliding in several
+    * tables exactly where it matters. Minimizing the sum grows bits
+    * ~log₂(n) as the corpus grows, so the noise-collision fraction falls
+    * with scale (sub-quadratic candidate growth — measured in SCALING.md).
+    * At weak thresholds (τ≈0.4) the miss bound makes every feasible shape
+    * near-exhaustive — hyperplane LSH genuinely cannot separate weak
+    * similarity from noise — so added bits cannot prune and are pure
+    * hashing waste: the derivation detects that regime (best feasible
+    * union fraction > 0.5) and falls back to the threshold-only shape.
     *
     * n ≤ 0 (corpus size unknown — specs, pre-scan contexts) falls back to
     * the round-3 threshold-only rule: bits = the largest b with
@@ -76,11 +76,28 @@ object SimilarityOps {
         math.floor(math.log(1.0 / 3) / math.log(p)).toInt))
       (tablesFor(bits).getOrElse(MaxNearDupTables), bits)
     } else {
-      val scored = (2 to 16).flatMap { b =>
-        tablesFor(b).map(t => (t, b, t * (b + n * math.pow(0.5, b))))
+      val feasible = (2 to 16).flatMap { b => tablesFor(b).map(t => (t, b)) }
+      // expected fraction of an orthogonal-noise corpus colliding with a
+      // vector in AT LEAST one table — the unique-candidate rate (a pair
+      // colliding in several tables is still one candidate, so summing
+      // per-table rates would overcount exactly where it matters)
+      def unionFrac(t: Int, b: Int): Double =
+        1 - math.pow(1 - math.pow(0.5, b), t)
+      if (feasible.forall { case (t, b) => unionFrac(t, b) > 0.5 }) {
+        // weak-threshold regime: the miss bound makes every feasible shape
+        // near-exhaustive, so added bits cannot prune and are pure hashing
+        // waste — take the threshold-only (cheapest-hash) shape
+        nearDupParams(tau, missProb)
+      } else {
+        val scored = feasible.map { case (t, b) =>
+          val cost = t.toDouble * b +              // hashing: b dots per table
+            0.25 * t * n * math.pow(0.5, b) +      // bucket-join rows (pre-dedup)
+            n * unionFrac(t, b)                    // verify: one dot per unique candidate
+          (t, b, cost)
+        }
+        val (t, b, _) = scored.minBy(_._3)
+        (t, b)
       }
-      val (t, b, _) = scored.minBy(_._3)
-      (t, b)
     }
   }
 
