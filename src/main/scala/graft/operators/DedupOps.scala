@@ -47,7 +47,7 @@ object DedupOps {
   private val shingleCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def docShingles(spark: SparkSession, sfDir: String): DataFrame =
+  private[operators] def docShingles(spark: SparkSession, sfDir: String): DataFrame =
     shingleCache.getOrElseUpdate((spark, sfDir), {
       // one-pass custom expression (== the composed oracle form, ~10x
       // cheaper), distinct in-row; df heavy hitters via partial-aggregated
@@ -64,7 +64,7 @@ object DedupOps {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
-  private val ShinglesCte: String =
+  private[operators] val ShinglesCte: String =
     s"""shraw AS (SELECT DISTINCT doc_id, ${h8Sql(s"substr(text, i, $ShingleLen)")} AS h FROM (
        |    SELECT doc_id, text, unnest(generate_series(1, length(text) - ${ShingleLen - 1})) AS i
        |    FROM documents)),

@@ -658,6 +658,35 @@ object SimilarityOps {
         .orderBy("qid", "rnk")
     },
 
+    // unsupervised corpus clustering: every vector labeled with its nearest
+    // k-means centroid — the topic-bucketing / data-mixing view of the SAME
+    // deterministic integer codebook the IVF index learns (memoized per
+    // session, so this query and sim_ann_ivf share one build). Assignment
+    // is one broadcast join against K×64 centroid components + an argmin
+    // over K integer dots per vector — linear scan, no pair stage, the
+    // shape that holds at any corpus size.
+    GraftQuery("sim_kmeans_clusters",
+      s"""WITH $kmeansOracleCtes
+         |SELECT vec_id, c AS cluster FROM ranked WHERE r = 1
+         |ORDER BY vec_id""".stripMargin) { (spark, sfDir) =>
+      import spark.implicits._
+      val cents = kmeansCodebook(spark, sfDir)
+      val centRows = cents.zipWithIndex.flatMap { case (cs, c) =>
+        cs.zipWithIndex.map { case (x, i) => (c, i, x) }
+      }.toSeq.toDF("cluster", "i", "x")
+      val n2c = cents.zipWithIndex.map { case (cs, c) => (c, cs.map(x => x * x).sum) }
+        .toSeq.toDF("cluster", "n2c")
+      quantComps(embeddings(spark, sfDir))
+        .join(broadcast(centRows), Seq("i"))
+        .groupBy("vec_id", "cluster").agg(sum(col("xq") * col("x")).as("dp"))
+        .join(broadcast(n2c), Seq("cluster"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("n2c") - col("dp") * 2, col("cluster"))))
+        .filter(col("r") === 1)
+        .select(col("vec_id"), col("cluster"))
+        .orderBy("vec_id")
+    },
+
     // symmetric int8 quantization of the embedding column (the storage /
     // bandwidth shrink a training pipeline applies before shipping vectors):
     // per-vector scale = max|x| / 127, q_i = floor(x_i · 127 / max|x|).

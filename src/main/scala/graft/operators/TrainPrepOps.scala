@@ -7,12 +7,16 @@ import graft.GraftQuery
 import graft.Tables
 
 /** Training-corpus preparation operators (north-star tier; no reference
-  * counterpart): benchmark decontamination, repetition-based quality
-  * filtering, and context-window sequence packing.
+  * counterpart): benchmark decontamination (exact n-gram and fuzzy
+  * shingle-Jaccard), repetition-based quality filtering, passage-level
+  * dedup, source mixing weights, deterministic global shuffle, and
+  * context-window sequence packing.
   *
-  * All three are the shapes a pretraining-data pipeline runs right before
-  * mixing: drop documents that leak the eval set, drop degenerate
-  * repetitive documents, then pack the survivors into fixed token windows.
+  * Together these are the shapes a pretraining-data pipeline runs right
+  * before mixing: drop documents that leak the eval set, drop degenerate
+  * repetitive documents, remove passages repeated across the corpus, pick
+  * per-source sampling weights, fix a reproducible training order, and
+  * pack the survivors into fixed token windows.
   */
 object TrainPrepOps {
 
@@ -23,6 +27,19 @@ object TrainPrepOps {
 
   /** context-window token budget for sequence packing */
   val SeqBudget = 256L
+
+  /** fixed passage width (tokens) for passage-level dedup — the
+    * chunk-level relaxation of repeated-substring removal (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", 2022):
+    * exact suffix-array matching is replaced by fixed windows so the whole
+    * operator is two hash aggregations, which is what actually runs at
+    * corpus scale */
+  val PassageLen = 20
+
+  /** shingle-Jaccard bar for FUZZY decontamination — far above unrelated-
+    * document overlap (probed at sf0.01: eval-vs-corpus Jaccard is 0.96+
+    * for true near-dups, ≤ 0.11 for everything else) */
+  val FuzzyDecontamThreshold = 0.5
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
@@ -158,6 +175,154 @@ object TrainPrepOps {
       PackingOps.nextFitDist(spark, sizes, capacity = SeqBudget)
         .select(col("path").cast("long").as("doc_id"),
           col("size").as("n_tokens"), col("unit").as("seq"))
+        .orderBy("doc_id")
+    },
+
+    // passage-level dedup (first-occurrence-wins): the corpus is chopped
+    // into fixed 20-token passages; a passage instance survives iff it is
+    // the globally FIRST occurrence of its content (order = (doc_id, pos)),
+    // and each document is reassembled from its surviving passages. This is
+    // the chunk-level relaxation of repeated-substring removal — the form
+    // that scales: first-occurrence is a partial-aggregated
+    // min(struct(doc_id, pos)) per passage md5 plus one fixed-width-key
+    // equi-join back, NOT a window over the passage hash (same rows, but
+    // the groupBy combines map-side where a window must shuffle + sort
+    // every instance), and reassembly is a per-document sort of a
+    // doc-length-bounded list. At 100 TB both shuffles carry only
+    // (md5, doc_id, pos) triples.
+    GraftQuery("dedup_passages",
+      s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks
+         |  FROM documents),
+         |px AS (SELECT doc_id, toks,
+         |    unnest(generate_series(1, (len(toks) + ${PassageLen - 1}) // $PassageLen)) AS pos
+         |  FROM t),
+         |p AS (SELECT doc_id, pos,
+         |    list_aggregate(toks[(pos - 1) * $PassageLen + 1 : pos * $PassageLen],
+         |      'string_agg', ' ') AS passage
+         |  FROM px),
+         |k AS (SELECT doc_id, pos, passage,
+         |    row_number() OVER (PARTITION BY md5(passage) ORDER BY doc_id, pos) AS rn
+         |  FROM p)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+         |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       md5(coalesce(string_agg(passage, ' ' ORDER BY pos)
+         |                      FILTER (WHERE rn = 1), '')) AS clean_md5
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      bench = true) { (spark, sfDir) =>
+      val passagesExpr =
+        s"""CASE WHEN size(toks) >= 1 THEN
+           |  transform(sequence(1, (size(toks) + ${PassageLen - 1}) div $PassageLen),
+           |    i -> array_join(slice(toks, (i - 1) * $PassageLen + 1, $PassageLen), ' '))
+           |ELSE CAST(array() AS array<string>) END""".stripMargin
+      val p = docs(spark, sfDir)
+        .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+        .select(col("doc_id"), posexplode(expr(passagesExpr)).as(Seq("pos0", "passage")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("passage"),
+          md5(col("passage").cast("binary")).as("ph"))
+      val firsts = p.groupBy("ph").agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      p.join(firsts, Seq("ph"))
+        .withColumn("kept", struct(col("doc_id"), col("pos")) === col("f"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_passages"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          md5(array_join(
+            transform(
+              sort_array(collect_list(when(col("kept"),
+                struct(col("pos"), col("passage"))))),
+              x => x("passage")),
+            " ").cast("binary")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+
+    // FUZZY decontamination: corpus documents whose shingle-set Jaccard
+    // against ANY eval-split document clears the bar — the companion to
+    // decontam_ngram that catches paraphrased/mutated leaks an exact
+    // n-gram match misses. Rides the dedup family's cached df-filtered
+    // shingle arrays; the eval side (2% split — benchmarks are small by
+    // nature) broadcasts, so the corpus never shuffles: candidates form in
+    // a map-side hash join and die in the per-(doc, eval) aggregation.
+    GraftQuery("decontam_fuzzy",
+      s"""WITH ${DedupOps.ShinglesCte},
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+         |          FROM shf a JOIN shf b ON a.h = b.h
+         |          WHERE a.doc_id % 50 <> 7 AND b.doc_id % 50 = 7
+         |          GROUP BY a.doc_id, b.doc_id)
+         |SELECT ida AS doc_id, idb AS eval_id,
+         |       CAST(inter.i AS DOUBLE) / (sa.n + sb.n - inter.i) AS jacc
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = inter.ida
+         |JOIN sizes sb ON sb.doc_id = inter.idb
+         |WHERE CAST(inter.i AS DOUBLE) / (sa.n + sb.n - inter.i)
+         |        >= $FuzzyDecontamThreshold
+         |ORDER BY doc_id, eval_id""".stripMargin) { (spark, sfDir) =>
+      val s = DedupOps.docShingles(spark, sfDir)
+      val corp = s.filter(!isEvalDoc)
+        .select(col("doc_id"), col("n").as("na"), explode(col("sh")).as("h"))
+      val eval = s.filter(isEvalDoc)
+        .select(col("doc_id").as("eval_id"), col("n").as("nb"),
+          explode(col("sh")).as("h"))
+      corp.join(broadcast(eval), Seq("h"))
+        .groupBy("doc_id", "eval_id", "na", "nb").agg(count(lit(1)).as("i"))
+        .withColumn("jacc",
+          col("i").cast("double") / (col("na") + col("nb") - col("i")))
+        .filter(col("jacc") >= FuzzyDecontamThreshold)
+        .select("doc_id", "eval_id", "jacc")
+        .orderBy("doc_id", "eval_id")
+    },
+
+    // per-source mixing weights: token counts per source plus proportional
+    // and sqrt-smoothed sampling weights in integer parts-per-million.
+    // Weights are INTEGER-EXACT across engines: IEEE-754 requires sqrt to
+    // be correctly rounded, so floor(sqrt(BIGINT)) is deterministic, and
+    // ppm = w * 1000000 div total is pure integer arithmetic (safe to
+    // ~9e12 total tokens; beyond that widen to a 128-bit product). A
+    // float-normalized weight would drift with partial-aggregation order.
+    // Per-source aggregation output is tiny at any corpus size.
+    GraftQuery("train_mix_weights",
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS n_tokens
+        |      FROM documents GROUP BY source),
+        |q AS (SELECT source, n_docs, n_tokens,
+        |        CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS sq FROM s),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+        |             CAST(sum(sq) AS BIGINT) AS tots FROM q)
+        |SELECT source, n_docs, n_tokens,
+        |       n_tokens * 1000000 // tot AS w_prop_ppm,
+        |       sq * 1000000 // tots AS w_sqrt_ppm
+        |FROM q, t ORDER BY source""".stripMargin) { (spark, sfDir) =>
+      val s = docs(spark, sfDir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).cast("long"))
+            .as("n_tokens"))
+        .withColumn("sq",
+          floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+      val tot = s.agg(sum("n_tokens").as("tot"), sum("sq").as("tots"))
+      s.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("n_tokens * 1000000 div tot").as("w_prop_ppm"),
+          expr("sq * 1000000 div tots").as("w_sqrt_ppm"))
+        .orderBy("source")
+    },
+
+    // deterministic global shuffle: every document gets a reproducible
+    // training-order position = its rank under md5(doc_id) — the
+    // hash-then-sort shuffle every epoch pipeline needs (same order on any
+    // cluster, any partitioning, any engine). The rank is the two-phase
+    // distributed prefix rank (range-partition on the hash, local
+    // row_number, broadcast per-partition offsets) — NO single-partition
+    // global window; only one long per partition reaches the driver.
+    GraftQuery("train_shuffle_order",
+      """SELECT doc_id,
+        |       CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |            AS BIGINT) AS pos
+        |FROM documents ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
+      val keyed = docs(spark, sfDir)
+        .select(col("doc_id"),
+          md5(col("doc_id").cast("string").cast("binary")).as("k"))
+      TwoPhaseRank.rowNumber(keyed, "pos", -1, col("k"), col("doc_id"))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"))
         .orderBy("doc_id")
     }
   )

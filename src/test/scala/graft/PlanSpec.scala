@@ -39,7 +39,7 @@ class PlanSpec extends AnyFunSuite with CacheDrained {
   }
 
   test("distributed rank/prefix-sum queries have no single-partition exchange") {
-    Seq("pack_nextfit_dist", "phase_order_dirs").foreach { q =>
+    Seq("pack_nextfit_dist", "phase_order_dirs", "train_shuffle_order").foreach { q =>
       val df = SparkEntry.queries(q)(TestSpark.spark, TestSpark.Sf)
       df.collect()
       val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
@@ -79,6 +79,26 @@ class PlanSpec extends AnyFunSuite with CacheDrained {
     assert(!p.contains("Window"), s"containment reintroduced a window shuffle:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"containment degenerated to all-pairs:\n$p")
+  }
+
+  test("dedup_passages dedups via hash aggregation, not a window over the passage hash") {
+    val df = SparkEntry.queries("dedup_passages")(TestSpark.spark, TestSpark.Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"passage first-occurrence reintroduced a window shuffle:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"passage dedup degenerated to all-pairs:\n$p")
+  }
+
+  test("fuzzy decontamination broadcasts the eval shingle side") {
+    val df = SparkEntry.queries("decontam_fuzzy")(TestSpark.spark, TestSpark.Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"),
+      s"fuzzy decontam lost the broadcast of the eval side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy decontam degenerated to all-pairs:\n$p")
   }
 
   test("decontamination joins the gram corpus against a broadcast eval side") {

@@ -2,6 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.operators.SimilarityOps
+
 /** LSH ANN quality: recall@10 of sim_ann_lsh against the brute-force
   * oracle-checked baseline. Multi-table 4×4-bit hyperplane LSH probing a
   * single bucket per table — recall is not 1.0 by design; assert a floor. */
@@ -143,6 +145,32 @@ class SimilaritySpec extends AnyFunSuite {
     rows.foreach { r =>
       val sim = r.getDouble(3)
       assert(sim >= -1.000001 && sim <= 1.000001)
+    }
+  }
+
+  test("kmeans clusters cover every vector, use several clusters, and match the codebook argmin") {
+    val spark = TestSpark.spark
+    val rows = SparkEntry.queries("sim_kmeans_clusters")(spark, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val n = Tables.embeddings(spark, TestSpark.Sf).count()
+    assert(rows.size.toLong == n, "one assignment per vector")
+    assert(rows.values.forall(c => c >= 0 && c < SimilarityOps.KmeansK))
+    // Lloyd rounds balance the lists — the corpus spreads over most clusters
+    assert(rows.values.toSet.size > SimilarityOps.KmeansK / 2)
+    // independent recompute: nearest centroid by exact integer distance on
+    // 1e6-quantized components, ties to the lower cluster id
+    val cents = SimilarityOps.kmeansCodebook(spark, TestSpark.Sf)
+    val vecs = Tables.embeddings(spark, TestSpark.Sf)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xq")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    vecs.foreach { case (vid, xq) =>
+      val best = cents.zipWithIndex.map { case (c, k) =>
+        val n2 = c.map(x => x * x).sum
+        val dp = c.zip(xq).map { case (x, q) => x * q }.sum
+        (n2 - 2 * dp, k)
+      }.min._2
+      assert(rows(vid) == best, s"vec $vid: assigned ${rows(vid)}, argmin $best")
     }
   }
 }

@@ -104,4 +104,87 @@ class TrainPrepSpec extends AnyFunSuite with CacheDrained {
         assert(total > TrainPrepOps.SeqBudget - maxDoc, s"window $seq underfull: $total")
     }
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("dedup_passages equals the sequential first-occurrence fold") {
+    val spark = TestSpark.spark
+    val docs = Tables.documents(spark, TestSpark.Sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    // sequential reference: walk docs in id order, passages in pos order,
+    // keep a passage instance iff its content is unseen so far
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expected = docs.map { case (id, text) =>
+      val toks = "[a-z0-9]+".r.findAllIn(text).toIndexedSeq
+      val passages = toks.grouped(TrainPrepOps.PassageLen).map(_.mkString(" ")).toSeq
+      val kept = passages.filter(p => seen.add(p))
+      id -> ((passages.size.toLong, kept.size.toLong, md5Hex(kept.mkString(" "))))
+    }.toMap
+    val rows = SparkEntry.queries("dedup_passages")(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    // docs with zero tokens produce no output row on either engine
+    assert(rows.length == expected.count(_._2._1 > 0))
+    rows.foreach { r =>
+      val (np, nk, m) = expected(r.getLong(0))
+      assert(r.getLong(1) == np, s"doc ${r.getLong(0)}: n_passages")
+      assert(r.getLong(2) == nk, s"doc ${r.getLong(0)}: n_kept")
+      assert(r.getString(3) == m, s"doc ${r.getLong(0)}: clean_md5")
+    }
+    // the corpus-level identity: total kept == distinct passage contents
+    val totalKept = rows.map(_.getLong(2)).sum
+    assert(totalKept == seen.size.toLong,
+      s"kept $totalKept != ${seen.size} distinct passages")
+    // and something was actually removed in this corpus (near-dup docs share
+    // passages), so the operator is exercised beyond the identity case
+    assert(totalKept < rows.map(_.getLong(1)).sum)
+  }
+
+  test("decontam_fuzzy flags only corpus-vs-eval pairs above the bar") {
+    val rows = SparkEntry.queries("decontam_fuzzy")(TestSpark.spark, TestSpark.Sf)
+      .collect()
+    assert(rows.nonEmpty, "probed corpus has a fuzzy eval leak at sf0.001")
+    rows.foreach { r =>
+      assert(r.getLong(0) % 50 != 7, "corpus side must exclude eval docs")
+      assert(r.getLong(1) % 50 == 7, "eval side must be the eval split")
+      val j = r.getDouble(2)
+      assert(j >= TrainPrepOps.FuzzyDecontamThreshold && j <= 1.0)
+    }
+  }
+
+  test("train_mix_weights ppm columns are integer-exact and near-normalized") {
+    val rows = SparkEntry.queries("train_mix_weights")(TestSpark.spark, TestSpark.Sf)
+      .collect()
+    assert(rows.length == 20) // src0..src19
+    val prop = rows.map(_.getLong(3)).sum
+    val sq = rows.map(_.getLong(4)).sum
+    // floor division loses < 1 ppm per source
+    assert(prop > 1000000L - rows.length && prop <= 1000000L, s"prop ppm sum $prop")
+    assert(sq > 1000000L - rows.length && sq <= 1000000L, s"sqrt ppm sum $sq")
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+      // sqrt smoothing pulls weights toward uniform: a below-average source
+      // gains, an above-average one loses
+      val (p, s) = (r.getLong(3), r.getLong(4))
+      if (p < 40000L) assert(s >= p, s"${r.getString(0)}: smoothing should lift $p -> $s")
+    }
+  }
+
+  test("train_shuffle_order is the md5 permutation, not the identity") {
+    val rows = SparkEntry.queries("train_shuffle_order")(TestSpark.spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    // pos is a permutation of 1..n
+    assert(rows.map(_._2).sorted.toSeq == (1L to rows.length.toLong).toSeq)
+    // and equals the reference md5 ranking exactly
+    val expected = rows.map(_._1).sortBy(id => (md5Hex(id.toString), id))
+      .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    rows.foreach { case (id, pos) =>
+      assert(pos == expected(id), s"doc $id: pos $pos != md5 rank ${expected(id)}")
+    }
+    // the hash actually shuffles: the order differs from doc_id order
+    assert(rows.exists { case (id, pos) => pos != id + 1 })
+  }
 }
