@@ -80,16 +80,27 @@ object ScaleData {
     write(amplify(read("documents"), (d, r) =>
       d.withColumn("doc_id", col("doc_id") + lit(r * docK))
         .withColumn("text",
+          // interleave the FULL replica number (for r<10 identical to the
+          // old single-digit form, so sf1 output is unchanged) — a digit
+          // alone would repeat every 10 replicas and make r and r+10
+          // verbatim clones at factor=100
           if (r == 0L) col("text")
-          else regexp_replace(col("text"), "(.{7})", "$1" + (r % 10)))
+          else regexp_replace(col("text"), "(.{7})", "$1" + r))
         .withColumn("n_chars", length(col("text")).cast("long"))), "documents")
     write(amplify(read("embeddings"), (d, r) => {
       val shift = ((r * 7) % 64).toInt
+      // rotations repeat mod 64, so replicas r and r+64 of the same base
+      // vector would be identical (cosine 1.0 — a synthetic near-dup
+      // blow-up). For r >= 64 REVERSE the vector before rotating: reversal
+      // is orthogonal (within-replica cosines preserved exactly) and a
+      // reversed-then-rotated vector decorrelates from every pure rotation
+      // of the same base. Factors beyond 128 would need a third transform.
+      require(r < 128, "ScaleData supports factors up to 128")
+      val src = if (r < 64) "embedding" else "reverse(embedding)"
       d.withColumn("vec_id", col("vec_id") + lit(r * vecK))
         .withColumn("embedding",
-          if (shift == 0) col("embedding")
-          else concat(expr(s"slice(embedding, ${shift + 1}, ${64 - shift})"),
-            expr(s"slice(embedding, 1, $shift)")))
+          if (shift == 0) expr(src)
+          else expr(s"concat(slice($src, ${shift + 1}, ${64 - shift}), slice($src, 1, $shift))"))
     }), "embeddings")
 
     println(s"wrote ${factor}x of $src to $dst")
