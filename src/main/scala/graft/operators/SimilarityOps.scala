@@ -455,6 +455,30 @@ object SimilarityOps {
     sb.result()
   }
 
+  /** every vector ranked by exact integer distance to each final k-means
+    * centroid: (vec_id, cluster, r) with r = 1 the assignment. One
+    * broadcast join against the K×64 centroid components + an argmin over
+    * K integer dots per vector — linear scan, no pair stage. Shared by
+    * sim_ann_ivf (r ≤ IvfProbes are the probe lists), sim_kmeans_clusters
+    * and sim_semdedup; the memoized codebook means the three queries pay
+    * one build per (session, sfDir). */
+  private def kmeansRanked(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cents = kmeansCodebook(spark, sfDir)
+    val centRows = cents.zipWithIndex.flatMap { case (cs, c) =>
+      cs.zipWithIndex.map { case (x, i) => (c, i, x) }
+    }.toSeq.toDF("cluster", "i", "x")
+    val n2c = cents.zipWithIndex.map { case (cs, c) => (c, cs.map(x => x * x).sum) }
+      .toSeq.toDF("cluster", "n2c")
+    quantComps(embeddings(spark, sfDir))
+      .join(broadcast(centRows), Seq("i"))
+      .groupBy("vec_id", "cluster").agg(sum(col("xq") * col("x")).as("dp"))
+      .join(broadcast(n2c), Seq("cluster"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("n2c") - col("dp") * 2, col("cluster"))))
+      .select("vec_id", "cluster", "r")
+  }
+
   /** brute-force cosine top-k for qid < NumQueries; rounded to 6 dp before
     * ranking so Spark and DuckDB order identically. Norms are computed ONCE
     * per vector before the pair join (sqrt∘dot of the same array is the
@@ -623,20 +647,7 @@ object SimilarityOps {
          |SELECT qid, rnk, nid, sim6 FROM r2 WHERE rnk <= $TopK
          |ORDER BY qid, rnk""".stripMargin,
       bench = true) { (spark, sfDir) =>
-      import spark.implicits._
-      val cents = kmeansCodebook(spark, sfDir)
-      val centRows = cents.zipWithIndex.flatMap { case (cs, c) =>
-        cs.zipWithIndex.map { case (x, i) => (c, i, x) }
-      }.toSeq.toDF("list", "i", "x")
-      val n2c = cents.zipWithIndex.map { case (cs, c) => (c, cs.map(x => x * x).sum) }
-        .toSeq.toDF("list", "n2c")
-      val ranked = quantComps(embeddings(spark, sfDir))
-        .join(broadcast(centRows), Seq("i"))
-        .groupBy("vec_id", "list").agg(sum(col("xq") * col("x")).as("dp"))
-        .join(broadcast(n2c), Seq("list"))
-        .withColumn("r", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("n2c") - col("dp") * 2, col("list"))))
-        .select("vec_id", "list", "r")
+      val ranked = kmeansRanked(spark, sfDir).withColumnRenamed("cluster", "list")
       val assign = ranked.filter(col("r") === 1).select("vec_id", "list")
       val probes = ranked.filter(col("r") <= IvfProbes && col("vec_id") < NumQueries)
         .select(col("vec_id").as("qid"), col("list"))
@@ -669,21 +680,70 @@ object SimilarityOps {
       s"""WITH $kmeansOracleCtes
          |SELECT vec_id, c AS cluster FROM ranked WHERE r = 1
          |ORDER BY vec_id""".stripMargin) { (spark, sfDir) =>
-      import spark.implicits._
-      val cents = kmeansCodebook(spark, sfDir)
-      val centRows = cents.zipWithIndex.flatMap { case (cs, c) =>
-        cs.zipWithIndex.map { case (x, i) => (c, i, x) }
-      }.toSeq.toDF("cluster", "i", "x")
-      val n2c = cents.zipWithIndex.map { case (cs, c) => (c, cs.map(x => x * x).sum) }
-        .toSeq.toDF("cluster", "n2c")
-      quantComps(embeddings(spark, sfDir))
-        .join(broadcast(centRows), Seq("i"))
-        .groupBy("vec_id", "cluster").agg(sum(col("xq") * col("x")).as("dp"))
-        .join(broadcast(n2c), Seq("cluster"))
-        .withColumn("r", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("n2c") - col("dp") * 2, col("cluster"))))
+      kmeansRanked(spark, sfDir)
         .filter(col("r") === 1)
         .select(col("vec_id"), col("cluster"))
+        .orderBy("vec_id")
+    },
+
+    // SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup with the
+    // candidate stage BOUNDED BY the k-means clusters — cosine pairs are
+    // generated only WITHIN a cluster (an equi-join on the cluster id, so
+    // pair work scales with cluster occupancy ~n²/K and K grows with the
+    // corpus, never corpus²), then connected components over the pair
+    // graph and one representative (min vec_id) kept per duplicate group.
+    // Reuses the SAME memoized integer k-means codebook as sim_ann_ivf /
+    // sim_kmeans_clusters, so a pipeline running all three pays one build.
+    // Cross-cluster duplicates are missed BY DESIGN — that approximation
+    // is SemDeDup's scale trade (sim_dup_clusters is the LSH-complete
+    // twin on the same corpus). Fully oracled: the DuckDB twin replays
+    // the codebook CTEs, the within-cluster brute pairs, and a
+    // recursive-CTE transitive closure.
+    GraftQuery("sim_semdedup",
+      s"""WITH RECURSIVE $kmeansOracleCtes,
+         |assign AS (SELECT vec_id, c AS cluster FROM ranked WHERE r = 1),
+         |pr AS (SELECT x.vec_id AS ida, y.vec_id AS idb,
+         |        round(list_sum(list_transform(generate_series(1, len(a.embedding)),
+         |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         |          / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+         |               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+         |           * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+         |               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS sim6
+         |      FROM assign x JOIN assign y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+         |      JOIN embeddings a ON a.vec_id = x.vec_id
+         |      JOIN embeddings b ON b.vec_id = y.vec_id),
+         |pairs AS (SELECT ida AS a, idb AS b FROM pr WHERE sim6 >= $NearDupThreshold),
+         |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT a AS src, b AS dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a),
+         |comp AS (SELECT src, least(src, min(dst)) AS grp FROM reach GROUP BY src)
+         |SELECT s.vec_id, s.cluster, COALESCE(c.grp, s.vec_id) AS grp,
+         |       CASE WHEN COALESCE(c.grp, s.vec_id) = s.vec_id THEN 1 ELSE 0 END AS keep
+         |FROM assign s LEFT JOIN comp c ON c.src = s.vec_id
+         |ORDER BY vec_id""".stripMargin) { (spark, sfDir) =>
+      val assign = kmeansRanked(spark, sfDir).filter(col("r") === 1)
+        .select("vec_id", "cluster")
+      val v = embeddings(spark, sfDir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("ve"))
+        .withColumn("nv", norm(col("ve")))
+      val withVec = assign.join(v, Seq("vec_id"))
+      val left = withVec.select(col("cluster"), col("vec_id").as("a"),
+        col("ve").as("ea"), col("nv").as("na"))
+      val right = withVec.select(col("cluster"), col("vec_id").as("b"),
+        col("ve").as("eb"), col("nv").as("nb"))
+      val pairs = left.join(right, Seq("cluster"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("sim6"))
+        .filter(col("sim6") >= NearDupThreshold)
+      val comp = GraphOps.connectedComponents(pairs.select("a", "b"))
+        .select(col("id").as("vec_id"), col("cluster").as("grp"))
+      assign.join(comp, Seq("vec_id"), "left_outer")
+        .withColumn("grp", coalesce(col("grp"), col("vec_id")))
+        .withColumn("keep", when(col("grp") === col("vec_id"), 1).otherwise(0))
+        .select("vec_id", "cluster", "grp", "keep")
         .orderBy("vec_id")
     },
 

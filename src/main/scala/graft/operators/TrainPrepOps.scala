@@ -324,6 +324,70 @@ object TrainPrepOps {
       TwoPhaseRank.rowNumber(keyed, "pos", -1, col("k"), col("doc_id"))
         .select(col("doc_id"), col("pos").cast("long").as("pos"))
         .orderBy("doc_id")
+    },
+
+    // DSIR-style data selection (Xie et al., "Data Selection for Language
+    // Models via Importance Resampling", NeurIPS 2023), made deterministic:
+    // the hashed-ngram log-likelihood ratio becomes an integer-ppm count
+    // ratio per bigram feature — affinity(f) = (count_eval(f) · 1e6) DIV
+    // count_corpus(f), no smoothing, no logs, no libm drift — summed over
+    // each training document's bigram occurrences; the importance RESAMPLE
+    // becomes the deterministic top-⌈10%⌉ by mean affinity (IEEE quotient,
+    // identical in both engines) with doc_id tiebreak. Scale shape: the
+    // affinity table is keyed by eval∩corpus bigrams (benchmarks are small
+    // by nature → broadcast), the corpus side is one linear scan + one
+    // per-doc aggregation, and the global rank is the two-phase prefix
+    // rank — no single-partition window, no all-pairs stage. Documents
+    // with fewer than 2 tokens have no features and are unscoreable (not
+    // emitted — both engines derive the population from the bigram rows).
+    GraftQuery("train_dsir_select",
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |        i -> concat(toks[i], ' ', toks[i + 1]))) AS bg FROM t),
+        |tc AS (SELECT bg, CAST(count(*) AS BIGINT) AS ct FROM b
+        |       WHERE doc_id % 50 = 7 GROUP BY bg),
+        |rc AS (SELECT bg, CAST(count(*) AS BIGINT) AS cr FROM b
+        |       WHERE doc_id % 50 <> 7 GROUP BY bg),
+        |aff AS (SELECT bg, (ct * 1000000) // cr AS a FROM tc JOIN rc USING (bg)),
+        |sc AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |         CAST(sum(COALESCE(aff.a, 0)) AS BIGINT) AS affinity
+        |       FROM b LEFT JOIN aff USING (bg)
+        |       WHERE b.doc_id % 50 <> 7 GROUP BY b.doc_id),
+        |k AS (SELECT CAST(ceil(0.1 * count(*)) AS BIGINT) AS kk FROM sc),
+        |r AS (SELECT doc_id, n_bigrams, affinity,
+        |        CAST(row_number() OVER (
+        |          ORDER BY CAST(affinity AS DOUBLE) / n_bigrams DESC, doc_id)
+        |          AS BIGINT) AS rnk
+        |      FROM sc)
+        |SELECT doc_id, n_bigrams, affinity,
+        |       (affinity * 100) // n_bigrams AS avg100,
+        |       rnk, CASE WHEN rnk <= (SELECT kk FROM k) THEN 1 ELSE 0 END AS selected
+        |FROM r ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
+      val bg = docs(spark, sfDir)
+        .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+        .select(col("doc_id"), explode(expr(gramsExpr(2))).as("bg"))
+      val tc = bg.filter(isEvalDoc).groupBy("bg").agg(count(lit(1)).as("ct"))
+      val rc = bg.filter(!isEvalDoc).groupBy("bg").agg(count(lit(1)).as("cr"))
+      val aff = tc.join(rc, Seq("bg"))
+        .select(col("bg"), expr("(ct * 1000000) DIV cr").as("a"))
+      val scored = bg.filter(!isEvalDoc)
+        .join(broadcast(aff), Seq("bg"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(coalesce(col("a"), lit(0L))).as("affinity"))
+        .withColumn("avgd", col("affinity").cast("double") / col("n_bigrams"))
+        .persist()
+      graft.CacheTracker.track(scored)
+      val k = math.ceil(0.1 * scored.count()).toLong
+      TwoPhaseRank.rowNumber(scored, "rnk", -1, col("avgd").desc, col("doc_id"))
+        .select(col("doc_id"), col("n_bigrams"), col("affinity"),
+          // integer-exact published mean (a 2-dp float round can land on a
+          // .xx5 boundary where the engines' round primitives disagree)
+          expr("(affinity * 100) DIV n_bigrams").as("avg100"),
+          col("rnk").cast("long").as("rnk"),
+          when(col("rnk") <= k, 1).otherwise(0).as("selected"))
+        .orderBy("doc_id")
     }
   )
 }

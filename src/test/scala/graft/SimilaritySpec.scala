@@ -173,4 +173,46 @@ class SimilaritySpec extends AnyFunSuite {
       assert(rows(vid) == best, s"vec $vid: assigned ${rows(vid)}, argmin $best")
     }
   }
+
+  test("semdedup keeps exactly one representative per within-cluster duplicate group") {
+    val spark = TestSpark.spark
+    val rows = SparkEntry.queries("sim_semdedup")(spark, TestSpark.Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    val n = Tables.embeddings(spark, TestSpark.Sf).count()
+    assert(rows.length.toLong == n, "one verdict per vector")
+    rows.groupBy(_._3).foreach { case (g, ms) =>
+      assert(ms.map(_._1).min == g, "group label is the min member id")
+      assert(ms.count(_._4 == 1) == 1 && ms.find(_._4 == 1).get._1 == g,
+        "exactly the min member is kept")
+      // edges exist only within a cluster, so no group crosses clusters
+      assert(ms.map(_._2).toSet.size == 1, s"group $g crosses clusters")
+    }
+    // independent recompute at spec scale: brute-force within-cluster
+    // cosines + driver union-find must land on the same groups
+    val vecs = Tables.embeddings(spark, TestSpark.Sf)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS e")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val cluster = rows.map(r => r._1 -> r._2).toMap
+    val parent = scala.collection.mutable.Map(vecs.keys.map(k => k -> k).toSeq: _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    def dotA(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val ids = vecs.keys.toSeq.sorted
+    for { i <- ids; j <- ids if i < j && cluster(i) == cluster(j) } {
+      val sim = BigDecimal(
+        dotA(vecs(i), vecs(j)) /
+          (math.sqrt(dotA(vecs(i), vecs(i))) * math.sqrt(dotA(vecs(j), vecs(j)))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (sim >= SimilarityOps.NearDupThreshold) {
+        val (ri, rj) = (find(i), find(j))
+        if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+      }
+    }
+    rows.foreach { case (v, _, g, _) =>
+      assert(find(v) == g, s"vec $v: grp $g, recomputed ${find(v)}")
+    }
+  }
 }

@@ -187,4 +187,24 @@ class TrainPrepSpec extends AnyFunSuite with CacheDrained {
     // the hash actually shuffles: the order differs from doc_id order
     assert(rows.exists { case (id, pos) => pos != id + 1 })
   }
+
+  test("train_dsir_select takes exactly the top-10% by mean affinity, never eval docs") {
+    val rows = SparkEntry.queries("train_dsir_select")(TestSpark.spark, TestSpark.Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getInt(5)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._1 % 50 != 7), "eval docs must not be scored")
+    // rnk is a permutation of 1..n and selected = rnk <= ceil(0.1 n)
+    assert(rows.map(_._4).sorted.toSeq == (1L to rows.length.toLong).toSeq)
+    val k = math.ceil(0.1 * rows.length).toLong
+    assert(rows.count(_._5 == 1).toLong == k)
+    rows.foreach { case (_, _, _, rnk, sel) => assert((rnk <= k) == (sel == 1)) }
+    // selection is by mean affinity: every selected doc's IEEE mean is >=
+    // every unselected doc's (boundary ties broken by doc_id inside rnk)
+    def mean(t: (Long, Long, Long, Long, Int)): Double = t._3.toDouble / t._2
+    val minSel = rows.filter(_._5 == 1).map(mean).min
+    val maxUnsel = rows.filter(_._5 == 0).map(mean).max
+    assert(minSel >= maxUnsel,
+      s"selection not monotone: min selected $minSel < max unselected $maxUnsel")
+  }
 }
