@@ -5,12 +5,19 @@ import org.apache.spark.sql.SparkSession
 /** Dev/scaling helper: count near-dup LSH candidate pairs and verified
   * pairs at a scale factor and threshold — the candidate-growth evidence
   * SCALING.md records across sf decades.
-  * Usage: runMain graft.CandCount <sfDir> [tau...]
+  * Usage: runMain graft.CandCount <sfDir> [candsonly] [tau...]
+  * `candsonly` skips the verified-pairs pass (half the work — the
+  * candidate fraction is the scaling-decade evidence; pairs need a
+  * second full pass over the candidate join).
   */
 object CandCount {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    val taus = if (args.length > 1) args.drop(1).map(_.toDouble).toSeq else Seq(0.4, 0.8)
+    val candsOnly = args.contains("candsonly")
+    val taus = {
+      val t = args.drop(1).filterNot(_ == "candsonly").map(_.toDouble).toSeq
+      if (t.nonEmpty) t else Seq(0.4, 0.8)
+    }
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -23,7 +30,9 @@ object CandCount {
     taus.foreach { tau =>
       val plan = graft.operators.SimilarityOps.nearDupPlan(tau, n)
       val cands = graft.operators.SimilarityOps.nearDupCandidates(spark, sfDir, tau).count()
-      val pairs = graft.operators.SimilarityOps.nearDupPairsAt(spark, sfDir, tau).count()
+      val pairs =
+        if (candsOnly) -1L
+        else graft.operators.SimilarityOps.nearDupPairsAt(spark, sfDir, tau).count()
       println(f"[candcount] sf=$sfDir n=$n tau=$tau tables=${plan.tables} bits=${plan.bits} " +
         f"candidates=$cands pairs=$pairs cand_frac=${cands.toDouble / (n.toDouble * (n - 1) / 2)}%.4f")
     }

@@ -689,9 +689,14 @@ object SimilarityOps {
     // SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup with the
     // candidate stage BOUNDED BY the k-means clusters — cosine pairs are
     // generated only WITHIN a cluster (an equi-join on the cluster id, so
-    // pair work scales with cluster occupancy ~n²/K and K grows with the
-    // corpus, never corpus²), then connected components over the pair
-    // graph and one representative (min vec_id) kept per duplicate group.
+    // pair work scales with cluster occupancy ~n²/K, never corpus²), then
+    // connected components over the pair graph and one representative
+    // (min vec_id) kept per duplicate group. The bound has teeth only
+    // when K grows with the corpus (the paper uses ~100k clusters on
+    // billions of embeddings; n/K per cluster stays fixed); HERE K is the
+    // demo codebook's fixed $KmeansK because the DuckDB oracle unrolls
+    // the K init steps statically — so this query is demo-scale evidence
+    // of the SHAPE, and a production run sizes K ~ n/targetOccupancy.
     // Reuses the SAME memoized integer k-means codebook as sim_ann_ivf /
     // sim_kmeans_clusters, so a pipeline running all three pays one build.
     // Cross-cluster duplicates are missed BY DESIGN — that approximation
