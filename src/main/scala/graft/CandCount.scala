@@ -12,10 +12,13 @@ import org.apache.spark.sql.SparkSession
   */
 object CandCount {
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val candsOnly = args.contains("candsonly")
+    // flag-aware positional parse: the first non-flag arg is the sfDir,
+    // the rest are taus — so `CandCount candsonly` works on the default dir
+    val positional = args.filterNot(_ == "candsonly")
+    val sfDir = positional.headOption.getOrElse("/root/testdata/sf0.01")
     val taus = {
-      val t = args.drop(1).filterNot(_ == "candsonly").map(_.toDouble).toSeq
+      val t = positional.drop(1).map(_.toDouble).toSeq
       if (t.nonEmpty) t else Seq(0.4, 0.8)
     }
     val spark = SparkSession.builder()

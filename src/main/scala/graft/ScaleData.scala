@@ -14,12 +14,18 @@ import org.apache.spark.sql.functions._
   * similarity operators see new content rather than 10 verbatim clones
   * (verbatim clones would synthesize a quadratic near-dup blow-up no real
   * 10× corpus has):
-  *  - documents: replicas r>0 interleave the replica digit every 7 chars —
-  *    every 8-shingle crosses an inserted digit, so cross-replica Jaccard
-  *    collapses while within-replica relationships are preserved.
-  *  - embeddings: replicas rotate the component vector by 7r positions —
-  *    cosine within a replica is rotation-invariant (pair structure
-  *    preserved), cosine across replicas of the same vector decorrelates.
+  *  - documents: replicas r>0 interleave the FULL replica number every 7
+  *    chars (identical to a single digit for r<10, so sf1 output is
+  *    unchanged; a digit alone repeats mod 10 and would clone r and r+10
+  *    verbatim at factor 100) — every 8-shingle crosses an insertion, so
+  *    cross-replica Jaccard collapses while within-replica relationships
+  *    are preserved.
+  *  - embeddings: replicas rotate the component vector by 7r positions,
+  *    and replicas r ≥ 64 REVERSE the vector before rotating (rotations
+  *    repeat mod 64; reversal is orthogonal, so within-replica cosines
+  *    are preserved exactly while a reversed-then-rotated vector
+  *    decorrelates from every pure rotation of the same base). Factors
+  *    beyond 128 would need a third transform and are rejected up front.
   * Dimension tables (region, nation) and the label/lang/source vocabularies
   * stay fixed, as they would at a real 10× of the same corpus.
   */
@@ -29,6 +35,11 @@ object ScaleData {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/root/repo/target/testdata/sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    // fail BEFORE writing anything: the per-replica embedding transform
+    // only decorrelates up to 128 replicas, and embeddings are the last
+    // table written — a late failure would leave dst partially populated
+    require(factor >= 1 && factor <= 128,
+      s"ScaleData supports factors 1..128, got $factor")
     val spark = SparkSession.builder()
       .master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")

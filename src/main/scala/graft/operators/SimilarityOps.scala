@@ -733,7 +733,14 @@ object SimilarityOps {
       val v = embeddings(spark, sfDir)
         .select(col("vec_id"), toDouble(col("embedding")).as("ve"))
         .withColumn("nv", norm(col("ve")))
+      // persist ONCE: the assignment pipeline (quantComps explode + K-way
+      // dot aggregation + per-vector window) otherwise replans for the
+      // self-join's left branch, its right branch, AND the final
+      // representative join — GraphOps' eager edge materialization makes
+      // this cache hot before the loop starts
       val withVec = assign.join(v, Seq("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(withVec)
       val left = withVec.select(col("cluster"), col("vec_id").as("a"),
         col("ve").as("ea"), col("nv").as("na"))
       val right = withVec.select(col("cluster"), col("vec_id").as("b"),
@@ -745,7 +752,7 @@ object SimilarityOps {
         .filter(col("sim6") >= NearDupThreshold)
       val comp = GraphOps.connectedComponents(pairs.select("a", "b"))
         .select(col("id").as("vec_id"), col("cluster").as("grp"))
-      assign.join(comp, Seq("vec_id"), "left_outer")
+      withVec.select("vec_id", "cluster").join(comp, Seq("vec_id"), "left_outer")
         .withColumn("grp", coalesce(col("grp"), col("vec_id")))
         .withColumn("keep", when(col("grp") === col("vec_id"), 1).otherwise(0))
         .select("vec_id", "cluster", "grp", "keep")

@@ -364,13 +364,22 @@ object TrainPrepOps {
         |       (affinity * 100) // n_bigrams AS avg100,
         |       rnk, CASE WHEN rnk <= (SELECT kk FROM k) THEN 1 ELSE 0 END AS selected
         |FROM r ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
+      // persist the tokenize+explode ONCE: it feeds the eval-count agg,
+      // the corpus-count agg (both inside the aff broadcast build) and
+      // the corpus scoring scan — unpersisted, the regexp tokenization
+      // would run three times over the documents table
       val bg = docs(spark, sfDir)
         .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
         .select(col("doc_id"), explode(expr(gramsExpr(2))).as("bg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(bg)
       val tc = bg.filter(isEvalDoc).groupBy("bg").agg(count(lit(1)).as("ct"))
       val rc = bg.filter(!isEvalDoc).groupBy("bg").agg(count(lit(1)).as("cr"))
       val aff = tc.join(rc, Seq("bg"))
         .select(col("bg"), expr("(ct * 1000000) DIV cr").as("a"))
+      // persisted only to pin the frame between the k-count action and
+      // TwoPhaseRank's materialization (rowNumber itself unpersists its
+      // input after the range-sampling pass, so no tracker entry here)
       val scored = bg.filter(!isEvalDoc)
         .join(broadcast(aff), Seq("bg"), "left")
         .groupBy("doc_id")
@@ -378,7 +387,6 @@ object TrainPrepOps {
           sum(coalesce(col("a"), lit(0L))).as("affinity"))
         .withColumn("avgd", col("affinity").cast("double") / col("n_bigrams"))
         .persist()
-      graft.CacheTracker.track(scored)
       val k = math.ceil(0.1 * scored.count()).toLong
       TwoPhaseRank.rowNumber(scored, "rnk", -1, col("avgd").desc, col("doc_id"))
         .select(col("doc_id"), col("n_bigrams"), col("affinity"),
