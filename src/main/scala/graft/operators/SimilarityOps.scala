@@ -479,6 +479,57 @@ object SimilarityOps {
       .select("vec_id", "cluster", "r")
   }
 
+  /** DuckDB CTE chain for the IVF probe pipeline, ending in
+    * `r2(qid, nid, sim6, rnk)` — the per-query exact re-rank over the
+    * probed lists' members. Shared by sim_ann_ivf and sim_ann_recall. */
+  private def ivfOracleCtes: String =
+    s"""$kmeansOracleCtes,
+       |assign AS (SELECT vec_id, c AS list FROM ranked WHERE r = 1),
+       |probes AS (SELECT vec_id AS qid, c AS list FROM ranked
+       |      WHERE r <= $IvfProbes AND vec_id < $NumQueries),
+       |cands AS (SELECT p.qid, a.vec_id AS nid
+       |      FROM probes p JOIN assign a ON a.list = p.list
+       |      WHERE a.vec_id <> p.qid),
+       |p2 AS (SELECT cands.qid, cands.nid,
+       |        round(list_sum(list_transform(generate_series(1, 64),
+       |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+       |          / (sqrt(list_sum(list_transform(generate_series(1, 64),
+       |               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+       |           * sqrt(list_sum(list_transform(generate_series(1, 64),
+       |               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+       |          , 6) AS sim6
+       |      FROM cands
+       |      JOIN embeddings a ON a.vec_id = cands.qid
+       |      JOIN embeddings b ON b.vec_id = cands.nid),
+       |r2 AS (SELECT qid, nid, sim6,
+       |        row_number() OVER (PARTITION BY qid ORDER BY sim6 DESC, nid) AS rnk
+       |      FROM p2)""".stripMargin
+
+  /** IVF probe + exact re-rank: top-k rows (qid, rnk, nid, sim6) per
+    * query id — the sim_ann_ivf pipeline body, shared with
+    * sim_ann_recall's evaluation join (unordered; callers sort). */
+  def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val ranked = kmeansRanked(spark, sfDir).withColumnRenamed("cluster", "list")
+    val assign = ranked.filter(col("r") === 1).select("vec_id", "list")
+    val probes = ranked.filter(col("r") <= IvfProbes && col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("list"))
+    val cands = assign.join(broadcast(probes), Seq("list"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"))
+    val e = embeddings(spark, sfDir)
+    val q = e.select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qe"))
+      .withColumn("nq", norm(col("qe")))
+    val c = e.select(col("vec_id").as("nid"), toDouble(col("embedding")).as("ne"))
+      .withColumn("nn", norm(col("ne")))
+    val w = Window.partitionBy("qid").orderBy(col("sim6").desc, col("nid"))
+    cands.join(broadcast(q), Seq("qid")).join(c, Seq("nid"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("qe"), col("ne")) / (col("nq") * col("nn")), 6).as("sim6"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select("qid", "rnk", "nid", "sim6")
+  }
+
   /** brute-force cosine top-k for qid < NumQueries; rounded to 6 dp before
     * ranking so Spark and DuckDB order identically. Norms are computed ONCE
     * per vector before the pair join (sqrt∘dot of the same array is the
@@ -623,50 +674,51 @@ object SimilarityOps {
     // supervised label centroids it replaced because Lloyd rounds balance
     // the lists to the actual geometry.
     GraftQuery("sim_ann_ivf",
-      s"""WITH $kmeansOracleCtes,
-         |assign AS (SELECT vec_id, c AS list FROM ranked WHERE r = 1),
-         |probes AS (SELECT vec_id AS qid, c AS list FROM ranked
-         |      WHERE r <= $IvfProbes AND vec_id < $NumQueries),
-         |cands AS (SELECT p.qid, a.vec_id AS nid
-         |      FROM probes p JOIN assign a ON a.list = p.list
-         |      WHERE a.vec_id <> p.qid),
-         |p2 AS (SELECT cands.qid, cands.nid,
-         |        round(list_sum(list_transform(generate_series(1, 64),
-         |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-         |          / (sqrt(list_sum(list_transform(generate_series(1, 64),
-         |               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
-         |           * sqrt(list_sum(list_transform(generate_series(1, 64),
-         |               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
-         |          , 6) AS sim6
-         |      FROM cands
-         |      JOIN embeddings a ON a.vec_id = cands.qid
-         |      JOIN embeddings b ON b.vec_id = cands.nid),
-         |r2 AS (SELECT qid, nid, sim6,
-         |        row_number() OVER (PARTITION BY qid ORDER BY sim6 DESC, nid) AS rnk
-         |      FROM p2)
+      s"""WITH $ivfOracleCtes
          |SELECT qid, rnk, nid, sim6 FROM r2 WHERE rnk <= $TopK
          |ORDER BY qid, rnk""".stripMargin,
       bench = true) { (spark, sfDir) =>
-      val ranked = kmeansRanked(spark, sfDir).withColumnRenamed("cluster", "list")
-      val assign = ranked.filter(col("r") === 1).select("vec_id", "list")
-      val probes = ranked.filter(col("r") <= IvfProbes && col("vec_id") < NumQueries)
-        .select(col("vec_id").as("qid"), col("list"))
-      val cands = assign.join(broadcast(probes), Seq("list"))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("nid"))
-      val e = embeddings(spark, sfDir)
-      val q = e.select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qe"))
-        .withColumn("nq", norm(col("qe")))
-      val c = e.select(col("vec_id").as("nid"), toDouble(col("embedding")).as("ne"))
-        .withColumn("nn", norm(col("ne")))
-      val w = Window.partitionBy("qid").orderBy(col("sim6").desc, col("nid"))
-      cands.join(broadcast(q), Seq("qid")).join(c, Seq("nid"))
-        .select(col("qid"), col("nid"),
-          round(dot(col("qe"), col("ne")) / (col("nq") * col("nn")), 6).as("sim6"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= TopK)
-        .select("qid", "rnk", "nid", "sim6")
-        .orderBy("qid", "rnk")
+      ivfTopK(spark, sfDir).orderBy("qid", "rnk")
+    },
+
+    // ANN quality evaluation as a first-class operator: per-query
+    // recall@k of the IVF index against the brute-force ground truth —
+    // the continuous-evaluation join a production similarity pipeline
+    // runs whenever the codebook or corpus moves. Pure composition of
+    // the two existing pipelines (one shared memoized codebook build);
+    // all outputs integer-exact (hit counts and an integer percent), so
+    // the evaluation itself is oracled, not just spec-asserted.
+    GraftQuery("sim_ann_recall",
+      s"""WITH $ivfOracleCtes,
+         |ivf AS (SELECT qid, nid FROM r2 WHERE rnk <= $TopK),
+         |bq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |       WHERE vec_id < $NumQueries),
+         |bp AS (SELECT bq.qid, e.vec_id AS nid,
+         |        list_sum(list_transform(generate_series(1, len(e.embedding)),
+         |          i -> CAST(bq.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS dp,
+         |        sqrt(list_sum(list_transform(generate_series(1, len(bq.qe)),
+         |          i -> CAST(bq.qe[i] AS DOUBLE) * CAST(bq.qe[i] AS DOUBLE)))) AS nq,
+         |        sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+         |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) AS ne
+         |      FROM embeddings e, bq WHERE e.vec_id <> bq.qid),
+         |br AS (SELECT qid, nid,
+         |        row_number() OVER (PARTITION BY qid
+         |                           ORDER BY round(dp / (nq * ne), 6) DESC, nid) AS rnk
+         |      FROM bp),
+         |brute AS (SELECT qid, nid FROM br WHERE rnk <= $TopK),
+         |hit AS (SELECT brute.qid, CAST(count(ivf.nid) AS BIGINT) AS n_hit
+         |        FROM brute LEFT JOIN ivf ON ivf.qid = brute.qid AND ivf.nid = brute.nid
+         |        GROUP BY brute.qid)
+         |SELECT qid, n_hit, (n_hit * 100) // $TopK AS recall_pct
+         |FROM hit ORDER BY qid""".stripMargin) { (spark, sfDir) =>
+      val ivf = ivfTopK(spark, sfDir)
+        .select(col("qid"), col("nid"), lit(1).as("hit"))
+      bruteForce(spark, sfDir).select("qid", "nid")
+        .join(ivf, Seq("qid", "nid"), "left_outer")
+        .groupBy("qid").agg(count(col("hit")).as("n_hit"))
+        .select(col("qid"), col("n_hit"),
+          expr(s"(n_hit * 100) DIV $TopK").as("recall_pct"))
+        .orderBy("qid")
     },
 
     // unsupervised corpus clustering: every vector labeled with its nearest
