@@ -31,6 +31,35 @@ import org.apache.spark.sql.functions._
   */
 object ScaleData {
 
+  /** per-replica document edit: shift the key, interleave the FULL replica
+    * number every 7 chars (for r<10 identical to a single digit, so sf1
+    * output is unchanged; a digit alone would repeat every 10 replicas and
+    * make r and r+10 verbatim clones at factor=100) */
+  private[graft] def docEdit(docK: Long)(d: DataFrame, r: Long): DataFrame =
+    d.withColumn("doc_id", col("doc_id") + lit(r * docK))
+      .withColumn("text",
+        if (r == 0L) col("text")
+        else regexp_replace(col("text"), "(.{7})", "$1" + r))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  /** per-replica embedding edit: shift the key, rotate components by 7r
+    * positions — rotations repeat mod 64, so replicas r and r+64 of the
+    * same base vector would be identical (cosine 1.0 — a synthetic
+    * near-dup blow-up); for r >= 64 REVERSE the vector before rotating
+    * (reversal is orthogonal: within-replica cosines preserved, and a
+    * reversed-then-rotated vector decorrelates from every pure rotation
+    * of the same base). Factors beyond 128 would need a third transform;
+    * main rejects them before writing anything. */
+  private[graft] def embEdit(vecK: Long)(d: DataFrame, r: Long): DataFrame = {
+    val shift = ((r * 7) % 64).toInt
+    require(r < 128, "ScaleData supports factors up to 128")
+    val src = if (r < 64) "embedding" else "reverse(embedding)"
+    d.withColumn("vec_id", col("vec_id") + lit(r * vecK))
+      .withColumn("embedding",
+        if (shift == 0) expr(src)
+        else expr(s"concat(slice($src, ${shift + 1}, ${64 - shift}), slice($src, 1, $shift))"))
+  }
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/root/repo/target/testdata/sf1"
@@ -88,31 +117,8 @@ object ScaleData {
     write(amplify(read("events"), (d, r) =>
       d.withColumn("event_id", col("event_id") + lit(r * evK._1))
         .withColumn("user_id", col("user_id") + lit(r * evK._2))), "events")
-    write(amplify(read("documents"), (d, r) =>
-      d.withColumn("doc_id", col("doc_id") + lit(r * docK))
-        .withColumn("text",
-          // interleave the FULL replica number (for r<10 identical to the
-          // old single-digit form, so sf1 output is unchanged) — a digit
-          // alone would repeat every 10 replicas and make r and r+10
-          // verbatim clones at factor=100
-          if (r == 0L) col("text")
-          else regexp_replace(col("text"), "(.{7})", "$1" + r))
-        .withColumn("n_chars", length(col("text")).cast("long"))), "documents")
-    write(amplify(read("embeddings"), (d, r) => {
-      val shift = ((r * 7) % 64).toInt
-      // rotations repeat mod 64, so replicas r and r+64 of the same base
-      // vector would be identical (cosine 1.0 — a synthetic near-dup
-      // blow-up). For r >= 64 REVERSE the vector before rotating: reversal
-      // is orthogonal (within-replica cosines preserved exactly) and a
-      // reversed-then-rotated vector decorrelates from every pure rotation
-      // of the same base. Factors beyond 128 would need a third transform.
-      require(r < 128, "ScaleData supports factors up to 128")
-      val src = if (r < 64) "embedding" else "reverse(embedding)"
-      d.withColumn("vec_id", col("vec_id") + lit(r * vecK))
-        .withColumn("embedding",
-          if (shift == 0) expr(src)
-          else expr(s"concat(slice($src, ${shift + 1}, ${64 - shift}), slice($src, 1, $shift))"))
-    }), "embeddings")
+    write(amplify(read("documents"), docEdit(docK)), "documents")
+    write(amplify(read("embeddings"), embEdit(vecK)), "embeddings")
 
     println(s"wrote ${factor}x of $src to $dst")
     spark.stop()
