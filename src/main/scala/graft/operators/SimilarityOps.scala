@@ -462,9 +462,15 @@ object SimilarityOps {
     * sim_ann_ivf (r ≤ IvfProbes are the probe lists), sim_kmeans_clusters
     * and sim_semdedup; the memoized codebook means the three queries pay
     * one build per (session, sfDir). */
-  private def kmeansRanked(spark: SparkSession, sfDir: String): DataFrame = {
+  private def kmeansRanked(spark: SparkSession, sfDir: String): DataFrame =
+    rankedFor(spark, sfDir, kmeansCodebook(spark, sfDir))
+
+  /** rank every corpus vector against an arbitrary integer codebook (the
+    * distributed argmin machinery behind kmeansRanked, reused by the
+    * corpus-scaled semDedupScaled codebook) */
+  private def rankedFor(spark: SparkSession, sfDir: String,
+      cents: Array[Array[Long]]): DataFrame = {
     import spark.implicits._
-    val cents = kmeansCodebook(spark, sfDir)
     val centRows = cents.zipWithIndex.flatMap { case (cs, c) =>
       cs.zipWithIndex.map { case (x, i) => (c, i, x) }
     }.toSeq.toDF("cluster", "i", "x")
@@ -477,6 +483,108 @@ object SimilarityOps {
       .withColumn("r", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("n2c") - col("dp") * 2, col("cluster"))))
       .select("vec_id", "cluster", "r")
+  }
+
+  /** SemDeDup pipeline from a (vec_id, cluster) assignment: within-cluster
+    * cosine pairs ≥ NearDupThreshold, connected components, min-id
+    * representative kept per duplicate group. Shared by the fixed-K
+    * oracled query and the corpus-scaled [[semDedupScaled]]. */
+  private def semDedupFrom(spark: SparkSession, sfDir: String,
+      assign: DataFrame): DataFrame = {
+    val v = embeddings(spark, sfDir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("ve"))
+      .withColumn("nv", norm(col("ve")))
+    // persist ONCE: the assignment pipeline (quantComps explode + K-way
+    // dot aggregation + per-vector window) otherwise replans for the
+    // self-join's left branch, its right branch, AND the final
+    // representative join — GraphOps' eager edge materialization makes
+    // this cache hot before the loop starts
+    val withVec = assign.join(v, Seq("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.CacheTracker.track(withVec)
+    val left = withVec.select(col("cluster"), col("vec_id").as("a"),
+      col("ve").as("ea"), col("nv").as("na"))
+    val right = withVec.select(col("cluster"), col("vec_id").as("b"),
+      col("ve").as("eb"), col("nv").as("nb"))
+    val pairs = left.join(right, Seq("cluster"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("sim6"))
+      .filter(col("sim6") >= NearDupThreshold)
+    val comp = GraphOps.connectedComponents(pairs.select("a", "b"))
+      .select(col("id").as("vec_id"), col("cluster").as("grp"))
+    withVec.select("vec_id", "cluster").join(comp, Seq("vec_id"), "left_outer")
+      .withColumn("grp", coalesce(col("grp"), col("vec_id")))
+      .withColumn("keep", when(col("grp") === col("vec_id"), 1).otherwise(0))
+      .select("vec_id", "cluster", "grp", "keep")
+  }
+
+  /** Production-shape SemDeDup: K scales with the corpus
+    * (K = ⌈n / targetOccupancy⌉) so the within-cluster pair bound n·occ/2
+    * holds at ANY corpus size — the property the paper's ~100k-cluster
+    * runs rely on and the fixed-K oracled query cannot show. The codebook
+    * is learned on a bounded deterministic sample (md5-ranked vec_ids,
+    * ≤ sampleCap vectors collected to the driver — at 100 TB the sample
+    * is still sampleCap rows) with the same farthest-point init +
+    * floor-mean Lloyd rounds as kmeansCodebook, run in driver arrays;
+    * assignment, pair generation and component labeling stay fully
+    * distributed. K is data-dependent and the sampled fold imperative, so
+    * this is library surface with spec coverage (SimilaritySpec), not a
+    * registered query — the oracle contract stays "every registered query
+    * DuckDB-checked" while the scaled path is exercised end-to-end. */
+  def semDedupScaled(spark: SparkSession, sfDir: String,
+      targetOccupancy: Int = 200, sampleCap: Int = 4096): DataFrame = {
+    val e = embeddings(spark, sfDir)
+    val n = e.count()
+    val k = math.max(2, math.ceil(n.toDouble / targetOccupancy).toInt)
+    require(k <= sampleCap, s"codebook K=$k exceeds the $sampleCap-vector sample")
+    val sample = e
+      .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
+      .orderBy("h", "vec_id").limit(sampleCap)
+      .selectExpr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xq")
+      .collect().map(_.getSeq[Long](0).toArray)
+    val assign = rankedFor(spark, sfDir, sampleCodebook(sample, k))
+      .filter(col("r") === 1).select("vec_id", "cluster")
+    semDedupFrom(spark, sfDir, assign).orderBy("vec_id")
+  }
+
+  /** deterministic driver-side k-means on a quantized sample: the same
+    * farthest-point init and floor-mean Lloyd semantics as
+    * kmeansCodebookUncached, in plain arrays (sample ≤ sampleCap rows, so
+    * cost is O(sample · K · dim) driver flops — independent of corpus
+    * size) */
+  private[operators] def sampleCodebook(sample: Array[Array[Long]], k: Int,
+      iters: Int = KmeansIters): Array[Array[Long]] = {
+    require(sample.nonEmpty, "empty codebook sample")
+    def n2(v: Array[Long]): Long = v.map(x => x * x).sum
+    def dp(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    // farthest-point init: largest norm first, then argmax of distance to
+    // the nearest chosen centroid (ties to the earlier sample row, same as
+    // the distributed form's vec_id tiebreak on the md5-ordered sample)
+    var cents = Vector(sample.maxBy(n2))
+    while (cents.size < k) {
+      val pick = sample.maxBy { v =>
+        cents.map(c => n2(v) + n2(c) - 2 * dp(v, c)).min
+      }
+      cents :+= pick
+    }
+    for (_ <- 0 until iters) {
+      val asg = sample.map { v =>
+        cents.indices.minBy(c => n2(cents(c)) - 2 * dp(v, cents(c)))
+      }
+      cents = cents.indices.map { c =>
+        val members = sample.indices.filter(asg(_) == c)
+        if (members.isEmpty) cents(c)
+        else Array.tabulate(cents(c).length) { i =>
+          Math.floorDiv(members.map(m => sample(m)(i)).sum, members.size.toLong)
+        }
+      }.toVector
+    }
+    cents.toArray
   }
 
   /** DuckDB CTE chain for the IVF probe pipeline, ending in
@@ -782,33 +890,7 @@ object SimilarityOps {
          |ORDER BY vec_id""".stripMargin) { (spark, sfDir) =>
       val assign = kmeansRanked(spark, sfDir).filter(col("r") === 1)
         .select("vec_id", "cluster")
-      val v = embeddings(spark, sfDir)
-        .select(col("vec_id"), toDouble(col("embedding")).as("ve"))
-        .withColumn("nv", norm(col("ve")))
-      // persist ONCE: the assignment pipeline (quantComps explode + K-way
-      // dot aggregation + per-vector window) otherwise replans for the
-      // self-join's left branch, its right branch, AND the final
-      // representative join — GraphOps' eager edge materialization makes
-      // this cache hot before the loop starts
-      val withVec = assign.join(v, Seq("vec_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.CacheTracker.track(withVec)
-      val left = withVec.select(col("cluster"), col("vec_id").as("a"),
-        col("ve").as("ea"), col("nv").as("na"))
-      val right = withVec.select(col("cluster"), col("vec_id").as("b"),
-        col("ve").as("eb"), col("nv").as("nb"))
-      val pairs = left.join(right, Seq("cluster"))
-        .filter(col("a") < col("b"))
-        .select(col("a"), col("b"),
-          round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("sim6"))
-        .filter(col("sim6") >= NearDupThreshold)
-      val comp = GraphOps.connectedComponents(pairs.select("a", "b"))
-        .select(col("id").as("vec_id"), col("cluster").as("grp"))
-      withVec.select("vec_id", "cluster").join(comp, Seq("vec_id"), "left_outer")
-        .withColumn("grp", coalesce(col("grp"), col("vec_id")))
-        .withColumn("keep", when(col("grp") === col("vec_id"), 1).otherwise(0))
-        .select("vec_id", "cluster", "grp", "keep")
-        .orderBy("vec_id")
+      semDedupFrom(spark, sfDir, assign).orderBy("vec_id")
     },
 
     // symmetric int8 quantization of the embedding column (the storage /

@@ -174,10 +174,11 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("semdedup keeps exactly one representative per within-cluster duplicate group") {
+  /** SemDeDup output invariants + an independent driver recompute:
+    * brute-force within-cluster cosines (using the OUTPUT's own cluster
+    * column) + union-find must land on exactly the reported groups. */
+  private def checkSemDedup(rows: Array[(Long, Int, Long, Int)]): Unit = {
     val spark = TestSpark.spark
-    val rows = SparkEntry.queries("sim_semdedup")(spark, TestSpark.Sf).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
     val n = Tables.embeddings(spark, TestSpark.Sf).count()
     assert(rows.length.toLong == n, "one verdict per vector")
     rows.groupBy(_._3).foreach { case (g, ms) =>
@@ -187,8 +188,6 @@ class SimilaritySpec extends AnyFunSuite {
       // edges exist only within a cluster, so no group crosses clusters
       assert(ms.map(_._2).toSet.size == 1, s"group $g crosses clusters")
     }
-    // independent recompute at spec scale: brute-force within-cluster
-    // cosines + driver union-find must land on the same groups
     val vecs = Tables.embeddings(spark, TestSpark.Sf)
       .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS e")
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
@@ -214,5 +213,27 @@ class SimilaritySpec extends AnyFunSuite {
     rows.foreach { case (v, _, g, _) =>
       assert(find(v) == g, s"vec $v: grp $g, recomputed ${find(v)}")
     }
+  }
+
+  test("semdedup keeps exactly one representative per within-cluster duplicate group") {
+    val rows = SparkEntry.queries("sim_semdedup")(TestSpark.spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    checkSemDedup(rows)
+  }
+
+  test("scaled semdedup sizes K from the corpus and holds the same invariants") {
+    val spark = TestSpark.spark
+    val n = Tables.embeddings(spark, TestSpark.Sf).count()
+    val occ = 25
+    val k = math.max(2, math.ceil(n.toDouble / occ).toInt)
+    val rows = SimilarityOps.semDedupScaled(spark, TestSpark.Sf, targetOccupancy = occ)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    checkSemDedup(rows)
+    val clusters = rows.map(_._2).toSet
+    assert(clusters.forall(c => c >= 0 && c < k), s"cluster id out of range 0..${k - 1}")
+    // the sampled Lloyd rounds balance the lists: most of the K clusters
+    // are actually used, and K tracked the corpus (n/occ > the fixed demo K)
+    assert(k > SimilarityOps.KmeansK, "test corpus should force K beyond the demo codebook")
+    assert(clusters.size > k / 2, s"only ${clusters.size} of $k clusters used")
   }
 }
