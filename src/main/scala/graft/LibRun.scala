@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev helper: run a LIBRARY surface (an op that is deliberately not a
+  * registered query — data-dependent shapes the SQL oracle cannot
+  * express) and time it, RunOne-style. Currently: semdedup_scaled.
+  * Usage: runMain graft.LibRun semdedup_scaled <sfDir> [targetOccupancy]
+  */
+object LibRun {
+  def main(args: Array[String]): Unit = {
+    val what = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    what match {
+      case "semdedup_scaled" =>
+        val occ = if (args.length > 2) args(2).toInt else 200
+        (1 to 3).foreach { it =>
+          val t0 = System.nanoTime()
+          val n = graft.operators.SimilarityOps.semDedupScaled(spark, sfDir, occ).count()
+          println(f"[librun] semdedup_scaled occ=$occ iter$it rows=$n " +
+            f"in ${(System.nanoTime() - t0) / 1e9}%.2f sec")
+          CacheTracker.releaseAll()
+        }
+      case other => sys.error(s"unknown library surface: $other")
+    }
+    spark.stop()
+  }
+}

@@ -534,6 +534,7 @@ object SimilarityOps {
     * DuckDB-checked" while the scaled path is exercised end-to-end. */
   def semDedupScaled(spark: SparkSession, sfDir: String,
       targetOccupancy: Int = 200, sampleCap: Int = 4096): DataFrame = {
+    import spark.implicits._
     val e = embeddings(spark, sfDir)
     val n = e.count()
     val k = math.max(2, math.ceil(n.toDouble / targetOccupancy).toInt)
@@ -544,8 +545,29 @@ object SimilarityOps {
       .selectExpr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xq")
       .collect().map(_.getSeq[Long](0).toArray)
-    val assign = rankedFor(spark, sfDir, sampleCodebook(sample, k))
-      .filter(col("r") === 1).select("vec_id", "cluster")
+    val cents = sampleCodebook(sample, k)
+    // assignment in ONE codegen pass per row: rankedFor's join-on-component
+    // shape explodes every (vec_id, i) row K× before its aggregation —
+    // fine at the oracled queries' K=10, ruinous at the K~n/occ this
+    // variant exists for (K=1000 over 200k vectors would shuffle 12.8B
+    // rows). Here the K×64 integer matrix travels as one broadcast row
+    // and each vector computes its K exact integer distances + argmin
+    // inside whole-stage codegen; array_position takes the FIRST minimum,
+    // matching rankedFor's lower-cluster-id tiebreak.
+    val matDf = Seq((
+      cents.map(_.toSeq).toSeq,
+      cents.map(c => c.map(x => x * x).sum).toSeq
+    )).toDF("mat", "n2s")
+    val assign = e.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("xq"))
+      .crossJoin(broadcast(matDf))
+      .withColumn("dists", expr(
+        """transform(sequence(1, size(mat)), c -> element_at(n2s, c) -
+          |  2 * aggregate(zip_with(element_at(mat, c), xq, (x, y) -> x * y),
+          |                0L, (acc, x) -> acc + x))""".stripMargin))
+      .withColumn("cluster",
+        expr("array_position(dists, array_min(dists)) - 1").cast("int"))
+      .select("vec_id", "cluster")
     semDedupFrom(spark, sfDir, assign).orderBy("vec_id")
   }
 
@@ -557,34 +579,66 @@ object SimilarityOps {
   private[operators] def sampleCodebook(sample: Array[Array[Long]], k: Int,
       iters: Int = KmeansIters): Array[Array[Long]] = {
     require(sample.nonEmpty, "empty codebook sample")
-    def n2(v: Array[Long]): Long = v.map(x => x * x).sum
-    def dp(a: Array[Long], b: Array[Long]): Long = {
-      var s = 0L; var i = 0
-      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    val m = sample.length
+    val dim = sample(0).length
+    def n2(v: Array[Long]): Long = { var s = 0L; var i = 0
+      while (i < dim) { s += v(i) * v(i); i += 1 }; s }
+    def dp(a: Array[Long], b: Array[Long]): Long = { var s = 0L; var i = 0
+      while (i < dim) { s += a(i) * b(i); i += 1 }; s }
+    val norms = sample.map(n2)
+    // farthest-point init with the classic running-min: dmin holds each
+    // sample row's distance to its NEAREST chosen centroid and only the
+    // newest centroid updates it — O(sample · K) total, not O(sample · K²)
+    // (at K ~ n/occupancy the quadratic form would dominate the whole op).
+    // Ties go to the earlier row of the md5-ordered sample (strict >).
+    var first = 0
+    (1 until m).foreach(i => if (norms(i) > norms(first)) first = i)
+    val cents = Array.ofDim[Array[Long]](k)
+    cents(0) = sample(first)
+    val dmin = Array.tabulate(m) { i =>
+      norms(i) + norms(first) - 2 * dp(sample(i), cents(0))
     }
-    // farthest-point init: largest norm first, then argmax of distance to
-    // the nearest chosen centroid (ties to the earlier sample row, same as
-    // the distributed form's vec_id tiebreak on the md5-ordered sample)
-    var cents = Vector(sample.maxBy(n2))
-    while (cents.size < k) {
-      val pick = sample.maxBy { v =>
-        cents.map(c => n2(v) + n2(c) - 2 * dp(v, c)).min
+    var kk = 1
+    while (kk < k) {
+      var best = 0
+      (1 until m).foreach(i => if (dmin(i) > dmin(best)) best = i)
+      cents(kk) = sample(best)
+      val cn = n2(cents(kk))
+      var i = 0
+      while (i < m) {
+        val d = norms(i) + cn - 2 * dp(sample(i), cents(kk))
+        if (d < dmin(i)) dmin(i) = d
+        i += 1
       }
-      cents :+= pick
+      kk += 1
     }
     for (_ <- 0 until iters) {
-      val asg = sample.map { v =>
-        cents.indices.minBy(c => n2(cents(c)) - 2 * dp(v, cents(c)))
-      }
-      cents = cents.indices.map { c =>
-        val members = sample.indices.filter(asg(_) == c)
-        if (members.isEmpty) cents(c)
-        else Array.tabulate(cents(c).length) { i =>
-          Math.floorDiv(members.map(m => sample(m)(i)).sum, members.size.toLong)
+      val cn = cents.map(n2)
+      val sums = Array.ofDim[Long](k, dim)
+      val counts = Array.ofDim[Long](k)
+      var i = 0
+      while (i < m) {
+        var bestC = 0
+        var bestD = Long.MaxValue
+        var c = 0
+        while (c < k) {
+          val d = cn(c) - 2 * dp(sample(i), cents(c))
+          if (d < bestD) { bestD = d; bestC = c } // strict <: ties keep lower c
+          c += 1
         }
-      }.toVector
+        counts(bestC) += 1
+        var j = 0
+        while (j < dim) { sums(bestC)(j) += sample(i)(j); j += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0)
+          cents(c) = Array.tabulate(dim)(j => Math.floorDiv(sums(c)(j), counts(c)))
+        c += 1
+      }
     }
-    cents.toArray
+    cents
   }
 
   /** DuckDB CTE chain for the IVF probe pipeline, ending in
