@@ -48,6 +48,12 @@ object GraphOps {
       val changed = next.alias("n")
         .join(labels.alias("o"), col("n.id") === col("o.id"))
         .filter(col("n.lbl") =!= col("o.lbl")).count()
+      // the superseded round is dead the moment `changed` is counted;
+      // free its blocks NOW instead of waiting for the context cleaner's
+      // periodic driver GC (30 min default) — each round is O(vertices),
+      // so letting ~15 live rounds stack in executor storage is a real
+      // memory tax at corpus scale
+      graft.CacheTracker.checkpointRdds(labels).foreach(_.unpersist(false))
       labels = next
       converged = changed == 0
       iter += 1
@@ -56,8 +62,11 @@ object GraphOps {
       throw new IllegalStateException(
         s"connectedComponents: label propagation did not converge in $maxIters rounds")
     // edges are no longer referenced by the returned plan (labels is a
-    // checkpointed frame with O(1) lineage)
+    // checkpointed frame with O(1) lineage); the final labels frame is
+    // handed to CacheTracker so the harness's per-query releaseAll frees
+    // its checkpoint blocks too — DataFrame.unpersist alone cannot
     edges.unpersist(blocking = false)
+    graft.CacheTracker.trackCheckpointed(labels)
     labels.select(col("id"), col("lbl").as("cluster"))
   }
 }

@@ -534,7 +534,6 @@ object SimilarityOps {
     * DuckDB-checked" while the scaled path is exercised end-to-end. */
   def semDedupScaled(spark: SparkSession, sfDir: String,
       targetOccupancy: Int = 200, sampleCap: Int = 4096): DataFrame = {
-    import spark.implicits._
     val e = embeddings(spark, sfDir)
     val n = e.count()
     val k = math.max(2, math.ceil(n.toDouble / targetOccupancy).toInt)
@@ -550,24 +549,13 @@ object SimilarityOps {
     // shape explodes every (vec_id, i) row K× before its aggregation —
     // fine at the oracled queries' K=10, ruinous at the K~n/occ this
     // variant exists for (K=1000 over 200k vectors would shuffle 12.8B
-    // rows). Here the K×64 integer matrix travels as one broadcast row
-    // and each vector computes its K exact integer distances + argmin
-    // inside whole-stage codegen; array_position takes the FIRST minimum,
-    // matching rankedFor's lower-cluster-id tiebreak.
-    val matDf = Seq((
-      cents.map(_.toSeq).toSeq,
-      cents.map(c => c.map(x => x * x).sum).toSeq
-    )).toDF("mat", "n2s")
+    // rows). CentroidArgmin carries the K×64 integer matrix as one plan
+    // reference object and computes the quantized first-minimum argmin in
+    // flat primitive loops (a higher-order transform/aggregate form was
+    // 10× slower here — interpreted lambdas allocate per (row, centroid))
     val assign = e.select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("xq"))
-      .crossJoin(broadcast(matDf))
-      .withColumn("dists", expr(
-        """transform(sequence(1, size(mat)), c -> element_at(n2s, c) -
-          |  2 * aggregate(zip_with(element_at(mat, c), xq, (x, y) -> x * y),
-          |                0L, (acc, x) -> acc + x))""".stripMargin))
-      .withColumn("cluster",
-        expr("array_position(dists, array_min(dists)) - 1").cast("int"))
-      .select("vec_id", "cluster")
+      graft.functions.CentroidArgmin
+        .centroidArgmin(col("embedding"), cents).as("cluster"))
     semDedupFrom(spark, sfDir, assign).orderBy("vec_id")
   }
 

@@ -99,4 +99,41 @@ class ExpressionSpec extends AnyFunSuite {
     assert(viaAgg.keySet == viaMins.keySet)
     viaAgg.foreach { case (d, sig) => assert(sig == viaMins(d), s"doc $d") }
   }
+
+  test("CentroidArgmin == composed quantize/zip_with/aggregate argmin") {
+    val spark = TestSpark.spark
+    val cents = Array(
+      Array.fill(64)(0L),
+      Array.tabulate(64)(i => (i * 1000).toLong),
+      Array.tabulate(64)(i => ((63 - i) * 1000).toLong))
+    val e = Tables.embeddings(spark, TestSpark.Sf).limit(200)
+    val centsSql = cents.map(_.mkString("array(", "L,", "L)")).mkString("array(", ",", ")")
+    val both = e.select(col("vec_id"), col("embedding"),
+        graft.functions.CentroidArgmin.centroidArgmin(col("embedding"), cents).as("c1"))
+      .withColumn("c2", expr(
+        s"""CAST(array_position(
+           |  transform($centsSql, cc -> aggregate(cc, 0L, (a, x) -> a + x * x) -
+           |    2 * aggregate(zip_with(cc,
+           |          transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),
+           |          (x, y) -> x * y), 0L, (a, x) -> a + x)),
+           |  array_min(transform($centsSql, cc -> aggregate(cc, 0L, (a, x) -> a + x * x) -
+           |    2 * aggregate(zip_with(cc,
+           |          transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),
+           |          (x, y) -> x * y), 0L, (a, x) -> a + x)))) - 1 AS INT)""".stripMargin))
+      .collect()
+    both.foreach(r => assert(r.getInt(2) == r.getInt(3), s"vec ${r.getLong(0)}"))
+  }
+
+  test("CentroidArgmin ties keep the lowest cluster id; double input matches float") {
+    import TestSpark.spark.implicits._
+    // duplicate centroids force a tie on every row
+    val cents = Array(Array.tabulate(4)(_.toLong), Array.tabulate(4)(_.toLong))
+    val rows = Seq(Seq(0.5f, 1.5f, -2.5f, 3.5f), Seq(0f, 0f, 0f, 0f)).toDF("v")
+    val got = rows.select(
+        graft.functions.CentroidArgmin.centroidArgmin(col("v"), cents).as("c"),
+        graft.functions.CentroidArgmin
+          .centroidArgmin(col("v").cast("array<double>"), cents).as("cd"))
+      .collect()
+    got.foreach { r => assert(r.getInt(0) == 0); assert(r.getInt(1) == 0) }
+  }
 }
