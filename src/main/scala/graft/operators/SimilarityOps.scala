@@ -455,28 +455,33 @@ object SimilarityOps {
     sb.result()
   }
 
-  /** every vector ranked by exact integer distance to each final k-means
-    * centroid: (vec_id, cluster, r) with r = 1 the assignment. One
-    * broadcast join against the K×64 centroid components + an argmin over
-    * K integer dots per vector — linear scan, no pair stage. Shared by
-    * sim_ann_ivf (r ≤ IvfProbes are the probe lists), sim_kmeans_clusters
-    * and sim_semdedup; the memoized codebook means the three queries pay
-    * one build per (session, sfDir). */
-  private def kmeansRanked(spark: SparkSession, sfDir: String): DataFrame =
-    rankedFor(spark, sfDir, kmeansCodebook(spark, sfDir))
+  /** every vector's nearest-centroid id under the memoized k-means
+    * codebook, in ONE CentroidArgmin codegen pass — no n×K component
+    * explosion, no aggregation shuffle, no window. Exactly the r = 1
+    * slice of rankedFor (same quantization, same n2c − 2·dp ordering,
+    * same lowest-cluster tiebreak; parity pinned by ExpressionSpec and
+    * by the sim_kmeans_clusters / sim_semdedup / sim_ann_ivf oracles,
+    * which replay the join-shaped ranking in DuckDB). Shared by those
+    * three queries — the memoized codebook means they pay one build per
+    * (session, sfDir). Where the FULL ranking matters (probe lists),
+    * rankedFor remains the machinery. */
+  private def kmeansAssign(spark: SparkSession, sfDir: String): DataFrame =
+    embeddings(spark, sfDir).select(col("vec_id"),
+      graft.functions.CentroidArgmin
+        .centroidArgmin(col("embedding"), kmeansCodebook(spark, sfDir)).as("cluster"))
 
-  /** rank every corpus vector against an arbitrary integer codebook (the
-    * distributed argmin machinery behind kmeansRanked, reused by the
-    * corpus-scaled semDedupScaled codebook) */
+  /** rank a vector frame against an arbitrary integer codebook (the
+    * distributed argmin machinery; `vecs` lets probe generation rank
+    * ONLY the query vectors instead of the corpus) */
   private def rankedFor(spark: SparkSession, sfDir: String,
-      cents: Array[Array[Long]]): DataFrame = {
+      cents: Array[Array[Long]], vecs: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val centRows = cents.zipWithIndex.flatMap { case (cs, c) =>
       cs.zipWithIndex.map { case (x, i) => (c, i, x) }
     }.toSeq.toDF("cluster", "i", "x")
     val n2c = cents.zipWithIndex.map { case (cs, c) => (c, cs.map(x => x * x).sum) }
       .toSeq.toDF("cluster", "n2c")
-    quantComps(embeddings(spark, sfDir))
+    quantComps(vecs.getOrElse(embeddings(spark, sfDir)))
       .join(broadcast(centRows), Seq("i"))
       .groupBy("vec_id", "cluster").agg(sum(col("xq") * col("x")).as("dp"))
       .join(broadcast(n2c), Seq("cluster"))
@@ -659,10 +664,14 @@ object SimilarityOps {
     * query id — the sim_ann_ivf pipeline body, shared with
     * sim_ann_recall's evaluation join (unordered; callers sort). */
   def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val ranked = kmeansRanked(spark, sfDir).withColumnRenamed("cluster", "list")
-    val assign = ranked.filter(col("r") === 1).select("vec_id", "list")
-    val probes = ranked.filter(col("r") <= IvfProbes && col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("list"))
+    // assignment (all n vectors): one codegen argmin pass; full ranking
+    // (needed for the nprobe probe lists) only over the NumQueries query
+    // vectors — the n×K explosion never touches the corpus side
+    val assign = kmeansAssign(spark, sfDir).withColumnRenamed("cluster", "list")
+    val probes = rankedFor(spark, sfDir, kmeansCodebook(spark, sfDir),
+        Some(embeddings(spark, sfDir).filter(col("vec_id") < NumQueries)))
+      .filter(col("r") <= IvfProbes)
+      .select(col("vec_id").as("qid"), col("cluster").as("list"))
     val cands = assign.join(broadcast(probes), Seq("list"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"))
@@ -875,17 +884,14 @@ object SimilarityOps {
     // k-means centroid — the topic-bucketing / data-mixing view of the SAME
     // deterministic integer codebook the IVF index learns (memoized per
     // session, so this query and sim_ann_ivf share one build). Assignment
-    // is one broadcast join against K×64 centroid components + an argmin
-    // over K integer dots per vector — linear scan, no pair stage, the
-    // shape that holds at any corpus size.
+    // is one CentroidArgmin codegen pass (K·dim integer multiply-adds per
+    // vector, zero shuffle) — linear scan, no pair stage, the shape that
+    // holds at any corpus size; the oracle replays the join-shaped ranking.
     GraftQuery("sim_kmeans_clusters",
       s"""WITH $kmeansOracleCtes
          |SELECT vec_id, c AS cluster FROM ranked WHERE r = 1
          |ORDER BY vec_id""".stripMargin) { (spark, sfDir) =>
-      kmeansRanked(spark, sfDir)
-        .filter(col("r") === 1)
-        .select(col("vec_id"), col("cluster"))
-        .orderBy("vec_id")
+      kmeansAssign(spark, sfDir).orderBy("vec_id")
     },
 
     // SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup with the
@@ -930,8 +936,7 @@ object SimilarityOps {
          |       CASE WHEN COALESCE(c.grp, s.vec_id) = s.vec_id THEN 1 ELSE 0 END AS keep
          |FROM assign s LEFT JOIN comp c ON c.src = s.vec_id
          |ORDER BY vec_id""".stripMargin) { (spark, sfDir) =>
-      val assign = kmeansRanked(spark, sfDir).filter(col("r") === 1)
-        .select("vec_id", "cluster")
+      val assign = kmeansAssign(spark, sfDir)
       semDedupFrom(spark, sfDir, assign).orderBy("vec_id")
     },
 
