@@ -124,6 +124,25 @@ class ExpressionSpec extends AnyFunSuite {
     both.foreach(r => assert(r.getInt(2) == r.getInt(3), s"vec ${r.getLong(0)}"))
   }
 
+  test("centroid_argmin is reachable from SQL and matches the Column API") {
+    val spark = TestSpark.spark
+    graft.functions.GraftFunctions.register(spark)
+    val cents = Array(
+      Array.fill(64)(0L),
+      Array.tabulate(64)(i => (i * 1000).toLong))
+    val centsSql = cents.map(_.mkString("array(", "L,", "L)")).mkString("array(", ",", ")")
+    Tables.embeddings(spark, TestSpark.Sf).limit(100)
+      .createOrReplaceTempView("emb_ca_v")
+    val viaSql = spark.sql(
+        s"SELECT vec_id, centroid_argmin(embedding, $centsSql) AS c FROM emb_ca_v")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaCol = Tables.embeddings(spark, TestSpark.Sf).limit(100)
+      .select(col("vec_id"),
+        graft.functions.CentroidArgmin.centroidArgmin(col("embedding"), cents).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaSql == viaCol)
+  }
+
   test("CentroidArgmin ties keep the lowest cluster id; double input matches float") {
     import TestSpark.spark.implicits._
     // duplicate centroids force a tie on every row
