@@ -47,6 +47,14 @@ case class CentroidArgmin(child: Expression, cents: Seq[Seq[Long]])
 
   override protected def withNewChildInternal(newChild: Expression): CentroidArgmin =
     copy(child = newChild)
+
+  // the codebook is constructor data, not a child expression — without
+  // these overrides TreeNode renders all K×dim longs into every explain /
+  // plan-audit / UI string the expression appears in
+  override def toString: String =
+    s"centroid_argmin($child, [${cents.length}x${cents.head.length} codebook])"
+  override def sql: String =
+    s"centroid_argmin(${child.sql}, [${cents.length}x${cents.head.length} codebook])"
 }
 
 object CentroidArgmin {
