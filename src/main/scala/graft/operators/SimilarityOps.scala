@@ -339,51 +339,49 @@ object SimilarityOps {
     codebookCache.getOrElseUpdate((spark, sfDir), kmeansCodebookUncached(spark, sfDir))
 
   private def kmeansCodebookUncached(spark: SparkSession, sfDir: String): Array[Array[Long]] = {
-    import spark.implicits._
-    val comps = quantComps(embeddings(spark, sfDir))
+    // one quantized-array row per vector with its squared norm, cached for
+    // the ~K init steps + Lloyd rounds that scan it (the oracle's exact
+    // integer semantics, but scan-shaped: every step below is ONE pass
+    // over this frame — no join on components, no n×K shuffle, no window)
+    val q = embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("xq"))
+      .withColumn("n2", expr("aggregate(xq, 0L, (a, x) -> a + x * x)"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.CacheTracker.track(comps)
-    val vn2 = comps.groupBy("vec_id").agg(sum(col("xq") * col("xq")).as("n2"))
+    graft.CacheTracker.track(q)
 
-    def centDf(cents: Seq[Array[Long]]): DataFrame =
-      cents.zipWithIndex.flatMap { case (cs, c) =>
-        cs.zipWithIndex.map { case (x, i) => (c, i, x) }
-      }.toDF("c", "i", "x")
-    def n2cDf(cents: Seq[Array[Long]]): DataFrame =
-      cents.zipWithIndex.map { case (cs, c) => (c, cs.map(x => x * x).sum) }
-        .toDF("c", "n2c")
     def components(vid: Long): Array[Long] =
-      comps.filter(col("vec_id") === vid).orderBy("i").select("xq").as[Long].collect()
+      q.filter(col("vec_id") === vid).select("xq")
+        .collect()(0).getSeq[Long](0).toArray
 
-    // farthest-point init
-    val first = vn2.orderBy(col("n2").desc, col("vec_id")).limit(1)
+    // farthest-point init: each pick is a TakeOrdered over one scan —
+    // CentroidMinDist gives min(‖c‖² − 2·c·x) against the chosen set and
+    // adding the row's ‖x‖² makes it the true min squared distance, so
+    // the (n2 + m) DESC, vec_id ordering matches the join-shaped form
+    // (and the oracle's unrolled CTEs) pick for pick
+    val first = q.orderBy(col("n2").desc, col("vec_id")).limit(1)
       .collect()(0).getLong(0)
     var cents = Vector(components(first))
     while (cents.size < KmeansK) {
-      val pick = comps.join(broadcast(centDf(cents)), Seq("i"))
-        .groupBy("vec_id", "c").agg(sum(col("xq") * col("x")).as("dp"))
-        .join(broadcast(n2cDf(cents)), Seq("c"))
-        .groupBy("vec_id").agg(min(col("n2c") - col("dp") * 2).as("m"))
-        .join(vn2, Seq("vec_id"))
-        .orderBy((col("n2") + col("m")).desc, col("vec_id")).limit(1)
+      val pick = q.select(col("vec_id"),
+          (col("n2") + graft.functions.CentroidArgmin
+            .centroidMinDist(col("xq"), cents.toArray)).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(1)
         .collect()(0).getLong(0)
       cents :+= components(pick)
     }
 
-    // Lloyd rounds: assign to argmin distance (tie: smaller list id), then
-    // floor-mean integer centroid per (list, component) — one distributed
-    // aggregation per round, K×64 rows back to the driver
+    // Lloyd rounds: assignment is CentroidArgmin inline (tie: smaller
+    // list id), component sums explode AFTER assignment — map-side
+    // combine compresses each partition to K×64 rows, so one scan + one
+    // small aggregation per round, K×64 rows back to the driver
     for (_ <- 0 until KmeansIters) {
-      val asg = comps.join(broadcast(centDf(cents)), Seq("i"))
-        .groupBy("vec_id", "c").agg(sum(col("xq") * col("x")).as("dp"))
-        .join(broadcast(n2cDf(cents)), Seq("c"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("n2c") - col("dp") * 2, col("c"))))
-        .filter(col("rn") === 1)
-        .select("vec_id", "c")
-      val sums = comps.join(asg, Seq("vec_id"))
+      val sums = q.select(
+          graft.functions.CentroidArgmin
+            .centroidArgmin(col("xq"), cents.toArray).as("c"),
+          posexplode(col("xq")).as(Seq("i", "x")))
         .groupBy("c", "i")
-        .agg(sum("xq").as("s"), count(lit(1)).as("cnt"))
+        .agg(sum("x").as("s"), count(lit(1)).as("cnt"))
         .collect()
         .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
         .toMap
