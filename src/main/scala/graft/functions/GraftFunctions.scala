@@ -10,7 +10,8 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
   * `dot_product(a, b)`, `minhash_sig(h, w)` (aggregate),
   * `minhash_sig_arr(arr, w)` (per-row), `hyperplane_codes(vec, t, b, seed)`,
   * `hyperplane_code_word(vec, t, b, seed)`,
-  * `centroid_argmin(vec, array(array(...)))`. */
+  * `centroid_argmin(vec, array(array(...)))`,
+  * `centroid_mindist(vec, array(array(...)))`. */
 object GraftFunctions {
 
   private def intArg(e: Expression, name: String): Int = e match {
@@ -67,5 +68,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("centroid_argmin",
       (es: Seq[Expression]) =>
         CentroidArgmin(es.head, codebookArg(es(1), "centroid_argmin")), "scala_udf")
+    reg.createOrReplaceTempFunction("centroid_mindist",
+      (es: Seq[Expression]) =>
+        CentroidMinDist(es.head, codebookArg(es(1), "centroid_mindist")), "scala_udf")
   }
 }

@@ -155,4 +155,27 @@ class ExpressionSpec extends AnyFunSuite {
       .collect()
     got.foreach { r => assert(r.getInt(0) == 0); assert(r.getInt(1) == 0) }
   }
+
+  test("CentroidMinDist on pre-quantized longs == n2c - 2*dot via DotProduct") {
+    val spark = TestSpark.spark
+    val cents = Array(
+      Array.tabulate(64)(i => (i * 500 - 2000).toLong),
+      Array.fill(64)(1000L))
+    val q = Tables.embeddings(spark, TestSpark.Sf).limit(100)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("xq"))
+    val viaExpr = q.select(col("vec_id"),
+        graft.functions.CentroidArgmin.centroidMinDist(col("xq"), cents).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n2c = cents.map(c => c.map(x => x * x).sum)
+    val centsSql = cents.map(_.mkString("array(", "L,", "L)"))
+    val viaComposed = q.select(col("vec_id"),
+        least(
+          lit(n2c(0)) - lit(2L) * expr(
+            s"aggregate(zip_with(xq, ${centsSql(0)}, (x, y) -> x * y), 0L, (a, x) -> a + x)"),
+          lit(n2c(1)) - lit(2L) * expr(
+            s"aggregate(zip_with(xq, ${centsSql(1)}, (x, y) -> x * y), 0L, (a, x) -> a + x)")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr == viaComposed)
+  }
 }
