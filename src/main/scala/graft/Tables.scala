@@ -19,15 +19,21 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's reader rejects;
-    * read nanos as raw longs and truncate to micro-precision TIMESTAMP_NTZ
-    * (same floor-truncation DuckDB applies casting ns → µs). */
+  /** events.ts has shipped as either parquet TIMESTAMP(NANOS) (which
+    * Spark's reader only accepts as raw longs) or plain TIMESTAMP(MICROS);
+    * normalize both generations to micro-precision TIMESTAMP_NTZ — the same
+    * floor-truncation DuckDB applies casting ns → µs, and a no-op on µs. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.expr(
-          "CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+    val df = table(spark, sfDir, "events")
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+      case TimestampType => df.withColumn("ts", col("ts").cast(TimestampNTZType))
+      case _ => df // already TIMESTAMP_NTZ
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")

@@ -25,7 +25,11 @@ object StreamOps {
       .schema(spark.read.option("pathGlobFilter", "events.parquet").parquet(sfDir).schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-    raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** a directory of event-shaped parquet files as a stream, one file per
