@@ -23,14 +23,26 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap policy for forked run/test JVMs. This guest kernel makes
+// FIRST-TOUCH of fresh heap pages pathologically slow, so a lazily-grown
+// heap stalls mid-run every time G1 touches new pages (A/B-measured on
+// the 21-query sf0.1 bench: 8g lazy 40s, 32g lazy 67s with the slowness
+// migrating between queries run-to-run, 16g pre-touched 22s). The fix is
+// to pay the page-touch cost ONCE at JVM startup: Xms=Xmx +
+// -XX:+AlwaysPreTouch — but only at modest heap sizes, since pre-touch
+// throughput here is ~200 MB/s and a 100g heap would take minutes to
+// start. SPARK_GC_OPTS appends last, so experiments can still override
+// everything (later JVM flags win).
+val driverMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")
+val driverMemGb: Int = driverMem.toLowerCase match {
+  case s if s.endsWith("g") => s.dropRight(1).toInt
+  case s if s.endsWith("m") => (s.dropRight(1).toLong / 1024).toInt
+  case s => s.toInt // bare bytes: effectively "huge", skip pre-touch
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-) ++ sys.env.get("SPARK_GC_OPTS").toSeq.flatMap(_.split("\\s+"))
-// SPARK_GC_OPTS: opt-in GC tuning for scale experiments (e.g.
-// "-Xms16g -XX:+UseParallelGC" for the sf1 runs in SCALING.md §GC).
-// Deliberately NOT defaulted: this guest kernel makes first-touch of
-// fresh heap pages pathologically slow, so a large pre-sized young gen
-// (Xms=Xmx at 100g) turns every young GC into a 15s kernel-bound page
-// touch. The small-default-heap G1 config is the healthy one here.
+  s"-Xmx$driverMem",
+) ++ (if (driverMemGb <= 32) Seq(s"-Xms$driverMem", "-XX:+AlwaysPreTouch")
+      else Seq.empty) ++
+  sys.env.get("SPARK_GC_OPTS").toSeq.flatMap(_.split("\\s+"))

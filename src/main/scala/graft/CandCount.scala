@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Dev/scaling helper: count near-dup LSH candidate pairs and verified
   * pairs at a scale factor and threshold — the candidate-growth evidence
@@ -21,13 +20,7 @@ object CandCount {
       val t = positional.drop(1).map(_.toDouble).toSeq
       if (t.nonEmpty) t else Seq(0.4, 0.8)
     }
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.local("32")
     spark.sparkContext.setLogLevel("WARN")
     val n = graft.Tables.embeddings(spark, sfDir).count()
     taus.foreach { tau =>

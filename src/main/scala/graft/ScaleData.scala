@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Scale-factor amplifier for SCALING.md evidence: replicates the driver's
@@ -69,12 +69,7 @@ object ScaleData {
     // table written — a late failure would leave dst partially populated
     require(factor >= 1 && factor <= 128,
       s"ScaleData supports factors 1..128, got $factor")
-    val spark = SparkSession.builder()
-      .master("local[16]")
-      .config("spark.sql.shuffle.partitions", "16")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.local("16")
     spark.sparkContext.setLogLevel("WARN")
 
     def read(name: String): DataFrame = Tables.table(spark, src, name)

@@ -22,15 +22,22 @@ object Tables {
   /** events.ts has shipped as either parquet TIMESTAMP(NANOS) (which
     * Spark's reader only accepts as raw longs) or plain TIMESTAMP(MICROS);
     * normalize both generations to micro-precision TIMESTAMP_NTZ — the same
-    * floor-truncation DuckDB applies casting ns → µs, and a no-op on µs. */
+    * floor-truncation DuckDB applies casting ns → µs, and a no-op on µs.
+    * `(ts - pmod(ts, 1000)) DIV 1000` is exact long-arithmetic FLOOR
+    * division (DIV alone truncates toward zero, which would round pre-epoch
+    * nanos the wrong way). The TimestampType→NTZ cast is only
+    * instant-preserving under a UTC session, so the loader enforces the
+    * timezone itself rather than trusting every entry point to set it. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = table(spark, sfDir, "events")
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema("ts").dataType match {
       case LongType =>
-        df.withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+        df.withColumn("ts",
+          expr("CAST(timestamp_micros((ts - pmod(ts, 1000)) DIV 1000) AS TIMESTAMP_NTZ)"))
       case TimestampType => df.withColumn("ts", col("ts").cast(TimestampNTZType))
       case _ => df // already TIMESTAMP_NTZ
     }

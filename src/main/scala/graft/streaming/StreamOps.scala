@@ -21,13 +21,17 @@ object StreamOps {
     * directory, hence sfDir + pathGlobFilter. */
   def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // NTZ→LTZ below is instant-preserving only under a UTC session; enforce
+    // it here (matching Tables.events) instead of trusting the entry point
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = spark.readStream
       .schema(spark.read.option("pathGlobFilter", "events.parquet").parquet(sfDir).schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        // exact long-arithmetic floor division (see Tables.events)
+        raw.withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) DIV 1000)"))
       case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
     }
   }
