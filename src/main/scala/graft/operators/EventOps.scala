@@ -16,7 +16,7 @@ object EventOps {
 
   private val TumbleSec = 300L
   private val SlideSec = 60L
-  private val GapUs = 1800000000L // 30 min in micros
+  private[operators] val GapUs = 1800000000L // 30 min in micros
 
   val queries: Seq[GraftQuery] = Seq(
 

@@ -69,4 +69,55 @@ object GraphOps {
     graft.CacheTracker.trackCheckpointed(labels)
     labels.select(col("id"), col("lbl").as("cluster"))
   }
+
+  /** Integer-exact PageRank over a weighted digraph (src, dst, n) — the
+    * crawl-prioritization / domain-authority ranking a web-corpus pipeline
+    * runs before sampling. Fixed `iters` rounds of the power iteration with
+    * damping 85/100, all arithmetic in scaled longs with per-edge floor
+    * division, so the result is bit-identical to the oracle's unrolled-CTE
+    * replay on any engine:
+    *
+    *   r_0(v)  = scale DIV |V|
+    *   r_t(v)  = (15·scale) DIV (100·|V|)
+    *           + Σ_{(u,v)} (85 · r_{t-1}(u) · n(u,v)) DIV (100 · outW(u))
+    *
+    * Dangling mass (sinks) evaporates rather than redistributing — the
+    * deterministic variant; ranks need not sum to `scale`. Each round is
+    * one co-partitioned join + hash agg over the edge list; like
+    * connectedComponents, rounds `localCheckpoint` so the plan stays O(1)
+    * and superseded rounds' blocks are freed eagerly. Only |V| (a count)
+    * reaches the driver. Overflow bound: 85·rank·n needs rank·n < 1.1e17 —
+    * with scale=1e9 that allows per-edge weights to 1e8, and the scale
+    * knob trades headroom for precision beyond that. */
+  def pageRank(edges: DataFrame, iters: Int = 10, scale: Long = 1000000000L): DataFrame = {
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src"), col("dst"), col("n")).persist(mad)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().persist(mad)
+    val nv = nodes.count()
+    require(nv > 0, "pageRank: empty graph")
+    // out-weight travels with each edge: one small self-join up front so
+    // the per-round job is a single join against a ready edge list
+    val ew = e.join(e.groupBy("src").agg(sum("n").as("w")), "src")
+      .select(col("src"), col("dst"), col("n"), col("w")).persist(mad)
+    ew.count()
+    e.unpersist(blocking = false)
+    val base = (15L * scale) / (100L * nv)
+    var r = nodes.select(col("node"), lit(scale / nv).as("rank")).localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val contrib = ew.join(r, col("node") === col("src"))
+        .select(col("dst"), expr("(85 * rank * n) DIV (100 * w)").as("c"))
+        .groupBy("dst").agg(sum("c").as("c"))
+      val next = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"), (lit(base) + coalesce(col("c"), lit(0L))).as("rank"))
+        .localCheckpoint()
+      graft.CacheTracker.checkpointRdds(r).foreach(_.unpersist(false))
+      r = next
+    }
+    ew.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    graft.CacheTracker.trackCheckpointed(r)
+    r
+  }
 }

@@ -292,6 +292,40 @@ object InventoryOps {
         .groupBy("status")
         .agg(count(lit(1)).as("n"), sum("length").as("total_len"))
         .orderBy("status")
+    },
+
+    // CDC/MERGE upsert compaction: a deterministic change batch (~30% of
+    // files re-landed with a migrated owner and a grown length, version 2)
+    // merged into the base inventory latest-wins per path. The Spark shape
+    // is groupBy + max(struct(v, ...)) — ONE hash aggregation with
+    // map-side partial combine, no per-key window sort — which is the
+    // compaction step every incremental-ingest pipeline runs over its
+    // change log; at 100 TB it shuffles each key once and never sorts.
+    // (The oracle's row_number window is the same latest-wins semantics;
+    // v is unique per name so both are deterministic.)
+    GraftQuery("inv_merge_upsert",
+      s"""WITH ${InvCte},
+         |base AS (SELECT name, owner, length, CAST(1 AS BIGINT) AS v
+         |         FROM inv WHERE NOT is_folder),
+         |upd AS (SELECT name, concat('migrated-', owner) AS owner,
+         |               length + 4096 AS length, CAST(2 AS BIGINT) AS v
+         |        FROM base WHERE length % 10 < 3),
+         |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+         |r AS (SELECT name, owner, length, v,
+         |        row_number() OVER (PARTITION BY name ORDER BY v DESC) AS rn FROM u)
+         |SELECT name, owner, length, v FROM r WHERE rn = 1 ORDER BY name""".stripMargin) {
+      (spark, sfDir) =>
+      val base = inventory(spark, sfDir).filter(!col("is_folder"))
+        .select(col("name"), col("owner"), col("length"), lit(1L).as("v"))
+      val upd = base.filter(col("length") % 10 < 3)
+        .select(col("name"), concat(lit("migrated-"), col("owner")).as("owner"),
+          (col("length") + 4096).as("length"), lit(2L).as("v"))
+      base.unionByName(upd)
+        .groupBy("name")
+        .agg(max(struct(col("v"), col("length"), col("owner"))).as("s"))
+        .select(col("name"), col("s.owner").as("owner"),
+          col("s.length").as("length"), col("s.v").as("v"))
+        .orderBy("name")
     }
   )
 }

@@ -146,6 +146,59 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // model-based quality scoring: a linear classifier over the same
+    // engineered features, fixed integer weights (the fasttext-style
+    // quality model of RefinedWeb/FineWeb pipelines, reduced to its
+    // serving shape — training happens offline; serving is one fused
+    // per-row expression). All-integer ppm arithmetic with floor
+    // division, so the scores are bit-identical across engines — a model
+    // gate whose decisions are exactly reproducible, which is what a
+    // 100 TB pipeline needs to make dataset builds auditable.
+    GraftQuery("text_quality_model",
+      s"""WITH t AS (SELECT doc_id,
+         |    regexp_extract_all(text, '[a-z0-9]+') AS toks, text FROM documents),
+         |f AS (SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS nt,
+         |    ${hitsSql("toks", StopEn)} AS stop_n,
+         |    CAST(len(list_distinct(toks)) AS BIGINT) AS dis_n,
+         |    CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS tok_len
+         |  FROM t),
+         |s AS (SELECT doc_id, nt,
+         |    CASE WHEN nt = 0 THEN 0 ELSE (1000000 * stop_n) // nt END AS stop_ppm,
+         |    CASE WHEN nt = 0 THEN 0 ELSE (1000000 * dis_n) // nt END AS dis_ppm,
+         |    CASE WHEN nt = 0 THEN 0 ELSE (100 * tok_len) // nt END AS mean_len_c
+         |  FROM f)
+         |SELECT doc_id,
+         |  CAST(200000 + 2 * stop_ppm + dis_ppm
+         |       - 1500 * abs(mean_len_c - 450)
+         |       - 2000 * greatest(0, 20 - nt) AS BIGINT) AS score_ppm,
+         |  (200000 + 2 * stop_ppm + dis_ppm
+         |       - 1500 * abs(mean_len_c - 450)
+         |       - 2000 * greatest(0, 20 - nt)) >= 800000 AS keep
+         |FROM s ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
+      docs(spark, sfDir)
+        .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("nt"),
+          hits(col("toks"), StopEn).as("stop_n"),
+          size(array_distinct(col("toks"))).cast("long").as("dis_n"),
+          coalesce(aggregate(transform(col("toks"), x => length(x).cast("long")),
+            lit(0L), (a, x) => a + x), lit(0L)).as("tok_len"))
+        .selectExpr("doc_id",
+          "CASE WHEN nt = 0 THEN 0L ELSE (1000000 * stop_n) DIV nt END AS stop_ppm",
+          "CASE WHEN nt = 0 THEN 0L ELSE (1000000 * dis_n) DIV nt END AS dis_ppm",
+          "CASE WHEN nt = 0 THEN 0L ELSE (100 * tok_len) DIV nt END AS mean_len_c",
+          "nt")
+        .selectExpr("doc_id",
+          """CAST(200000 + 2 * stop_ppm + dis_ppm
+            |     - 1500 * abs(mean_len_c - 450)
+            |     - 2000 * greatest(0L, 20 - nt) AS BIGINT) AS score_ppm""".stripMargin,
+          """(200000 + 2 * stop_ppm + dis_ppm
+            |     - 1500 * abs(mean_len_c - 450)
+            |     - 2000 * greatest(0L, 20 - nt)) >= 800000 AS keep""".stripMargin)
+        .orderBy("doc_id")
+    },
+
     // winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003): the
     // positional 8-gram hash stream, min-selected over every window of 4
     // consecutive hashes — the local fingerprint set that makes partial-copy

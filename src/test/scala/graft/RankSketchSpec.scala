@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.GraphOps
+
+/** Round-5 operators: integer PageRank (hand-computed fixed points +
+  * storage hygiene), the deterministic count-min sketch (the never-
+  * under-counts invariant), the linear quality model (score/keep
+  * consistency), and latest-wins upsert (merge cardinality invariants).
+  */
+class RankSketchSpec extends AnyFunSuite with CacheDrained {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pageRank: symmetric 2-cycle is the exact fixed point") {
+    // A<->B with equal weights: rank stays at scale/2 every round
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "n")
+    val got = GraphOps.pageRank(edges, iters = 10).as[(String, Long)].collect().toMap
+    assert(got("a") == 500000000L && got("b") == 500000000L)
+  }
+
+  test("pageRank: dangling sink matches the hand-computed replay") {
+    // A->B only. base = 15e9/200 = 75_000_000; A gets base each round;
+    // r1(B) = base + 85*r0(A)/100; r2(B) = base + 85*r1(A)/100
+    val edges = Seq(("a", "b", 1L)).toDF("src", "dst", "n")
+    val r2 = GraphOps.pageRank(edges, iters = 2).as[(String, Long)].collect().toMap
+    assert(r2("a") == 75000000L)
+    assert(r2("b") == 75000000L + (85L * 75000000L) / 100L)
+  }
+
+  test("pageRank: checkpoint blocks do not accumulate with round count") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val edges = (0L until 12L).map(i => (s"n$i", s"n${(i + 1) % 12}", i + 1)).toDF("src", "dst", "n")
+    GraphOps.pageRank(edges, iters = 15).count()
+    val live = sc.getPersistentRDDs.keySet.toSet -- before
+    // final checkpoint + possibly the non-blocking edge/node unpersists
+    assert(live.size <= 3, s"leaked ${live.size} persistent RDDs: $live")
+  }
+
+  test("events_count_min: estimates never under-count and are ordered") {
+    val rows = SparkEntry.queries("events_count_min")(spark, TestSpark.Sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { case (u, est, exact) =>
+      assert(est >= exact, s"user $u: est $est < exact $exact")
+    }
+    assert(rows.map(_._2).sameElements(rows.map(_._2).sorted.reverse), "not sorted by est desc")
+  }
+
+  test("text_quality_model: keep is exactly the threshold predicate and splits") {
+    val rows = SparkEntry.queries("text_quality_model")(spark, TestSpark.Sf)
+      .as[(Long, Long, Boolean)].collect()
+    rows.foreach { case (id, score, keep) =>
+      assert(keep == (score >= 800000L), s"doc $id: keep mismatches score $score")
+    }
+    assert(rows.exists(_._3) && rows.exists(!_._3), "threshold split is degenerate")
+  }
+
+  test("inv_merge_upsert: one row per path, updates win, others pass through") {
+    val merged = SparkEntry.queries("inv_merge_upsert")(spark, TestSpark.Sf)
+    val n = merged.count()
+    assert(merged.select("name").distinct().count() == n, "duplicate paths after merge")
+    val v2 = merged.filter($"v" === 2L)
+    assert(v2.count() > 0)
+    assert(v2.filter(!$"owner".startsWith("migrated-")).count() == 0)
+    assert(merged.filter($"v" === 1L).filter($"owner".startsWith("migrated-")).count() == 0)
+  }
+}
