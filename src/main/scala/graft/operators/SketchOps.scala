@@ -22,13 +22,24 @@ import graft.functions.PortableHash
   */
 object SketchOps {
 
-  private val D = 4 // hash rows
-  private val W = 64 // buckets per row
+  private[graft] val D = 4 // hash rows
+  private[graft] val W = 64 // buckets per row
   import PortableHash.{P, permA, permB}
 
   /** bucket i of the H8 value `h`, as DuckDB SQL */
   private def bucketSql(i: Int): String =
     s"((${permA(i)} * (h % $P) + ${permB(i)}) % $P) % $W"
+
+  /** (user_id, b1..bD): each row's sketch buckets for its user key. Shared
+    * with the streaming twin ([[graft.streaming.StreamOps.countMinCells]])
+    * so the incremental sketch cannot drift from the oracled batch one.
+    * Works on batch AND streaming frames (pure per-row expressions). */
+  private[graft] def bucketed(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val h = PortableHash.h8(lpad(col("user_id").cast("string"), 8, "0"))
+    events.select(
+      (col("user_id") +:
+        (1 to D).map(i => (PortableHash.minhashPerm(h, i) % W).as(s"b$i"))): _*)
+  }
 
   val queries: Seq[GraftQuery] = Seq(
 
@@ -54,10 +65,7 @@ object SketchOps {
          |       k.exact_n
          |FROM keys k ${(1 to D).map(i => s"JOIN c$i ON c$i.bk = k.b$i").mkString(" ")}
          |ORDER BY est_n DESC, k.user_id LIMIT 20""".stripMargin) { (spark, sfDir) =>
-      val h = PortableHash.h8(lpad(col("user_id").cast("string"), 8, "0"))
-      val b = Tables.events(spark, sfDir).select(
-        (col("user_id") +:
-          (1 to D).map(i => (PortableHash.minhashPerm(h, i) % W).as(s"b$i"))): _*)
+      val b = bucketed(Tables.events(spark, sfDir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.CacheTracker.track(b)
       val cells = (1 to D).map(i =>

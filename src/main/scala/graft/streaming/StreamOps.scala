@@ -239,6 +239,25 @@ object StreamOps {
   }
 
   /** run any of the above to completion against bounded input (test hook) */
+  /** Streaming count-min sketch maintenance — the incremental twin of the
+    * batch `events_count_min` cells. Each arriving event increments its D
+    * bucket counters; the running aggregation state IS the sketch: D×W
+    * rows TOTAL regardless of stream length or key cardinality, the
+    * canonical bounded-state frequency structure (heavy-hitter detection
+    * over an unbounded stream with constant memory — no watermark needed
+    * because the state cannot grow). Bucketing is
+    * [[graft.operators.SketchOps.bucketed]] itself, so the incremental
+    * cells cannot drift from the oracled batch sketch; parity is asserted
+    * in StreamingSpec after an AvailableNow drain. */
+  def countMinCells(events: DataFrame): DataFrame = {
+    val b = graft.operators.SketchOps.bucketed(events)
+    (1 to graft.operators.SketchOps.D).map { i =>
+      b.select(lit(i).as("row"), col(s"b$i").as("bk"))
+    }.reduce(_ unionByName _)
+      .groupBy("row", "bk")
+      .agg(count(lit(1)).as("n"))
+  }
+
   def runToCompletion(df: DataFrame, queryName: String): DataFrame = {
     val q = df.writeStream
       .outputMode(OutputMode.Complete())

@@ -92,6 +92,20 @@ class StreamingSpec extends AnyFunSuite with CacheDrained {
     assert(got == want) // event_ids are unique, so dedup must be lossless
   }
 
+  test("streaming count-min cells == batch sketch cells") {
+    val spark = TestSpark.spark
+    // countMinCells is pure per-row expressions + one aggregation, so the
+    // same function runs as a stream (incremental state) and as a batch
+    // plan; after an AvailableNow drain the sketches must be identical
+    val got = StreamOps.runToCompletion(
+      StreamOps.countMinCells(StreamOps.eventStream(spark, TestSpark.Sf)), "cm_test")
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    val want = StreamOps.countMinCells(graft.Tables.events(spark, TestSpark.Sf))
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == want)
+    assert(got.size <= 4 * 64, "state exceeded the DxW bound")
+  }
+
   test("stream-static decontamination join == batch decontam_ngram counts") {
     val spark = TestSpark.spark
     import org.apache.spark.sql.functions._
