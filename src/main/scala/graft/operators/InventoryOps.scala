@@ -297,12 +297,15 @@ object InventoryOps {
     // CDC/MERGE upsert compaction: a deterministic change batch (~30% of
     // files re-landed with a migrated owner and a grown length, version 2)
     // merged into the base inventory latest-wins per path. The Spark shape
-    // is groupBy + max(struct(v, ...)) — ONE hash aggregation with
-    // map-side partial combine, no per-key window sort — which is the
-    // compaction step every incremental-ingest pipeline runs over its
-    // change log; at 100 TB it shuffles each key once and never sorts.
-    // (The oracle's row_number window is the same latest-wins semantics;
-    // v is unique per name so both are deterministic.)
+    // is updates ∪ (base ANTI-JOIN updates): with a typical change batch
+    // (≪ base) the anti-join broadcasts and the 100 TB base is never
+    // shuffled OR sorted — strictly better than the groupBy+max(struct)
+    // form (struct buffers are not hash-aggregable, so that compiles to a
+    // SortAggregate) and than a per-key window. When the batch outgrows
+    // the broadcast threshold AQE degrades to a shuffled anti-join on its
+    // own — the right fallback, not a config cliff. (The oracle's
+    // row_number window is the same latest-wins semantics; v is unique
+    // per name so both are deterministic.)
     GraftQuery("inv_merge_upsert",
       s"""WITH ${InvCte},
          |base AS (SELECT name, owner, length, CAST(1 AS BIGINT) AS v
@@ -320,11 +323,8 @@ object InventoryOps {
       val upd = base.filter(col("length") % 10 < 3)
         .select(col("name"), concat(lit("migrated-"), col("owner")).as("owner"),
           (col("length") + 4096).as("length"), lit(2L).as("v"))
-      base.unionByName(upd)
-        .groupBy("name")
-        .agg(max(struct(col("v"), col("length"), col("owner"))).as("s"))
-        .select(col("name"), col("s.owner").as("owner"),
-          col("s.length").as("length"), col("s.v").as("v"))
+      base.join(upd.select("name"), Seq("name"), "left_anti")
+        .unionByName(upd)
         .orderBy("name")
     }
   )

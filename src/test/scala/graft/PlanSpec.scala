@@ -278,4 +278,40 @@ class PlanSpec extends AnyFunSuite with CacheDrained {
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS customer_b")
   }
+
+  test("count-min estimates join the tiny cell tables via broadcast") {
+    val df = SparkEntry.queries("events_count_min")(TestSpark.spark, TestSpark.Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // 4 cell tables of at most W rows each: all four joins must broadcast —
+    // a sort-merge fallback would shuffle the full key set four times
+    assert(p.contains("BroadcastHashJoin"), s"count-min lost its broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"count-min cell join fell back to sort-merge:\n$p")
+  }
+
+  test("upsert merge anti-join broadcasts the change batch; base is never sorted") {
+    val df = SparkEntry.queries("inv_merge_upsert")(TestSpark.spark, TestSpark.Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // latest-wins = updates ∪ (base anti-join updates): with a small change
+    // batch the anti-join must broadcast (the 100 TB base side stays
+    // unshuffled); no Window and no SortAggregate anywhere — the final
+    // orderBy is the only sort
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"upsert merge lost its broadcast anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"upsert merge shuffles the base side:\n$p")
+    assert(!p.contains("Window") && !p.contains("SortAggregate"),
+      s"upsert merge reintroduced a per-key sort:\n$p")
+  }
+
+  test("pagerank rounds keep an O(1) plan (checkpointed lineage, no plan growth)") {
+    val df = SparkEntry.queries("graph_pagerank")(TestSpark.spark, TestSpark.Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the returned frame is the checkpointed round-10 labels: its plan must
+    // be a scan of materialized partitions, not 10 stacked join rounds
+    assert(p.contains("Scan ExistingRDD"), s"pagerank result is not checkpoint-backed:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"pagerank final plan still carries join rounds:\n$p")
+  }
 }
