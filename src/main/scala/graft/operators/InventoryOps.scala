@@ -316,7 +316,8 @@ object InventoryOps {
          |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
          |r AS (SELECT name, owner, length, v,
          |        row_number() OVER (PARTITION BY name ORDER BY v DESC) AS rn FROM u)
-         |SELECT name, owner, length, v FROM r WHERE rn = 1 ORDER BY name""".stripMargin) {
+         |SELECT name, owner, length, v FROM r WHERE rn = 1 ORDER BY name""".stripMargin,
+      bench = true) {
       (spark, sfDir) =>
       val base = inventory(spark, sfDir).filter(!col("is_folder"))
         .select(col("name"), col("owner"), col("length"), lit(1L).as("v"))

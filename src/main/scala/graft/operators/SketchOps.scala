@@ -64,7 +64,8 @@ object SketchOps {
          |SELECT k.user_id, least(${(1 to D).map(i => s"c$i.n$i").mkString(", ")}) AS est_n,
          |       k.exact_n
          |FROM keys k ${(1 to D).map(i => s"JOIN c$i ON c$i.bk = k.b$i").mkString(" ")}
-         |ORDER BY est_n DESC, k.user_id LIMIT 20""".stripMargin) { (spark, sfDir) =>
+         |ORDER BY est_n DESC, k.user_id LIMIT 20""".stripMargin,
+      bench = true) { (spark, sfDir) =>
       val b = bucketed(Tables.events(spark, sfDir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.CacheTracker.track(b)
