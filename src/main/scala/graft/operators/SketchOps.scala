@@ -30,6 +30,11 @@ object SketchOps {
   private def bucketSql(i: Int): String =
     s"((${permA(i)} * (h % $P) + ${permB(i)}) % $P) % $W"
 
+  /** linear-counting values round(64·ln(64/V)) for V = 1..64, computed
+    * once and inlined as identical integer literals into both engines */
+  private val LcTable: IndexedSeq[Long] =
+    (1 to 64).map(v => math.round(64.0 * math.log(64.0 / v)))
+
   /** (user_id, b1..bD): each row's sketch buckets for its user key. Shared
     * with the streaming twin ([[graft.streaming.StreamOps.countMinCells]])
     * so the incremental sketch cannot drift from the oracled batch one.
@@ -81,5 +86,66 @@ object SketchOps {
           least((1 to D).map(i => col(s"n$i")): _*).as("est_n"), col("exact_n"))
         .orderBy(col("est_n").desc, col("user_id"))
         .limit(20)
+    },
+
+    // HyperLogLog distinct-user estimate vs the exact count. 64 registers;
+    // register j holds max(rho) where rho = leading-zero rank of the
+    // hash's upper 25 bits (bucket = low 6). EVERYTHING is integer: the
+    // harmonic sum Σ 2^-M_j is a sum of dyadic rationals with common
+    // denominator 2^26, so it travels as the integer Σ 2^(26-M_j) and the
+    // α·m²/S estimate is one long floor-division (α₆₄ = 0.709 as 709/1000;
+    // 194888436023296 = 709·4096·2²⁶). The classic small-range linear-
+    // counting correction (raw ≤ 5m/2 and empty registers exist →
+    // m·ln(m/V)) needs ln(), so its 64 possible values are precomputed
+    // ONCE here and inlined as the same integer literals into both
+    // engines' plans — no float ever crosses an engine boundary, making
+    // the float-harmonic-mean sketch bit-identical across engines. The
+    // registers are constant memory at any cardinality; the exact count
+    // alongside exists only to expose the estimation error.
+    GraftQuery("events_hll_distinct",
+      s"""WITH k AS (SELECT user_id,
+         |    ${PortableHash.h8Sql("lpad(CAST(user_id AS VARCHAR), 8, '0')")} AS h
+         |  FROM events),
+         |v AS (SELECT ((${permA(5)} * (h % $P) + ${permB(5)}) % $P) AS v FROM k),
+         |wr AS (SELECT v % 64 AS bucket,
+         |         CASE WHEN v // 64 = 0 THEN 26
+         |              ELSE 26 - length(bin(v // 64)) END AS rho FROM v),
+         |reg AS (SELECT g.bucket, coalesce(max(wr.rho), 0) AS m
+         |        FROM generate_series(0, 63) AS g(bucket)
+         |        LEFT JOIN wr ON wr.bucket = g.bucket GROUP BY g.bucket),
+         |s AS (SELECT CAST(sum(CAST(1 AS BIGINT) << (26 - m)) AS BIGINT) AS s_scaled,
+         |             CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS vz
+         |      FROM reg),
+         |r AS (SELECT CAST(194888436023296 // (1000 * s_scaled) AS BIGINT) AS raw_est,
+         |             vz FROM s),
+         |e AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_n FROM events)
+         |SELECT CAST(CASE WHEN r.raw_est <= 160 AND r.vz > 0
+         |            THEN ([${LcTable.mkString(", ")}])[CAST(r.vz AS INT)]
+         |            ELSE r.raw_est END AS BIGINT) AS est_n,
+         |       e.exact_n
+         |FROM r, e""".stripMargin) { (spark, sfDir) =>
+      val events = Tables.events(spark, sfDir)
+      val v = PortableHash.minhashPerm(
+        PortableHash.h8(lpad(col("user_id").cast("string"), 8, "0")), 5)
+      val wr = events.select(v.as("v"))
+        .selectExpr("v % 64 AS bucket",
+          "CASE WHEN v DIV 64 = 0 THEN 26L ELSE 26 - length(bin(v DIV 64)) END AS rho")
+      val reg = spark.range(0, 64).select(col("id").as("bucket"))
+        .join(wr.groupBy("bucket").agg(max("rho").as("mr")), Seq("bucket"), "left")
+        .select(coalesce(col("mr"), lit(0L)).as("m"))
+      val s = reg.agg(
+        expr("CAST(sum(shiftleft(CAST(1 AS BIGINT), CAST(26 - m AS INT))) AS BIGINT)")
+          .as("s_scaled"),
+        expr("CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)").as("vz"))
+      val e = events.agg(count_distinct(col("user_id")).cast("long").as("exact_n"))
+      s.crossJoin(e)
+        .selectExpr(
+          "CAST(194888436023296L DIV (1000 * s_scaled) AS BIGINT) AS raw_est",
+          "vz", "exact_n")
+        .selectExpr(
+          s"""CAST(CASE WHEN raw_est <= 160 AND vz > 0
+             |     THEN element_at(array(${LcTable.mkString(", ")}), CAST(vz AS INT))
+             |     ELSE raw_est END AS BIGINT) AS est_n""".stripMargin,
+          "exact_n")
     })
 }

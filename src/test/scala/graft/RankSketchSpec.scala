@@ -48,6 +48,18 @@ class RankSketchSpec extends AnyFunSuite with CacheDrained {
     assert(rows.map(_._2).sameElements(rows.map(_._2).sorted.reverse), "not sorted by est desc")
   }
 
+  test("events_hll_distinct: one row, and linear counting lands on the tiny cardinality") {
+    val rows = SparkEntry.queries("events_hll_distinct")(spark, TestSpark.Sf)
+      .as[(Long, Long)].collect()
+    assert(rows.length == 1)
+    val (est, exact) = rows.head
+    assert(exact == 15L)
+    // 15 keys over 64 registers → small-range regime; the inlined
+    // linear-counting table must recover the cardinality exactly here
+    // (13 occupied registers after one bucket collision → lc(51) = 15)
+    assert(est == 15L, s"estimate $est drifted from the deterministic sketch")
+  }
+
   test("text_quality_model: keep is exactly the threshold predicate and splits") {
     val rows = SparkEntry.queries("text_quality_model")(spark, TestSpark.Sf)
       .as[(Long, Long, Boolean)].collect()
