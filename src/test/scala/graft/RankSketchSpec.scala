@@ -28,6 +28,29 @@ class RankSketchSpec extends AnyFunSuite with CacheDrained {
     assert(r2("b") == 75000000L + (85L * 75000000L) / 100L)
   }
 
+  test("pageRank: a 50k-node graph runs distributed with mass conservation bounds") {
+    // deterministic 2-out-regular digraph: every node links to (7i+1) and
+    // (13i+5) mod n — no sinks, so total rank is conserved up to the
+    // per-edge floor truncation (≤ 1 per edge per round, 10 rounds)
+    val n = 50000L
+    val edges = TestSpark.spark.range(n).selectExpr(
+        "id AS src", s"pmod(7 * id + 1, $n) AS dst", "1L AS n")
+      .unionByName(TestSpark.spark.range(n).selectExpr(
+        "id AS src", s"pmod(13 * id + 5, $n) AS dst", "1L AS n"))
+    val r = GraphOps.pageRank(edges, iters = 10)
+    val row = r.agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.sum("rank"),
+      org.apache.spark.sql.functions.min("rank")).collect().head
+    val (cnt, total, mn) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(cnt == n)
+    assert(mn >= 0L)
+    // no sinks → only floor losses: 2n edges × 10 rounds + base rounding
+    val scale = 1000000000L
+    assert(total <= scale && total >= scale - 10L * (2 * n + n) - scale % n,
+      s"rank mass $total out of the floor-loss envelope")
+  }
+
   test("pageRank: checkpoint blocks do not accumulate with round count") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
