@@ -35,6 +35,20 @@ object SketchOps {
   private val LcTable: IndexedSeq[Long] =
     (1 to 64).map(v => math.round(64.0 * math.log(64.0 / v)))
 
+  /** (bucket, rho) per event row for the HLL sketch — bucket = low 6 bits
+    * of the permuted hash, rho = leading-zero rank of the upper 25. Shared
+    * with the streaming register maintenance
+    * ([[graft.streaming.StreamOps.hllRegisters]]) so the incremental
+    * sketch cannot drift from the oracled batch one. Pure per-row
+    * expressions: works on batch AND streaming frames. */
+  private[graft] def hllBucketRho(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val v = PortableHash.minhashPerm(
+      PortableHash.h8(lpad(col("user_id").cast("string"), 8, "0")), 5)
+    events.select(v.as("v"))
+      .selectExpr("v % 64 AS bucket",
+        "CASE WHEN v DIV 64 = 0 THEN 26L ELSE 26 - length(bin(v DIV 64)) END AS rho")
+  }
+
   /** (user_id, b1..bD): each row's sketch buckets for its user key. Shared
     * with the streaming twin ([[graft.streaming.StreamOps.countMinCells]])
     * so the incremental sketch cannot drift from the oracled batch one.
@@ -125,11 +139,7 @@ object SketchOps {
          |       e.exact_n
          |FROM r, e""".stripMargin) { (spark, sfDir) =>
       val events = Tables.events(spark, sfDir)
-      val v = PortableHash.minhashPerm(
-        PortableHash.h8(lpad(col("user_id").cast("string"), 8, "0")), 5)
-      val wr = events.select(v.as("v"))
-        .selectExpr("v % 64 AS bucket",
-          "CASE WHEN v DIV 64 = 0 THEN 26L ELSE 26 - length(bin(v DIV 64)) END AS rho")
+      val wr = hllBucketRho(events)
       val reg = spark.range(0, 64).select(col("id").as("bucket"))
         .join(wr.groupBy("bucket").agg(max("rho").as("mr")), Seq("bucket"), "left")
         .select(coalesce(col("mr"), lit(0L)).as("m"))

@@ -258,6 +258,19 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Streaming HyperLogLog register maintenance — the incremental twin of
+    * `events_hll_distinct`'s registers: each arriving event max-updates
+    * its register's rho. Running state ≤ 64 rows forever (cardinality
+    * tracking over an unbounded stream in constant memory, no watermark
+    * needed). Rho/bucket come from [[graft.operators.SketchOps.hllBucketRho]]
+    * itself, so the incremental registers cannot drift from the oracled
+    * batch sketch; consumers fold the register frame into the integer
+    * estimate exactly as the batch operator does. */
+  def hllRegisters(events: DataFrame): DataFrame =
+    graft.operators.SketchOps.hllBucketRho(events)
+      .groupBy("bucket")
+      .agg(max("rho").as("m"))
+
   def runToCompletion(df: DataFrame, queryName: String): DataFrame = {
     val q = df.writeStream
       .outputMode(OutputMode.Complete())

@@ -106,6 +106,17 @@ class StreamingSpec extends AnyFunSuite with CacheDrained {
     assert(got.size <= 4 * 64, "state exceeded the DxW bound")
   }
 
+  test("streaming HLL registers == batch sketch registers") {
+    val spark = TestSpark.spark
+    val got = StreamOps.runToCompletion(
+      StreamOps.hllRegisters(StreamOps.eventStream(spark, TestSpark.Sf)), "hll_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = StreamOps.hllRegisters(graft.Tables.events(spark, TestSpark.Sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+    assert(got.size <= 64, "state exceeded the register bound")
+  }
+
   test("stream-static decontamination join == batch decontam_ngram counts") {
     val spark = TestSpark.spark
     import org.apache.spark.sql.functions._
