@@ -33,11 +33,25 @@ val jdk17AddOpens = Seq(
 // throughput here is ~200 MB/s and a 100g heap would take minutes to
 // start. SPARK_GC_OPTS appends last, so experiments can still override
 // everything (later JVM flags win).
+// Pre-touch gating only needs a rough GiB estimate; any value this parse
+// doesn't understand (fractional, exotic suffix) must still be a valid
+// -Xmx string, so unparseable just means "assume huge, skip pre-touch" —
+// never a build-load crash.
 val driverMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")
-val driverMemGb: Int = driverMem.toLowerCase match {
-  case s if s.endsWith("g") => s.dropRight(1).toInt
-  case s if s.endsWith("m") => (s.dropRight(1).toLong / 1024).toInt
-  case s => s.toInt // bare bytes: effectively "huge", skip pre-touch
+val driverMemGb: Int = {
+  def gb(s: String, toGbShift: Int): Int =
+    scala.util.Try(math.min(Int.MaxValue.toLong, s.toLong >> toGbShift).toInt)
+      .getOrElse(Int.MaxValue)
+  driverMem.toLowerCase match {
+    case s if s.endsWith("t") =>
+      scala.util.Try(
+        math.min(Int.MaxValue.toLong, java.lang.Math.multiplyExact(s.dropRight(1).toLong, 1024L)).toInt)
+        .getOrElse(Int.MaxValue)
+    case s if s.endsWith("g") => gb(s.dropRight(1), 0)
+    case s if s.endsWith("m") => gb(s.dropRight(1), 10)
+    case s if s.endsWith("k") => gb(s.dropRight(1), 20)
+    case s => gb(s, 30) // bare bytes
+  }
 }
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",

@@ -18,14 +18,18 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    // SPARK_GRAFT_BENCH_EXCLUDE: comma-separated query names to skip —
-    // scale experiments use it for queries whose DEMO parameters are
-    // documented non-scaling regimes (sim_near_dup_pairs at tau=0.4 is
-    // deliberately exhaustive: ~1e10 candidates at sf10). Unset in the
-    // driver's runs, so the published per-round bench is never filtered.
+    // SPARK_GRAFT_BENCH_EXCLUDE: comma-separated query names to skip.
+    // Since round 6 the benched set contains no documented non-scaling
+    // regime (the τ=0.4 near-dup demo is no longer benched), so this knob
+    // should stay unset everywhere; when it IS set, the active exclusion
+    // list is published in the JSON line so a filtered total can never
+    // read as comparable to an unfiltered round.
     val exclude = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXCLUDE", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val names = SparkEntry.benchQueries.filterNot(exclude)
+    require(names.nonEmpty,
+      s"SPARK_GRAFT_BENCH_EXCLUDE=$exclude filtered out every bench query " +
+        s"(registered: ${SparkEntry.benchQueries.mkString(",")})")
     // warm-up: one full query (JVM/codegen startup) plus a full-column scan
     // of every table — count() alone reads only parquet footers, so it
     // would leave the data pages cold and the events ns→µs rewrite unpaid;
@@ -69,17 +73,26 @@ object Bench {
         if (good.isEmpty) times.headOption.map(_._1).getOrElse(0.0)
         else if (good.size % 2 == 1) good(good.size / 2)
         else (good(good.size / 2 - 1) + good(good.size / 2)) / 2
-      (name, median, times.headOption.map(_._1).getOrElse(0.0), !failed)
+      (name, median, times.headOption.map(_._1).getOrElse(0.0), !failed,
+        times.map(_._1))
     }
-    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }
+    val qs = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val colds = results.map { case (k, _, cold, _) => "\"" + k + "\":" + cold }
+    val colds = results.map { case (k, _, cold, _, _) => "\"" + k + "\":" + cold }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
+    // raw per-iteration wall times, in run order (cold first) — the
+    // environmental-spread evidence: equal medians from 1 vs 3 iterations,
+    // or a hypervisor-noise outlier inside a run, are directly visible
+    // instead of inferable only from median==cold coincidences
+    val iterss = results.map { case (k, _, _, _, ts) =>
+      "\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val excluded = exclude.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val coldTotal = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"cold_total":$coldTotal,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"cold_total":$coldTotal,"iters":$iterss,"errors":$errs,"excluded":$excluded,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -26,11 +26,19 @@ object Tables {
     * `(ts - pmod(ts, 1000)) DIV 1000` is exact long-arithmetic FLOOR
     * division (DIV alone truncates toward zero, which would round pre-epoch
     * nanos the wrong way). The TimestampType→NTZ cast is only
-    * instant-preserving under a UTC session, so the loader enforces the
-    * timezone itself rather than trusting every entry point to set it. */
+    * instant-preserving under a UTC session, and the cast resolves LAZILY
+    * — a session whose timezone changes between load and action would
+    * silently shift instants — so instead of mutating the session conf
+    * behind the caller's back (which would also surprise unrelated
+    * queries), the loader REQUIRES a UTC session with a loud error. Both
+    * engine session factories (Sessions.local, TestSpark) pin UTC. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "Tables.events needs spark.sql.session.timeZone=UTC (the lazy " +
+        "TIMESTAMP->TIMESTAMP_NTZ cast is instant-preserving only under " +
+        "UTC); configure the session with Sessions.local or set the conf " +
+        "before loading")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = table(spark, sfDir, "events")
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}

@@ -18,7 +18,17 @@ import graft.Tables
 object RefFixtures {
 
   /** File rows of the inventory (one per lineitem row; names unique on
-    * (l_partkey, l_orderkey, l_linenumber, l_suppkey)). */
+    * (l_partkey, l_orderkey, l_linenumber, l_suppkey)).
+    *
+    * CONTRACT: names are unique EXCEPT where a lineitem tuple repeats its
+    * 4 name keys (sf0.001 carries one such pair, with different prices →
+    * same name, different length). inv_merge_upsert's anti-join+union
+    * form equals the oracle's row_number latest-wins only when every name
+    * has ONE deterministic winner — un-updated names unique, updated
+    * names with exactly one update row (the oracle's ORDER BY v DESC is
+    * equally ambiguous otherwise). RankSketchSpec asserts that per-name
+    * condition at sf0.001 AND sf0.01, so a data generation that breaks it
+    * fails loudly there instead of diverging silently in verify. */
   def invFiles(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir).select(
       concat(lit("/data/part="), col("l_partkey"), lit("/f-"), col("l_orderkey"),

@@ -751,24 +751,37 @@ object SimilarityOps {
     // shuffle; above it the hints disappear and AQE plans the same joins
     // as shuffled equi-joins, which is the shape that survives a
     // corpus-scale run.
+    //
+    // NOT benched: at this weak a threshold the shape derivation correctly
+    // detects that no feasible LSH shape can prune (every feasible
+    // (tables, bits) is near-exhaustive at τ=0.4 — the hyperplane-LSH
+    // floor), so the verification join is effectively all-candidate-pairs.
+    // That regime is a demo of the fallback path, not a scale claim; the
+    // benched near-dup entry is sim_near_dup_t08 below, whose derived
+    // shape survives every scale decade with no exclusion knob.
     GraftQuery("sim_near_dup_pairs",
       s"""WITH $BrutePairCte
          |SELECT ida AS a, idb AS b, sim6 FROM p WHERE sim6 >= $NearDupThreshold
-         |ORDER BY a, b""".stripMargin,
-      bench = true) { (spark, sfDir) =>
+         |ORDER BY a, b""".stripMargin) { (spark, sfDir) =>
       nearDupPairs(spark, sfDir).orderBy("a", "b")
     },
 
-    // the production-threshold variant: same operator, tau=0.8, LSH shape
-    // derived (23 tables × 4 bits — p_match/table 0.40, same as the demo's,
-    // from a per-hyperplane p of 0.795 vs 0.631). On the demo corpus the
-    // verified output is empty (max cosine ~0.51) but the full candidate /
-    // verify pipeline runs; SimilaritySpec pins the candidate-count drop
-    // vs tau=0.4 (sharper buckets → fewer candidates on the SAME corpus).
+    // the production-threshold variant — THE BENCHED NEAR-DUP SHAPE: same
+    // operator, tau=0.8, LSH shape derived (23 tables × 4 bits —
+    // p_match/table 0.40, same as the demo's, from a per-hyperplane p of
+    // 0.795 vs 0.631). On the demo corpus the verified output is empty
+    // (max cosine ~0.51) but the full candidate/verify pipeline runs —
+    // hashing every vector, bucket-joining, exact-verifying survivors —
+    // which is exactly the work a production dedup pays on a clean corpus;
+    // SimilaritySpec pins the candidate-count drop vs tau=0.4 (sharper
+    // buckets → fewer candidates on the SAME corpus). Benching THIS
+    // variant (not the τ=0.4 demo) means the published bench needs no
+    // SPARK_GRAFT_BENCH_EXCLUDE at any scale factor.
     GraftQuery("sim_near_dup_t08",
       s"""WITH $BrutePairCte
          |SELECT ida AS a, idb AS b, sim6 FROM p WHERE sim6 >= 0.8
-         |ORDER BY a, b""".stripMargin) { (spark, sfDir) =>
+         |ORDER BY a, b""".stripMargin,
+      bench = true) { (spark, sfDir) =>
       nearDupPairsAt(spark, sfDir, 0.8).orderBy("a", "b")
     },
 

@@ -20,10 +20,13 @@ object StreamOps {
     * batch NTZ values under the fixed UTC session. File streams need a
     * directory, hence sfDir + pathGlobFilter. */
   def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    // NTZ→LTZ below is instant-preserving only under a UTC session, and
+    // the cast resolves lazily — require UTC loudly (matching
+    // Tables.events) instead of silently mutating the shared session conf
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "StreamOps.eventStream needs spark.sql.session.timeZone=UTC (lazy " +
+        "NTZ->LTZ cast); configure the session with Sessions.local")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // NTZ→LTZ below is instant-preserving only under a UTC session; enforce
-    // it here (matching Tables.events) instead of trusting the entry point
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = spark.readStream
       .schema(spark.read.option("pathGlobFilter", "events.parquet").parquet(sfDir).schema)
       .option("pathGlobFilter", "events.parquet")

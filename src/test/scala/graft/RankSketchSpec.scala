@@ -92,6 +92,34 @@ class RankSketchSpec extends AnyFunSuite with CacheDrained {
     assert(rows.exists(_._3) && rows.exists(!_._3), "threshold split is degenerate")
   }
 
+  test("inv_merge_upsert precondition: every name has a unique latest-wins winner") {
+    // Precondition documented on RefFixtures.invFiles: the anti-join+union
+    // merge equals the oracle's row_number latest-wins only when each name
+    // resolves to ONE deterministic winner. Names are NOT globally unique
+    // (sf0.001 carries a lineitem tuple duplicated on the 4 name keys with
+    // different prices), so the binding condition is per-name:
+    //   - an updated name keeps only its upd rows → exactly one v=2 row;
+    //   - an un-updated name keeps all its base rows → it must be unique.
+    // The oracle's ORDER BY v DESC is equally ambiguous outside this
+    // condition (row_number ties), so a dataset that breaks it must fail
+    // HERE, loudly, at both test scale factors — not diverge in verify.
+    Seq(TestSpark.Sf, "/root/testdata/sf0.01").foreach { sf =>
+      val base = graft.fixtures.RefFixtures.inventory(spark, sf)
+        .filter(!$"is_folder")
+        .select($"name", $"length", ($"length" % 10 < 3).as("updated"))
+      val bad = base.groupBy("name")
+        .agg(
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.when($"updated", 1L).otherwise(0L)).as("nUpd"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("nAll"))
+        .filter(($"nUpd" === 0L && $"nAll" > 1L) || $"nUpd" > 1L)
+      assert(bad.count() == 0,
+        s"$sf: names with an ambiguous latest-wins winner: " +
+          bad.limit(5).collect().mkString(", "))
+    }
+  }
+
   test("inv_merge_upsert: one row per path, updates win, others pass through") {
     val merged = SparkEntry.queries("inv_merge_upsert")(spark, TestSpark.Sf)
     val n = merged.count()
