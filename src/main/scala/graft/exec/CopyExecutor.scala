@@ -58,14 +58,23 @@ object CopyExecutor {
     * its inventory listing — copy-to-adls.py:64). Without a source (no
     * byte store to read from), a deterministic stub payload of
     * `length % 4096` bytes is written whole — the metadata/ACL/quarantine
-    * path is identical either way. */
+    * path is identical either way.
+    *
+    * `preflight = true` is the idempotent re-run mode
+    * (distcp-to-databox.sh:20-26: `hadoop fs -test -e $dest` before each
+    * submission): a file that already exists at its expected byte length
+    * is reported `skipped` without touching the destination, so a re-run
+    * after a partial failure pays only for the missing files. An
+    * existing file at the WRONG length (a torn earlier copy) is re-copied
+    * — createFile truncates, same as the reference's overwriting PUT. */
   def copyInventory(
       spark: SparkSession,
       inventory: DataFrame,
       ops: FileOps,
       parallelism: Int = 8,
       source: Option[FileOps] = None,
-      blockSize: Long = BlockSize): DataFrame = {
+      blockSize: Long = BlockSize,
+      preflight: Boolean = false): DataFrame = {
     import spark.implicits._
 
     // phase 1: dirs, one DISTRIBUTED action per depth level, shallowest
@@ -112,18 +121,25 @@ object CopyExecutor {
       .mapPartitions { it =>
         it.map { case (name, owner, grp, perms, len) =>
           try {
-            val detail = source match {
-              case Some(src) =>
-                val chunks = copyChunked(src, ops, name, len, blockSize)
-                s"file chunks=$chunks"
-              case None =>
-                // no byte store behind this inventory: deterministic stub
-                // payload so the metadata path still lands real files
-                ops.write(name, new Array[Byte]((len % 4096).toInt.max(1)))
-                "file"
+            // the byte length this copy will land on disk: the declared
+            // inventory length on the chunked path, the stub size otherwise
+            val physLen = if (source.isDefined) len else (len % 4096).max(1)
+            if (preflight && ops.exists(name) && ops.length(name) == physLen) {
+              CopyResult(name, "skipped", "preflight: exists at expected length")
+            } else {
+              val detail = source match {
+                case Some(src) =>
+                  val chunks = copyChunked(src, ops, name, len, blockSize)
+                  s"file chunks=$chunks"
+                case None =>
+                  // no byte store behind this inventory: deterministic stub
+                  // payload so the metadata path still lands real files
+                  ops.write(name, new Array[Byte](physLen.toInt))
+                  "file"
+              }
+              ops.setOwnership(name, owner, grp, perms)
+              CopyResult(name, "ok", detail)
             }
-            ops.setOwnership(name, owner, grp, perms)
-            CopyResult(name, "ok", detail)
           } catch {
             case e: Exception => CopyResult(name, "failed", String.valueOf(e.getMessage))
           }
@@ -141,7 +157,121 @@ object CopyExecutor {
     dirResults.foldLeft(fileResults)(_ unionByName _)
   }
 
-  final case class UnitRun(unit: Long, nPaths: Long, startMs: Long, endMs: Long)
+  final case class VerifyResult(dir: String, status: String,
+      src_files: Long, dst_files: Long, src_bytes: Long, dst_bytes: Long,
+      src_names_sum: Long, dst_names_sum: Long)
+
+  /** 32-bit md5-prefix checksum of a path name — the per-file term of the
+    * manifest's order-insensitive names checksum. MUST stay in lockstep
+    * with the inv_manifest query's `conv(substring(md5(name), 1, 8), 16,
+    * 10)` (InventoryOps) and the oracle's `('0x' || substr(md5(name), 1,
+    * 8))::BIGINT`: all three hash the UTF-8 bytes of the same rooted
+    * path. Summed (commutative), so neither engine needs a per-directory
+    * sort or a collect_list that would balloon on a 10M-file directory. */
+  def nameChecksum(name: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(name.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** BOM/manifest verification (reference README.md:150-152 — the "verify
+    * against the BOM files that all your data is uploaded" step, the only
+    * post-copy correctness check the reference prescribes). Compares the
+    * per-directory manifest DECLARED by the source inventory — file
+    * count, total bytes, order-insensitive names checksum (the
+    * inv_manifest query) — against what a destination listing actually
+    * holds, and returns one row per directory with both sides and a
+    * status: `ok`, `mismatch`, or `missing` (destination directory
+    * absent). Engine sidecars (.acl/.meta) and unit markers (_copied) are
+    * excluded from the destination count — they are bookkeeping, not
+    * payload.
+    *
+    * Scale shape: the source side is one hash aggregation over the
+    * inventory (no sort, no name list ever materialized); the destination
+    * side fans one listing task per directory across the cluster — the
+    * same parallelism-bounded fan-out as the mkdir phase. Nothing beyond
+    * per-directory triples reaches the driver. */
+  def verifyCopy(
+      spark: SparkSession,
+      inventory: DataFrame,
+      ops: FileOps,
+      parallelism: Int = 8): DataFrame = {
+    import spark.implicits._
+    val src = inventory.filter(!col("is_folder"))
+      .groupBy(col("parent_directory").as("dir"))
+      .agg(
+        count(lit(1)).as("src_files"),
+        sum("length").as("src_bytes"),
+        sum(conv(substring(md5(col("name").cast("binary")), 1, 8), 16, 10)
+          .cast("long")).as("src_names_sum"))
+    src.repartition(parallelism)
+      .as[(String, Long, Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (dir, nSrc, bSrc, sSrc) =>
+          try {
+            val entries = ops.listDir(dir)
+              .filter(e => !e.isFolder &&
+                !e.name.endsWith(".acl") && !e.name.endsWith(".meta") &&
+                !e.name.endsWith("/_copied"))
+            val nDst = entries.size.toLong
+            val bDst = entries.map(_.length).sum
+            val sDst = entries.map(e => nameChecksum(e.name)).sum
+            val ok = nDst == nSrc && bDst == bSrc && sDst == sSrc
+            VerifyResult(dir, if (ok) "ok" else "mismatch",
+              nSrc, nDst, bSrc, bDst, sSrc, sDst)
+          } catch {
+            case _: java.io.FileNotFoundException =>
+              VerifyResult(dir, "missing", nSrc, 0L, bSrc, 0L, sSrc, 0L)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Op 13 end-to-end: apply an identity remap (the inv_remap_owners
+    * query's output: name, new_owner, new_grp, changed) as in-place
+    * metadata updates, the identity-mapper.py:82-99 pipeline. Per changed
+    * path, the merge is the reference's exactly: keep every NON-reserved
+    * user-metadata key already on the destination, rewrite hdi_permission
+    * to the updated permissions JSON, and assert hdi_isfolder on folders
+    * — then one whole-map setMetadata call (the single `comp=metadata`
+    * PUT). Unchanged paths are not touched at all. Returns per-item
+    * status with the quarantine semantics of every other sink. */
+  def applyOwnerRemap(
+      spark: SparkSession,
+      inventory: DataFrame,
+      remapped: DataFrame,
+      ops: FileOps,
+      parallelism: Int = 8): DataFrame = {
+    import spark.implicits._
+    inventory.select("name", "is_folder", "perms")
+      .join(remapped.filter(col("changed"))
+        .select("name", "new_owner", "new_grp"), Seq("name"))
+      .repartition(parallelism)
+      .as[(String, Boolean, String, String, String)]
+      .mapPartitions { it =>
+        it.map { case (name, isFolder, perms, newOwner, newGrp) =>
+          try {
+            val kept = ops.getMetadata(name) -
+              (FileOps.MetaPermissions, FileOps.MetaIsFolder)
+            val perm =
+              s"""{"owner":"$newOwner","group":"$newGrp","permissions":"$perms"}"""
+            val merged = kept +
+              (FileOps.MetaPermissions -> perm) ++
+              (if (isFolder) Map(FileOps.MetaIsFolder -> "true") else Map.empty)
+            ops.setMetadata(name, merged)
+            CopyResult(name, "ok", s"metadata keys=${merged.size}")
+          } catch {
+            case e: Exception => CopyResult(name, "failed", String.valueOf(e.getMessage))
+          }
+        }
+      }
+      .toDF()
+  }
+
+  final case class UnitRun(unit: Long, nPaths: Long, startMs: Long, endMs: Long,
+      nSkipped: Long = 0L)
 
   /** op 37 (distcp-to-databox.sh:27 `-async`): submit one copy job PER
     * UNIT and keep up to `maxInFlight` of them running concurrently on the
@@ -151,11 +281,17 @@ object CopyExecutor {
     * analogue of one `-async` distcp submission per Data Box filelist.
     * Returns per-unit timing so callers (and the spec) can observe the
     * overlap. */
+  /** `preflight = true` re-runs idempotently (distcp-to-databox.sh:20-26:
+    * `hadoop fs -test -e` before each distcp submission): paths whose
+    * `_copied` marker already exists are skipped, counted in
+    * [[UnitRun.nSkipped]], so resubmitting after a partial run pays only
+    * for the units' missing paths. */
   def copyUnitsAsync(
       spark: SparkSession,
       assignments: DataFrame,
       ops: FileOps,
-      maxInFlight: Int = 4): Seq[UnitRun] = {
+      maxInFlight: Int = 4,
+      preflight: Boolean = false): Seq[UnitRun] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     import spark.implicits._
@@ -170,17 +306,20 @@ object CopyExecutor {
           spark.sparkContext.setJobGroup(s"graft-unit-$u",
             s"async copy of unit $u", interruptOnCancel = true)
           val t0 = System.currentTimeMillis()
-          val n = assignments.filter(col("unit") === u)
+          val (n, skipped) = assignments.filter(col("unit") === u)
             .select(col("path")).as[String].rdd
             .mapPartitions { it =>
-              Iterator.single(it.map { p =>
-                ops.write(s"$p/_copied", Array[Byte]('u')); 1L
-              }.sum)
+              var done = 0L; var skip = 0L
+              it.foreach { p =>
+                if (preflight && ops.exists(s"$p/_copied")) skip += 1
+                else { ops.write(s"$p/_copied", Array[Byte]('u')); done += 1 }
+              }
+              Iterator.single((done, skip))
             }
-            .sum().toLong
+            .reduce { case ((a, b), (c, d)) => (a + c, b + d) }
           val t1 = System.currentTimeMillis()
           spark.sparkContext.clearJobGroup()
-          UnitRun(u, n, t0, t1)
+          UnitRun(u, n + skipped, t0, t1, skipped)
         }
       }
       Await.result(Future.sequence(inFlight), Duration(600, "s"))

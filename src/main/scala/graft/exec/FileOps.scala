@@ -22,6 +22,47 @@ trait FileOps extends Serializable {
   /** op 12 analogue: record owner/group/permissions for a path */
   def setOwnership(path: String, owner: String, group: String, perms: String): Unit
 
+  /** Non-recursive listing of a directory's children — full paths in the
+    * same rooted namespace every other verb uses. The destination half of
+    * BOM/manifest verification (reference README.md:150-152: "Verify
+    * against the BOM files that all your data is uploaded"). */
+  def listDir(path: String): Seq[DirEntry]
+
+  // ---- user-metadata surface (op 13, identity-mapper.py:17-33). ADLS
+  // `comp=metadata` REPLACES the whole x-ms-meta-* set in one call, so the
+  // verb is a whole-map PUT; the reserved-key merge (preserve custom keys,
+  // rewrite hdi_permission / hdi_isfolder — adls_copy_utils.py:20-21 and
+  // identity-mapper.py:87-89) is CLIENT-side, in
+  // CopyExecutor.applyOwnerRemap, exactly as the reference merges before
+  // its single PUT. Defaults store a `.meta` sidecar through the existing
+  // read/write verbs (same pattern as the .acl ownership sidecar), so
+  // every binding — local, graftfs, a future abfss — gets them for free.
+
+  /** all user metadata on a path; empty map when none was ever set */
+  def getMetadata(path: String): Map[String, String] = {
+    val side = path + ".meta"
+    if (!exists(side)) Map.empty
+    else new String(read(side), "UTF-8").split("\n").iterator
+      .filter(_.nonEmpty)
+      .map { line =>
+        val i = line.indexOf('=')
+        require(i > 0, s"malformed metadata line on $path: $line")
+        line.substring(0, i) -> line.substring(i + 1)
+      }
+      .toMap
+  }
+
+  /** replace ALL user metadata on a path in one call (comp=metadata) */
+  def setMetadata(path: String, meta: Map[String, String]): Unit = {
+    meta.keys.foreach(k => require(!k.contains("=") && !k.contains("\n"),
+      s"metadata key not sidecar-encodable: $k"))
+    meta.values.foreach(v => require(!v.contains("\n"),
+      s"metadata value not sidecar-encodable: $v"))
+    write(path + ".meta",
+      meta.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+        .mkString("\n").getBytes("UTF-8"))
+  }
+
   // ---- chunked byte-stream surface (op 5 consumer, copy-to-adls.py:55-91):
   // the four REST verbs of the reference's copy inner loop — ranged GET from
   // the source, create + append-at-position + flush on the destination.
@@ -51,6 +92,16 @@ trait FileOps extends Serializable {
     val got = length(path)
     require(got == totalLen, s"flush length mismatch on $path: at=$got expected=$totalLen")
   }
+}
+
+/** One child of a [[FileOps.listDir]] listing: rooted path, folder flag,
+  * byte length (0 for folders). */
+final case class DirEntry(name: String, isFolder: Boolean, length: Long)
+
+object FileOps {
+  /** reserved metadata keys (adls_copy_utils.py:20-21) */
+  val MetaPermissions = "hdi_permission"
+  val MetaIsFolder = "hdi_isfolder"
 }
 
 /** Hadoop-FileSystem-backed implementation; works for file://, hdfs://,
@@ -101,6 +152,18 @@ final class HadoopFileOps(root: String, conf: Map[String, String] = Map.empty)
 
   override def setOwnership(path: String, owner: String, group: String, perms: String): Unit =
     write(path + ".acl", s"$owner:$group:$perms".getBytes("UTF-8"))
+
+  override def listDir(path: String): Seq[DirEntry] = {
+    val rootPath = new Path(root).toUri.getPath
+    fs.listStatus(p(path)).toSeq.map { st =>
+      val full = st.getPath.toUri.getPath
+      val rel =
+        if (rootPath.nonEmpty && rootPath != "/" && full.startsWith(rootPath))
+          full.substring(rootPath.length)
+        else full
+      DirEntry(rel, st.isDirectory, if (st.isDirectory) 0L else st.getLen)
+    }
+  }
 
   override def length(path: String): Long = rawFs.getFileStatus(p(path)).getLen
 

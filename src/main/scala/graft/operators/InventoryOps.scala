@@ -327,6 +327,36 @@ object InventoryOps {
       base.join(upd.select("name"), Seq("name"), "left_anti")
         .unionByName(upd)
         .orderBy("name")
+    },
+
+    // BOM/manifest projection (reference README.md:150-152: "Verify
+    // against the BOM files that all your data is uploaded" — the only
+    // post-copy correctness step the reference prescribes). Per-directory
+    // (file count, total bytes, order-insensitive names checksum): the
+    // source half of CopyExecutor.verifyCopy, which compares this exact
+    // triple against a destination listing. The names checksum is a SUM
+    // of 32-bit md5 prefixes — commutative, so the aggregation is one
+    // hash agg with no sort and no collect_list (a per-directory name
+    // list would balloon on a 10M-file directory); 32-bit terms keep the
+    // bigint sum overflow-free to ~2^31 files per directory. All three
+    // engines (Spark conv/substring/md5, DuckDB '0x'-cast, the executor's
+    // MessageDigest in CopyExecutor.nameChecksum) hash the same UTF-8
+    // rooted path and MUST stay in lockstep.
+    GraftQuery("inv_manifest",
+      s"""WITH ${InvCte}
+         |SELECT parent_directory AS dir, count(*) AS n_files,
+         |       CAST(sum(length) AS BIGINT) AS total_bytes,
+         |       CAST(sum(CAST(('0x' || substr(md5(name), 1, 8)) AS BIGINT)) AS BIGINT) AS names_sum
+         |FROM inv WHERE NOT is_folder
+         |GROUP BY parent_directory ORDER BY dir""".stripMargin) { (spark, sfDir) =>
+      inventory(spark, sfDir).filter(!col("is_folder"))
+        .groupBy(col("parent_directory").as("dir"))
+        .agg(
+          count(lit(1)).as("n_files"),
+          sum("length").as("total_bytes"),
+          sum(conv(substring(md5(col("name").cast("binary")), 1, 8), 16, 10)
+            .cast("long")).as("names_sum"))
+        .orderBy("dir")
     }
   )
 }

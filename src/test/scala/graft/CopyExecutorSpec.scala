@@ -46,6 +46,9 @@ final class TracingFileOps(inner: FileOps) extends FileOps {
   override def flush(path: String, totalLen: Long): Unit = {
     CallTrace.calls.add(s"flush:$path:$totalLen"); inner.flush(path, totalLen)
   }
+  override def listDir(path: String): Seq[graft.exec.DirEntry] = {
+    CallTrace.calls.add(s"list:$path"); inner.listDir(path)
+  }
 }
 
 /** copy/ACL executor over local FS: phase ordering, parallel fan-out,
@@ -175,6 +178,7 @@ class CopyExecutorSpec extends AnyFunSuite with CacheDrained {
       override def read(path: String): Array[Byte] = inner.read(path)
       override def setOwnership(p: String, o: String, g: String, m: String): Unit =
         inner.setOwnership(p, o, g, m)
+      override def listDir(path: String): Seq[graft.exec.DirEntry] = inner.listDir(path)
     }
     val inv = RefFixtures.inventory(spark, TestSpark.Sf)
       .filter(org.apache.spark.sql.functions.col("parent_directory") === "/data/part=2" or
@@ -231,6 +235,7 @@ class CopyExecutorSpec extends AnyFunSuite with CacheDrained {
       override def read(path: String): Array[Byte] = inner.read(path)
       override def setOwnership(p: String, o: String, g: String, m: String): Unit =
         inner.setOwnership(p, o, g, m)
+      override def listDir(path: String): Seq[graft.exec.DirEntry] = inner.listDir(path)
     }
     val assignments = SparkEntry.queries("pack_nextfit")(spark, TestSpark.Sf)
       .filter(org.apache.spark.sql.functions.col("unit").between(1, 6))
@@ -242,6 +247,184 @@ class CopyExecutorSpec extends AnyFunSuite with CacheDrained {
       case _ => false
     }
     assert(overlaps > 0, s"no unit jobs overlapped: $runs")
+  }
+
+  test("verifyCopy: clean copy all ok; corruption, extras, and missing dirs caught (BOM verify)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val srcRoot = Files.createTempDirectory("graft-bom-src").toString
+    val dstRoot = Files.createTempDirectory("graft-bom-dst").toString
+    val srcOps = new HadoopFileOps(s"file://$srcRoot")
+    val dstOps = new HadoopFileOps(s"file://$dstRoot")
+
+    val inv = RefFixtures.inventory(spark, TestSpark.Sf)
+      .filter(col("name").startsWith("/data/part=4/") or
+        col("name").startsWith("/data/part=5/") or
+        col("name").startsWith("/data/part=6/") or
+        col("name").isin("/data/part=4", "/data/part=5", "/data/part=6"))
+    // land real source bytes at the declared lengths (bounded for the test)
+    val capped = inv.withColumn("length",
+      org.apache.spark.sql.functions.when(col("is_folder"), 0L)
+        .otherwise(col("length") % 2048))
+    capped.filter(!col("is_folder")).select("name", "length").collect()
+      .foreach(r => srcOps.write(r.getString(0), new Array[Byte](r.getLong(1).toInt)))
+    val copied = CopyExecutor.copyInventory(spark, capped, dstOps, parallelism = 2,
+      source = Some(srcOps))
+    assert(copied.filter(col("status") =!= "ok").count() == 0)
+
+    val clean = CopyExecutor.verifyCopy(spark, capped, dstOps, parallelism = 2)
+    assert(clean.filter(col("status") =!= "ok").count() == 0,
+      s"clean copy flagged: ${clean.filter(col("status") =!= "ok").collect().mkString(", ")}")
+
+    // corrupt one file (truncate), plant a rogue extra in a second dir,
+    // and verify against an inventory that also declares a never-copied dir
+    val victim = capped.filter(!col("is_folder") && col("parent_directory") === "/data/part=4")
+      .select("name").first().getString(0)
+    dstOps.write(victim, new Array[Byte](1))
+    dstOps.write("/data/part=5/rogue-extra.dat", new Array[Byte](7))
+    val withGhost = capped.unionByName(
+      Seq(("/data/part=ghost/g.dat", "/data/part=ghost", false, "u", "g", "rw-r--r--", 9L))
+        .toDF("name", "parent_directory", "is_folder", "owner", "grp", "perms", "length"))
+    val dirty = CopyExecutor.verifyCopy(spark, withGhost, dstOps, parallelism = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dirty("/data/part=4") == "mismatch", s"truncation not caught: $dirty")
+    assert(dirty("/data/part=5") == "mismatch", s"rogue extra not caught: $dirty")
+    assert(dirty("/data/part=ghost") == "missing", s"missing dir not caught: $dirty")
+    assert(dirty("/data/part=6") == "ok")
+  }
+
+  test("preflight re-run after partial failure copies only the missing files (idempotent re-run)") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    val srcRoot = Files.createTempDirectory("graft-preflight-src").toString
+    val tmp = Files.createTempDirectory("graft-preflight").toString
+    val srcOps = new HadoopFileOps(s"file://$srcRoot")
+    val inner = new HadoopFileOps(s"file://$tmp")
+    // fail the copy inner loop (append) for a name subset — a torn first run
+    val flaky: FileOps = new FileOps {
+      override def mkdirs(path: String): Boolean = inner.mkdirs(path)
+      override def exists(path: String): Boolean = inner.exists(path)
+      override def write(path: String, content: Array[Byte]): Unit = inner.write(path, content)
+      override def read(path: String): Array[Byte] = inner.read(path)
+      override def setOwnership(p: String, o: String, g: String, m: String): Unit =
+        inner.setOwnership(p, o, g, m)
+      override def listDir(path: String): Seq[graft.exec.DirEntry] = inner.listDir(path)
+      override def length(path: String): Long = inner.length(path)
+      override def createFile(path: String): Unit = inner.createFile(path)
+      override def append(path: String, offset: Long, data: Array[Byte]): Unit = {
+        if (path.endsWith("1.dat")) sys.error(s"injected failure for $path")
+        inner.append(path, offset, data)
+      }
+      override def flush(path: String, totalLen: Long): Unit = inner.flush(path, totalLen)
+    }
+    val inv = RefFixtures.inventory(spark, TestSpark.Sf)
+      .filter(col("parent_directory") === "/data/part=7" or col("name") === "/data/part=7")
+      // small but never-zero lengths so every file has at least one chunk
+      .withColumn("length",
+        org.apache.spark.sql.functions.when(col("is_folder"), 0L)
+          .otherwise(col("length") % 2048 + 1))
+    inv.filter(!col("is_folder")).select("name", "length").collect()
+      .foreach(r => srcOps.write(r.getString(0), new Array[Byte](r.getLong(1).toInt)))
+
+    val first = CopyExecutor.copyInventory(spark, inv, flaky, parallelism = 2,
+      source = Some(srcOps))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val failedNames = first.collect { case (n, "failed") => n }.toSet
+    assert(failedNames.nonEmpty, "fixture slice has no *1.dat names")
+
+    val second = CopyExecutor.copyInventory(spark, inv, inner, parallelism = 2,
+      source = Some(srcOps), preflight = true)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val fileNames = first.keySet.filter(_.endsWith(".dat"))
+    fileNames.foreach { name =>
+      if (failedNames(name))
+        assert(second(name) == "ok", s"$name: expected re-copy, got ${second(name)}")
+      else
+        assert(second(name) == "skipped", s"$name: expected skip, got ${second(name)}")
+    }
+    // and the re-run left a complete, verifiable destination
+    val verified = CopyExecutor.verifyCopy(spark, inv, inner, parallelism = 2)
+    assert(verified.filter(col("status") =!= "ok").count() == 0)
+  }
+
+  test("copyUnitsAsync preflight skips already-copied paths (idempotent -async re-run)") {
+    val spark = TestSpark.spark
+    val tmp = Files.createTempDirectory("graft-async-pf").toString
+    val ops = new HadoopFileOps(s"file://$tmp")
+    val assignments = SparkEntry.queries("pack_nextfit")(spark, TestSpark.Sf)
+      .filter(org.apache.spark.sql.functions.col("unit").between(1, 3))
+    val n = assignments.count()
+    val first = CopyExecutor.copyUnitsAsync(spark, assignments, ops, maxInFlight = 2)
+    assert(first.map(_.nPaths).sum == n && first.map(_.nSkipped).sum == 0)
+    val second = CopyExecutor.copyUnitsAsync(spark, assignments, ops, maxInFlight = 2,
+      preflight = true)
+    assert(second.map(_.nPaths).sum == n)
+    assert(second.map(_.nSkipped).sum == n,
+      s"re-run should skip every path: $second")
+  }
+
+  test("applyOwnerRemap merges metadata in place: custom keys kept, reserved keys rewritten (op 13)") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft-meta").toString
+    val ops = new HadoopFileOps(s"file://$tmp")
+    val inv = RefFixtures.inventory(spark, TestSpark.Sf)
+      .filter(col("parent_directory") === "/data/part=8" or col("name") === "/data/part=8")
+    CopyExecutor.copyInventory(spark, inv, ops, parallelism = 2)
+
+    import spark.implicits._
+    val remapped = SparkEntry.queries("inv_remap_owners")(spark, TestSpark.Sf)
+      .join(inv.select("name"), Seq("name"))
+      // folder identities (userroot/grproot) are outside the identity map,
+      // so force one changed folder row to exercise the hdi_isfolder merge
+      .filter(col("name") =!= "/data/part=8")
+      .unionByName(Seq(("/data/part=8", "aad-root@example.com", "aad-grproot@example.com", true))
+        .toDF("name", "new_owner", "new_grp", "changed"))
+    val changedFile = remapped.filter(col("changed"))
+      .join(inv.filter(!col("is_folder")).select("name"), Seq("name"))
+      .select("name", "new_owner", "new_grp").first()
+    val (target, newOwner, newGrp) =
+      (changedFile.getString(0), changedFile.getString(1), changedFile.getString(2))
+    // pre-existing metadata: a custom key that must survive, a stale
+    // reserved key that must be rewritten
+    ops.setMetadata(target, Map("project" -> "alpha",
+      graft.exec.FileOps.MetaPermissions -> """{"owner":"stale"}"""))
+
+    val status = CopyExecutor.applyOwnerRemap(spark, inv, remapped, ops, parallelism = 2)
+    assert(status.filter(col("status") =!= "ok").count() == 0)
+    assert(status.count() == remapped.filter(col("changed")).count())
+
+    val meta = ops.getMetadata(target)
+    assert(meta("project") == "alpha", s"custom key lost: $meta")
+    val perms = inv.filter(col("name") === target).select("perms").first().getString(0)
+    assert(meta(graft.exec.FileOps.MetaPermissions) ==
+      s"""{"owner":"$newOwner","group":"$newGrp","permissions":"$perms"}""", s"got $meta")
+    assert(!meta.contains(graft.exec.FileOps.MetaIsFolder))
+
+    // a changed folder gets hdi_isfolder asserted (identity-mapper.py:88-89)
+    val changedDir = remapped.filter(col("changed"))
+      .join(inv.filter(col("is_folder")).select("name"), Seq("name"))
+      .select("name").collect().headOption.map(_.getString(0))
+    changedDir.foreach { d =>
+      assert(ops.getMetadata(d).get(graft.exec.FileOps.MetaIsFolder).contains("true"))
+    }
+
+    // an unchanged path is never touched
+    val unchanged = remapped.filter(!col("changed")).select("name")
+      .collect().headOption.map(_.getString(0))
+    unchanged.foreach(u => assert(ops.getMetadata(u).isEmpty, s"unchanged $u was touched"))
+
+    // the metadata verbs round-trip through the cloud-shaped scheme too
+    val backing = Files.createTempDirectory("graft-meta-fs").toString
+    val cloudOps = new HadoopFileOps("graftfs://metaacct", Map(
+      "fs.graftfs.impl" -> "graft.exec.GraftFsFileSystem",
+      "fs.graftfs.root.metaacct" -> backing,
+      "fs.graftfs.token.provider" -> "graft.exec.CountingTokenProvider"))
+    cloudOps.mkdirs("/m")
+    cloudOps.write("/m/f.dat", Array[Byte](1))
+    cloudOps.setMetadata("/m/f.dat", Map("k" -> "v", "k2" -> "v=2"))
+    assert(cloudOps.getMetadata("/m/f.dat") == Map("k" -> "v", "k2" -> "v=2"))
   }
 
   test("partitioned filelist write: one directory per unit, no unit 0 (op 14/20)") {
