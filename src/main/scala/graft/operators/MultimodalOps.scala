@@ -4,16 +4,38 @@ import org.apache.spark.sql.functions._
 
 import graft.GraftQuery
 import graft.Tables
+import graft.multimodal.{BmpCodec, MediaSynth, WavCodec}
 
-/** Oracle-checkable slice of the multimodal surface: opaque binary payloads
-  * (UTF-8 encoded text standing in for image bytes) with typed metadata
-  * derived deterministically. The real decode/feature-extract plumbing —
-  * schema, partitioning, batched extraction over binary columns — lives in
-  * graft.multimodal.MediaPipeline (stubbed decoder, tested in
-  * MultimodalSpec); this query pins down the byte-level semantics both
-  * engines agree on.
+/** Oracle-checkable slice of the multimodal surface. Two layers:
+  *
+  *  - metadata/dedup/planning queries over opaque payloads derived from
+  *    `documents` (byte-level semantics both engines agree on);
+  *  - REAL decode queries (round 6): payloads are standard 24-bpp BMP /
+  *    RIFF-WAVE PCM16 / concatenated-BMP video synthesized from
+  *    closed-form pixel/sample functions ([[MediaSynth]]), decoded by the
+  *    pure-JVM codecs ([[BmpCodec]]/[[WavCodec]]), and the DuckDB oracle
+  *    states what a correct decode MUST recover directly from the
+  *    closed forms — it never parses a byte. Position-weighted checksums
+  *    make stride/padding, bottom-up row order, chunk-walk and container
+  *    framing bugs all hash-visible.
+  *
+  * The decode stage is embarrassingly parallel mapPartitions work over
+  * the binary column (the mapInPandas shape): no shuffle before the
+  * per-row feature emit, so the stage scales linearly with the corpus.
   */
 object MultimodalOps {
+
+  /** decoded-image features (top-level so the Dataset Encoder derives) */
+  final case class ImgFeat(doc_id: Long, w: Long, h: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long, poschk: Long)
+
+  /** decoded-audio features */
+  final case class WavFeat(doc_id: Long, sample_rate: Long, n_samples: Long,
+      sum_s: Long, max_abs: Long, poschk: Long)
+
+  /** sampled-video-frame features */
+  final case class VideoFeat(doc_id: Long, n_frames: Long, w: Long, h: Long,
+      lum_sum: Long, poschk: Long)
 
   val queries: Seq[GraftQuery] = Seq(
 
@@ -102,6 +124,137 @@ object MultimodalOps {
           col("ts_ms"),
           expr("ts_ms * fps DIV 1000").as("frame_no"))
         .orderBy("doc_id", "sample_idx")
+    },
+
+    // REAL image decode: every image-kind asset is a standard 24-bpp BMP
+    // (synthesized from MediaSynth's closed-form pixel function), parsed
+    // by BmpCodec — header validation, 4-byte row stride, bottom-up row
+    // un-mirroring. The oracle computes the channel sums and the
+    // position-weighted luminance checksum DIRECTLY from the closed form:
+    // if the decoder mis-handles padding, row order, BGR ordering, or the
+    // pixel-data offset, poschk diverges. Per-row decode, no shuffle.
+    GraftQuery("multimodal_decode",
+      """WITH m AS (SELECT doc_id, CAST(1 + doc_id % 16 AS BIGINT) AS w,
+        |                  CAST(1 + (doc_id * 3) % 16 AS BIGINT) AS h
+        |           FROM documents WHERE doc_id % 3 = 0),
+        |p AS (SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS i FROM m),
+        |c AS (SELECT doc_id, w, h, i,
+        |             (doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256 AS r,
+        |             (doc_id * 17 + (i % w) * 11 + (i // w) * 5) % 256 AS g,
+        |             (doc_id * 29 + (i % w) * 3 + (i // w) * 19) % 256 AS b
+        |      FROM p)
+        |SELECT doc_id, w, h,
+        |       CAST(sum(r) AS BIGINT) AS sum_r,
+        |       CAST(sum(g) AS BIGINT) AS sum_g,
+        |       CAST(sum(b) AS BIGINT) AS sum_b,
+        |       CAST(sum((i + 1) * (2 * r + 5 * g + b)) AS BIGINT) AS poschk
+        |FROM c GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
+      import spark.implicits._
+      Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { d =>
+          val dec = BmpCodec.decode(MediaSynth.bmpFor(d))
+          var sr = 0L; var sg = 0L; var sb = 0L; var pc = 0L
+          var i = 0
+          val n = dec.w * dec.h
+          while (i < n) {
+            val r = dec.rgb(i * 3) & 0xff
+            val g = dec.rgb(i * 3 + 1) & 0xff
+            val b = dec.rgb(i * 3 + 2) & 0xff
+            sr += r; sg += g; sb += b
+            pc += (i + 1).toLong * (2 * r + 5 * g + b)
+            i += 1
+          }
+          ImgFeat(d, dec.w.toLong, dec.h.toLong, sr, sg, sb, pc)
+        })
+        .toDF().orderBy("doc_id")
+    },
+
+    // REAL audio decode: audio-kind assets are RIFF/WAVE PCM16 mono,
+    // parsed by WavCodec's generic chunk walk (fmt → data, unknown chunks
+    // skipped by declared size). sample_rate and n_samples come FROM THE
+    // PARSED HEADER; the oracle derives them (and the position-weighted
+    // sample checksum) from the closed forms, so a chunk-walk or
+    // little-endian/sign bug diverges the hash.
+    GraftQuery("multimodal_wav",
+      """WITH m AS (SELECT doc_id, CAST(64 + doc_id % 129 AS BIGINT) AS n,
+        |                  CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS rate
+        |           FROM documents WHERE doc_id % 3 = 1),
+        |s AS (SELECT doc_id, n, rate, unnest(generate_series(0, n - 1)) AS i FROM m),
+        |v AS (SELECT doc_id, n, rate, i,
+        |             (doc_id * 7919 + i * 104729) % 65536 - 32768 AS s FROM s)
+        |SELECT doc_id, rate AS sample_rate, n AS n_samples,
+        |       CAST(sum(s) AS BIGINT) AS sum_s,
+        |       CAST(max(abs(s)) AS BIGINT) AS max_abs,
+        |       CAST(sum((i + 1) * s) AS BIGINT) AS poschk
+        |FROM v GROUP BY doc_id, rate, n ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
+      import spark.implicits._
+      Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { d =>
+          val dec = WavCodec.decode(MediaSynth.wavFor(d))
+          var ss = 0L; var mx = 0L; var pc = 0L
+          var i = 0
+          while (i < dec.samples.length) {
+            val s = dec.samples(i).toLong
+            ss += s
+            if (math.abs(s) > mx) mx = math.abs(s)
+            pc += (i + 1) * s
+            i += 1
+          }
+          WavFeat(d, dec.sampleRate.toLong, dec.samples.length.toLong, ss, mx, pc)
+        })
+        .toDF().orderBy("doc_id")
+    },
+
+    // REAL video frame sampling: video-kind assets are 3 concatenated BMP
+    // frames; the walk advances by each frame's OWN declared file size
+    // (a real container parse, not fixed-width slicing), keeps every 2nd
+    // frame (f = 0, 2), and decodes the kept frames. n_frames is the
+    // PARSED frame count — the oracle's literal 3 only matches if the
+    // walk framed the stream correctly — and poschk weights each kept
+    // frame by (f+1) so frame order and selection are hash-visible.
+    GraftQuery("multimodal_video_frames",
+      """WITH m AS (SELECT doc_id, CAST(1 + doc_id % 16 AS BIGINT) AS w,
+        |                  CAST(1 + (doc_id * 3) % 16 AS BIGINT) AS h
+        |           FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (SELECT doc_id, w, h, unnest([0, 2]) AS f FROM m),
+        |p AS (SELECT doc_id, w, h, f, unnest(generate_series(0, w * h - 1)) AS i FROM fr),
+        |c AS (SELECT doc_id, w, h, f, i,
+        |             (doc_id * 31 + f * 71 + (i % w) * 7 + (i // w) * 13) % 256 AS r,
+        |             (doc_id * 17 + f * 43 + (i % w) * 11 + (i // w) * 5) % 256 AS g,
+        |             (doc_id * 29 + f * 97 + (i % w) * 3 + (i // w) * 19) % 256 AS b
+        |      FROM p)
+        |SELECT doc_id, CAST(3 AS BIGINT) AS n_frames, w, h,
+        |       CAST(sum(2 * r + 5 * g + b) AS BIGINT) AS lum_sum,
+        |       CAST(sum((f + 1) * (i + 1) * (2 * r + 5 * g + b)) AS BIGINT) AS poschk
+        |FROM c GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
+      import spark.implicits._
+      Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { d =>
+          val frames = BmpCodec.decodeFrames(MediaSynth.videoFor(d))
+          var lumSum = 0L; var pc = 0L
+          var w = 0L; var h = 0L
+          frames.indices.by(2).foreach { f =>
+            val dec = frames(f)
+            w = dec.w.toLong; h = dec.h.toLong
+            var i = 0
+            val n = dec.w * dec.h
+            while (i < n) {
+              val lum = 2 * (dec.rgb(i * 3) & 0xff) +
+                5 * (dec.rgb(i * 3 + 1) & 0xff) + (dec.rgb(i * 3 + 2) & 0xff)
+              lumSum += lum
+              pc += (f + 1).toLong * (i + 1) * lum
+              i += 1
+            }
+          }
+          VideoFeat(d, frames.length.toLong, w, h, lumSum, pc)
+        })
+        .toDF().orderBy("doc_id")
     }
   )
 }

@@ -661,14 +661,15 @@ object SimilarityOps {
   /** IVF probe + exact re-rank: top-k rows (qid, rnk, nid, sim6) per
     * query id — the sim_ann_ivf pipeline body, shared with
     * sim_ann_recall's evaluation join (unordered; callers sort). */
-  def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+  def ivfTopK(spark: SparkSession, sfDir: String,
+      nprobe: Int = IvfProbes): DataFrame = {
     // assignment (all n vectors): one codegen argmin pass; full ranking
     // (needed for the nprobe probe lists) only over the NumQueries query
     // vectors — the n×K explosion never touches the corpus side
     val assign = kmeansAssign(spark, sfDir).withColumnRenamed("cluster", "list")
     val probes = rankedFor(spark, sfDir, kmeansCodebook(spark, sfDir),
         Some(embeddings(spark, sfDir).filter(col("vec_id") < NumQueries)))
-      .filter(col("r") <= IvfProbes)
+      .filter(col("r") <= nprobe)
       .select(col("vec_id").as("qid"), col("cluster").as("list"))
     val cands = assign.join(broadcast(probes), Seq("list"))
       .filter(col("vec_id") =!= col("qid"))
