@@ -105,11 +105,13 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   /** IVF recall: the demo corpus is near-orthogonal (no real cluster
-    * structure), so probing 3 of 10 lists has a random-probe baseline of
-    * 0.30 recall. The learned k-means codebook measures 0.56 at both
-    * sf0.001 and sf0.01 — above the 0.47-0.50 ceiling of the supervised
-    * label-centroid codebook it replaced; the floor pins that margin. */
-  test("ann ivf recall@10 > 0.5 vs brute force (k-means codebook beats the 0.50 label-centroid ceiling)") {
+    * structure), so recall can never beat the probed-list mass by much —
+    * probing nprobe of 10 lists has a random-probe baseline of nprobe/10.
+    * The measured sweep (SweepIvf): nprobe 3 → 0.56, 6 → 0.81/0.84
+    * (sf0.001/sf0.01), always ~0.2 above the random baseline — the margin
+    * the learned Lloyd codebook contributes. IvfProbes=6 holds the 0.8
+    * production floor; the floor here pins both it and the margin. */
+  test("ann ivf recall@10 >= 0.8 vs brute force at the swept IvfProbes") {
     val spark = TestSpark.spark
     Seq(TestSpark.Sf, "/root/testdata/sf0.01").foreach { sf =>
       val brute = SparkEntry.queries("sim_cosine_topk")(spark, sf)
@@ -118,7 +120,12 @@ class SimilaritySpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
       val recall = (brute & ivf).size.toDouble / brute.size
       info(f"$sf ivf recall@10 = $recall%.3f")
-      assert(recall > 0.5, s"$sf: IVF recall $recall not above the 0.5 label-centroid ceiling")
+      assert(recall >= 0.8, s"$sf: IVF recall $recall below the 0.8 floor")
+      // and the codebook must beat the random-probe baseline: the sweep's
+      // structure margin, not just probed-list mass
+      val baseline = SimilarityOps.IvfProbes.toDouble / SimilarityOps.KmeansK
+      assert(recall > baseline + 0.1,
+        s"$sf: recall $recall within noise of the $baseline random-probe baseline")
     }
   }
 
