@@ -138,6 +138,67 @@ object SketchOps {
          |            ELSE r.raw_est END AS BIGINT) AS est_n,
          |       e.exact_n
          |FROM r, e""".stripMargin) { (spark, sfDir) =>
+      hllEstimate(spark, sfDir) },
+
+    // STREAMING count-min sketch maintenance, registered and oracled: the
+    // events flow through a real Structured Streaming query (file source →
+    // per-row bucketing → running cell aggregation → AvailableNow drain
+    // into a memory sink), and the FINAL cell state is compared against
+    // the batch-computed sketch in DuckDB. The cell aggregation is the
+    // bounded-state structure itself: D×W rows regardless of stream
+    // length, no watermark needed because state cannot grow. Bucketing is
+    // SketchOps.bucketed (the same expressions as events_count_min), so
+    // this row-level CORRECTNESS entry pins streaming/batch sketch parity
+    // — not just the spec-level assertion in StreamingSpec.
+    GraftQuery("stream_count_min",
+      s"""WITH k AS (SELECT user_id,
+         |    ${PortableHash.h8Sql("lpad(CAST(user_id AS VARCHAR), 8, '0')")} AS h
+         |  FROM events),
+         |b AS (SELECT user_id,
+         |    ${(1 to D).map(i => s"${bucketSql(i)} AS b$i").mkString(", ")}
+         |  FROM k),
+         |u AS (${(1 to D).map(i => s"SELECT $i AS rw, b$i AS bk FROM b")
+            .mkString(" UNION ALL ")})
+         |SELECT rw, bk, CAST(count(*) AS BIGINT) AS n
+         |FROM u GROUP BY rw, bk ORDER BY rw, bk""".stripMargin) { (spark, sfDir) =>
+      val cells = graft.streaming.StreamOps.countMinCells(
+        graft.streaming.StreamOps.eventStream(spark, sfDir))
+      graft.streaming.StreamOps
+        .runToCompletion(cells, s"stream_cm_${streamRunId.incrementAndGet()}")
+        .select(col("row").cast("int").as("rw"), col("bk"), col("n"))
+        .orderBy("rw", "bk")
+    },
+
+    // STREAMING HyperLogLog register maintenance, registered and oracled:
+    // same shape — the running max-rho aggregation IS the register file
+    // (≤ 64 rows forever), drained AvailableNow and hash-compared against
+    // the batch registers. hllBucketRho is shared with events_hll_distinct,
+    // so the incremental registers cannot drift from the oracled batch
+    // estimate's inputs.
+    GraftQuery("stream_hll",
+      s"""WITH k AS (SELECT user_id,
+         |    ${PortableHash.h8Sql("lpad(CAST(user_id AS VARCHAR), 8, '0')")} AS h
+         |  FROM events),
+         |v AS (SELECT ((${permA(5)} * (h % $P) + ${permB(5)}) % $P) AS v FROM k),
+         |wr AS (SELECT v % 64 AS bucket,
+         |         CAST(CASE WHEN v // 64 = 0 THEN 26
+         |              ELSE 26 - length(bin(v // 64)) END AS BIGINT) AS rho FROM v)
+         |SELECT bucket, CAST(max(rho) AS BIGINT) AS m
+         |FROM wr GROUP BY bucket ORDER BY bucket""".stripMargin) { (spark, sfDir) =>
+      val regs = graft.streaming.StreamOps.hllRegisters(
+        graft.streaming.StreamOps.eventStream(spark, sfDir))
+      graft.streaming.StreamOps
+        .runToCompletion(regs, s"stream_hll_${streamRunId.incrementAndGet()}")
+        .orderBy("bucket")
+    })
+
+  /** memory-sink names must be fresh per invocation (RunOne re-runs a
+    * query three times in one session) */
+  private val streamRunId = new java.util.concurrent.atomic.AtomicLong()
+
+  /** batch HLL estimate body (shared so the query list stays readable) */
+  private def hllEstimate(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
       val events = Tables.events(spark, sfDir)
       val wr = hllBucketRho(events)
       val reg = spark.range(0, 64).select(col("id").as("bucket"))
@@ -157,5 +218,5 @@ object SketchOps {
              |     THEN element_at(array(${LcTable.mkString(", ")}), CAST(vz AS INT))
              |     ELSE raw_est END AS BIGINT) AS est_n""".stripMargin,
           "exact_n")
-    })
+  }
 }
