@@ -17,6 +17,46 @@ import graft.fixtures.RefFixtures._
   */
 object InventoryOps {
 
+  /** Latest-wins CDC/MERGE compaction: `updates ∪ (base ANTI-JOIN
+    * updates)` on `key`. Deterministically equivalent to the per-key
+    * row_number latest-wins form exactly when every key has ONE
+    * unambiguous winner:
+    *   - a key with update rows must have exactly one (several v=2 rows
+    *     are a row_number tie — and the union would emit them all);
+    *   - a key with NO update row must be unique in base (the anti-join
+    *     keeps every unmatched duplicate; row_number keeps one).
+    * Duplicated base rows whose key IS updated are fine — the anti-join
+    * removes them all and the one update row wins, same as the oracle.
+    *
+    * That precondition is CHECKED LOUDLY here rather than assumed (it
+    * previously lived only in a comment and a data-shape test, so a
+    * future dataset violating it would have silently diverged from the
+    * oracle): one hash-agg pass per side + a broadcast-sized join of the
+    * per-key counts, short-circuited by limit(1). A pipeline that has
+    * already validated its keys upstream skips the probe with
+    * `spark.graft.merge.checkKeys=false`; the merge itself never needed
+    * the extra pass. */
+  def mergeUpsert(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    val check = base.sparkSession.conf
+      .getOption("spark.graft.merge.checkKeys").forall(_.toBoolean)
+    if (check) {
+      val nb = base.groupBy(col(key)).agg(count(lit(1)).as("n_base"))
+      val nu = updates.groupBy(col(key)).agg(count(lit(1)).as("n_upd"))
+      val bad = nb.join(nu, Seq(key), "full_outer")
+        .filter(coalesce(col("n_upd"), lit(0L)) > 1 ||
+          (col("n_upd").isNull && col("n_base") > 1))
+        .limit(1).collect()
+      require(bad.isEmpty,
+        s"mergeUpsert: $key '${bad.headOption.map(_.get(0)).orNull}' has no " +
+          "unambiguous latest-wins winner (several update rows, or an " +
+          "un-updated duplicate in base) — the anti-join merge would silently " +
+          "diverge from the row_number oracle; fix the batch or set " +
+          "spark.graft.merge.checkKeys=false if keys are validated upstream")
+    }
+    base.join(updates.select(key), Seq(key), "left_anti")
+      .unionByName(updates)
+  }
+
   /** shared ACL-entry parser: "[scope:]type:id:perms" positional logic
     * (copy-acls.py:14-20; 3- vs 4-field split at :17). */
   private def parseEntry(df: DataFrame): DataFrame =
@@ -304,8 +344,9 @@ object InventoryOps {
     // SortAggregate) and than a per-key window. When the batch outgrows
     // the broadcast threshold AQE degrades to a shuffled anti-join on its
     // own — the right fallback, not a config cliff. (The oracle's
-    // row_number window is the same latest-wins semantics; v is unique
-    // per name so both are deterministic.)
+    // row_number window is the same latest-wins semantics; name uniqueness
+    // among non-folder base rows — required for the equivalence — is
+    // CHECKED loudly by mergeUpsert, not assumed.)
     GraftQuery("inv_merge_upsert",
       s"""WITH ${InvCte},
          |base AS (SELECT name, owner, length, CAST(1 AS BIGINT) AS v
@@ -324,9 +365,7 @@ object InventoryOps {
       val upd = base.filter(col("length") % 10 < 3)
         .select(col("name"), concat(lit("migrated-"), col("owner")).as("owner"),
           (col("length") + 4096).as("length"), lit(2L).as("v"))
-      base.join(upd.select("name"), Seq("name"), "left_anti")
-        .unionByName(upd)
-        .orderBy("name")
+      mergeUpsert(base, upd, "name").orderBy("name")
     },
 
     // BOM/manifest projection (reference README.md:150-152: "Verify

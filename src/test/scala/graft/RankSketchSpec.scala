@@ -129,4 +129,30 @@ class RankSketchSpec extends AnyFunSuite with CacheDrained {
     assert(v2.filter(!$"owner".startsWith("migrated-")).count() == 0)
     assert(merged.filter($"v" === 1L).filter($"owner".startsWith("migrated-")).count() == 0)
   }
+
+  test("mergeUpsert rejects ambiguous keys loudly and accepts legitimate duplicates") {
+    import graft.operators.InventoryOps.mergeUpsert
+    import spark.implicits._
+    def frame(rows: (String, Long)*) = rows.toDF("name", "v")
+    // un-updated duplicate in base → ambiguous, must throw
+    val e1 = intercept[IllegalArgumentException](
+      mergeUpsert(frame("a" -> 1L, "a" -> 1L, "b" -> 1L),
+        frame("b" -> 2L), "name").count())
+    assert(e1.getMessage.contains("'a'"))
+    // several update rows for one key → row_number tie, must throw
+    val e2 = intercept[IllegalArgumentException](
+      mergeUpsert(frame("a" -> 1L),
+        frame("a" -> 2L, "a" -> 2L), "name").count())
+    assert(e2.getMessage.contains("'a'"))
+    // duplicated base rows whose key IS updated: unambiguous — one winner
+    val ok = mergeUpsert(frame("a" -> 1L, "a" -> 1L, "b" -> 1L),
+      frame("a" -> 2L), "name").collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(ok.toSeq == Seq("a" -> 2L, "b" -> 1L))
+    // the probe is conf-gated for pipelines that validated keys upstream
+    spark.conf.set("spark.graft.merge.checkKeys", "false")
+    try {
+      val loose = mergeUpsert(frame("a" -> 1L, "a" -> 1L), frame(), "name")
+      assert(loose.count() == 2) // documented divergence when the gate is off
+    } finally spark.conf.unset("spark.graft.merge.checkKeys")
+  }
 }
