@@ -169,6 +169,33 @@ object MediaPipeline {
     })
   }
 
+  /** Perceptual average-hash over a decoded raster: nearest-neighbour
+    * resample to 8×8 ([[BmpCodec.resample]] — the real resize), integer
+    * luminance per cell, bit j set iff lum_j·64 > Σlum (strictly above
+    * the mean, scaled so no division ever rounds). Returned split into
+    * (hi, lo) 32-bit halves: bit 63 of a packed long flips its sign,
+    * which neither engine-portable SQL nor a hamming-bucket join wants
+    * to reason about. Near-duplicate images differ in few bits (the
+    * aHash family's standard property), so the hash feeds the same
+    * banded-bucket join shape as SimHash. */
+  def aHash(dec: BmpCodec.Decoded): (Long, Long, Long) = {
+    val down = BmpCodec.resample(dec, 8, 8)
+    val lums = Array.tabulate(64) { i =>
+      (lum(down.rgb(i * 3) & 0xff, down.rgb(i * 3 + 1) & 0xff,
+        down.rgb(i * 3 + 2) & 0xff)).toLong
+    }
+    val total = lums.sum
+    var hi = 0L; var lo = 0L
+    var i = 0
+    while (i < 64) {
+      if (lums(i) * 64 > total) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (hi, lo, total)
+  }
+
   /** end-to-end: media table → real decode → per-kind aggregate profile */
   def kindProfile(spark: SparkSession, sfDir: String): DataFrame =
     extractFeatures(mediaTable(spark, sfDir))

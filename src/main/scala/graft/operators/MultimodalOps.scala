@@ -37,6 +37,9 @@ object MultimodalOps {
   final case class VideoFeat(doc_id: Long, n_frames: Long, w: Long, h: Long,
       lum_sum: Long, poschk: Long)
 
+  /** perceptual-hash row (hi/lo 32-bit halves; see MediaPipeline.aHash) */
+  final case class PhashFeat(doc_id: Long, h_hi: Long, h_lo: Long, lum_total: Long)
+
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery("multimodal_meta",
@@ -253,6 +256,45 @@ object MultimodalOps {
             }
           }
           VideoFeat(d, frames.length.toLong, w, h, lumSum, pc)
+        })
+        .toDF().orderBy("doc_id")
+    },
+
+    // REAL perceptual hash: decode → nearest-neighbour resample to 8×8
+    // (BmpCodec.resample — the production resize path, now oracled) →
+    // average-hash bits (lum·64 > Σlum, integer-exact). The oracle
+    // replays the same source-pixel mapping sx = ⌊gx·w/8⌋ closed-form, so
+    // a resample rounding or row-order bug flips hash bits. The hash is
+    // the bucketing key a perceptual image-dedup pipeline bands on —
+    // same shape as dedup_simhash's pigeonhole join.
+    GraftQuery("multimodal_phash",
+      """WITH m AS (SELECT doc_id, CAST(1 + doc_id % 16 AS BIGINT) AS w,
+        |                  CAST(1 + (doc_id * 3) % 16 AS BIGINT) AS h
+        |           FROM documents WHERE doc_id % 3 = 0),
+        |g AS (SELECT doc_id, w, h, unnest(generate_series(0, 63)) AS i FROM m),
+        |c AS (SELECT doc_id, i, ((i % 8) * w) // 8 AS sx, ((i // 8) * h) // 8 AS sy FROM g),
+        |l AS (SELECT doc_id, i,
+        |        2 * ((doc_id * 31 + sx * 7 + sy * 13) % 256)
+        |      + 5 * ((doc_id * 17 + sx * 11 + sy * 5) % 256)
+        |      +     ((doc_id * 29 + sx * 3 + sy * 19) % 256) AS lum FROM c),
+        |t AS (SELECT doc_id, CAST(sum(lum) AS BIGINT) AS total FROM l GROUP BY doc_id),
+        |b AS (SELECT l.doc_id, l.i,
+        |        CASE WHEN l.lum * 64 > t.total THEN CAST(1 AS BIGINT) ELSE 0 END AS bit
+        |      FROM l JOIN t ON t.doc_id = l.doc_id)
+        |SELECT b.doc_id,
+        |       CAST(sum(CASE WHEN i >= 32 THEN bit << (i - 32) ELSE 0 END) AS BIGINT) AS h_hi,
+        |       CAST(sum(CASE WHEN i < 32 THEN bit << i ELSE 0 END) AS BIGINT) AS h_lo,
+        |       min(t.total) AS lum_total
+        |FROM b JOIN t ON t.doc_id = b.doc_id
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin) { (spark, sfDir) =>
+      import spark.implicits._
+      Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { d =>
+          val (hi, lo, total) =
+            graft.multimodal.MediaPipeline.aHash(BmpCodec.decode(MediaSynth.bmpFor(d)))
+          PhashFeat(d, hi, lo, total)
         })
         .toDF().orderBy("doc_id")
     }

@@ -205,6 +205,23 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("aHash is exactly brightness-shift invariant and discriminates images") {
+    import graft.multimodal.MediaPipeline.aHash
+    // bits are mean-RELATIVE (lum·64 > Σlum), so a uniform +k channel
+    // shift (no clipping: values 0..100, k=50) moves every lum by the
+    // same amount and leaves every bit unchanged — exactly.
+    val rgb = Array.tabulate(16 * 16 * 3)(i => ((i * 37) % 101).toByte)
+    val (hi1, lo1, t1) = aHash(BmpCodec.Decoded(16, 16, rgb))
+    val (hi2, lo2, t2) = aHash(BmpCodec.Decoded(16, 16, rgb.map(b => (b + 50).toByte)))
+    assert((hi1, lo1) == (hi2, lo2), "uniform brightness shift changed aHash bits")
+    assert(t2 > t1)
+    // and unrelated images land on distinct hashes
+    val hashes = Seq(0L, 3L, 6L, 9L, 12L).map { d =>
+      val (hi, lo, _) = aHash(BmpCodec.decode(MediaSynth.bmpFor(d))); (hi, lo)
+    }
+    assert(hashes.distinct.size == hashes.size, "aHash collision across images")
+  }
+
   test("multimodal_decode query agrees with an independent feature fold") {
     val spark = TestSpark.spark
     val rows = SparkEntry.queries("multimodal_decode")(spark, TestSpark.Sf)
