@@ -40,6 +40,10 @@ object MultimodalOps {
   /** perceptual-hash row (hi/lo 32-bit halves; see MediaPipeline.aHash) */
   final case class PhashFeat(doc_id: Long, h_hi: Long, h_lo: Long, lum_total: Long)
 
+  /** windowed-audio-analysis row */
+  final case class AudioWin(doc_id: Long, win: Long, n_samples: Long,
+      energy: Long, max_abs: Long, zero_cross: Long)
+
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery("multimodal_meta",
@@ -297,6 +301,55 @@ object MultimodalOps {
           PhashFeat(d, hi, lo, total)
         })
         .toDF().orderBy("doc_id")
+    },
+
+    // Windowed audio analysis over REAL decoded PCM — the audio analogue
+    // of video frame sampling: fixed 32-sample windows, per-window energy
+    // (Σs²), peak |s|, and zero-crossing count (sign flips vs the
+    // previous sample, boundary crossings counted in the later window) —
+    // the features a segmentation / silence-detection pass runs before
+    // an ASR or audio-embedding stage. One decode + one in-order fold
+    // per asset inside mapPartitions; the window fan-out happens at emit,
+    // so there is still no shuffle before the feature rows exist.
+    GraftQuery("multimodal_audio_windows",
+      """WITH m AS (SELECT doc_id, CAST(64 + doc_id % 129 AS BIGINT) AS n
+        |           FROM documents WHERE doc_id % 3 = 1),
+        |s AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM m),
+        |v AS (SELECT doc_id, i, i // 32 AS win,
+        |             (doc_id * 7919 + i * 104729) % 65536 - 32768 AS s,
+        |             CASE WHEN i = 0 THEN NULL
+        |                  ELSE (doc_id * 7919 + (i - 1) * 104729) % 65536 - 32768
+        |             END AS prev
+        |      FROM s)
+        |SELECT doc_id, win, CAST(count(*) AS BIGINT) AS n_samples,
+        |       CAST(sum(s * s) AS BIGINT) AS energy,
+        |       CAST(max(abs(s)) AS BIGINT) AS max_abs,
+        |       CAST(sum(CASE WHEN prev IS NOT NULL AND ((s >= 0) != (prev >= 0))
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+        |FROM v GROUP BY doc_id, win ORDER BY doc_id, win""".stripMargin) { (spark, sfDir) =>
+      import spark.implicits._
+      Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.flatMap { d =>
+          val dec = WavCodec.decode(MediaSynth.wavFor(d))
+          val nWin = (dec.samples.length + 31) / 32
+          (0 until nWin).map { w =>
+            var energy = 0L; var mx = 0L; var zc = 0L; var n = 0L
+            var i = w * 32
+            val end = math.min(i + 32, dec.samples.length)
+            while (i < end) {
+              val s = dec.samples(i).toLong
+              energy += s * s
+              if (math.abs(s) > mx) mx = math.abs(s)
+              if (i > 0 && ((s >= 0) != (dec.samples(i - 1) >= 0))) zc += 1
+              n += 1
+              i += 1
+            }
+            AudioWin(d, w.toLong, n, energy, mx, zc)
+          }
+        })
+        .toDF().orderBy("doc_id", "win")
     }
   )
 }
