@@ -222,6 +222,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(hashes.distinct.size == hashes.size, "aHash collision across images")
   }
 
+  test("binary media payloads round-trip through parquet byte-exactly") {
+    // the storage contract the whole tier rests on: encoded media travels
+    // as a parquet binary column with its row, bit-for-bit
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("media_rt").toString
+    val media = MediaPipeline.mediaTable(spark, TestSpark.Sf)
+    media.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+      .as[MediaPipeline.MediaRow].collect()
+      .map(r => r.media_id -> r.bytes.toSeq).toMap
+    media.collect().foreach { r =>
+      assert(back(r.media_id) == r.bytes.toSeq, s"media ${r.media_id}")
+    }
+    // and the re-read payloads still decode
+    val feats = MediaPipeline.extractFeatures(
+      spark.read.parquet(dir).as[MediaPipeline.MediaRow]).count()
+    assert(feats == 500)
+  }
+
+  test("streaming ingestion decodes media with exact batch parity") {
+    // continuous-ingestion shape: a document stream maps through the SAME
+    // real decode as the batch query; AvailableNow drain, stateless append
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val stream = graft.streaming.StreamOps.docStream(spark, TestSpark.Sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0)
+      .select(org.apache.spark.sql.functions.col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val dec = BmpCodec.decode(MediaSynth.bmpFor(d))
+        val (hi, lo, total) = MediaPipeline.aHash(dec)
+        (d, hi, lo, total)
+      })
+      .toDF("doc_id", "h_hi", "h_lo", "lum_total")
+    val got = graft.streaming.StreamOps
+      .runAppendToCompletion(stream, "stream_media_decode")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val want = SparkEntry.queries("multimodal_phash")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want, "streaming decode diverged from the batch query")
+  }
+
   test("multimodal_decode query agrees with an independent feature fold") {
     val spark = TestSpark.spark
     val rows = SparkEntry.queries("multimodal_decode")(spark, TestSpark.Sf)
