@@ -122,6 +122,211 @@ object HeadlineOps {
           && col("l_quantity") < 24)
         .agg(sum(cents(col("l_extendedprice") * col("l_discount"))).as("rev_cents"),
           count(lit(1)).as("n"))
+    },
+
+    // Q7: volume shipping between two nations — the two-role dimension
+    // join (nation joined once through supplier, once through customer).
+    // Both nation sides and the filtered supplier/customer dims broadcast;
+    // the only wide shuffle is lineitem⋈orders on the order key.
+    GraftQuery("tpch_q7",
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |         l_extendedprice, l_discount
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        |  WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+        |      OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+      bench = true) { (spark, sfDir) =>
+      val nat = nation(spark, sfDir)
+        .filter(col("n_name").isin("NATION_18", "NATION_19"))
+      val s = supplier(spark, sfDir)
+        .join(broadcast(nat.select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "supp_nation")
+      val c = customer(spark, sfDir)
+        .join(broadcast(nat.select(col("n_nationkey"), col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "cust_nation")
+      lineitem(spark, sfDir)
+        .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00")
+          && col("l_shipdate") < ts("1998-01-01 00:00:00"))
+        .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+        .join(orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19")
+          || (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("rev_cents"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // Q10: returned-item reporting — which customers returned the most
+    // revenue in a quarter. Date + returnflag filters push to both scans;
+    // customer/nation broadcast; top-20 via ordered limit (TakeOrdered).
+    GraftQuery("tpch_q10",
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(floor(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-04-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name, c_acctbal
+        |ORDER BY rev_cents DESC, c_custkey LIMIT 20""".stripMargin,
+      bench = true) { (spark, sfDir) =>
+      val c = customer(spark, sfDir)
+        .join(broadcast(nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          cents(col("c_acctbal")).as("acctbal_cents"))
+      lineitem(spark, sfDir)
+        .filter(col("l_returnflag") === "R")
+        .join(orders(spark, sfDir)
+          .filter(col("o_orderdate") >= ts("1998-01-01 00:00:00")
+            && col("o_orderdate") < ts("1998-04-01 00:00:00")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "acctbal_cents")
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("rev_cents"))
+        .orderBy(col("rev_cents").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // Q14: promo revenue share for one month — conditional agg over a
+    // broadcast fact⋈dim join, published as exact integer cents plus a
+    // floor-division ppm ratio (both engines' integer division agrees on
+    // the non-negative sums).
+    GraftQuery("tpch_q14",
+      """SELECT
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS promo_cents,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  CAST((1000000 * sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |    ELSE 0 END)) // sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS promo_ppm
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-02-01 00:00:00'""".stripMargin) { (spark, sfDir) =>
+      val rev = cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+      lineitem(spark, sfDir)
+        .filter(col("l_shipdate") >= ts("1998-01-01 00:00:00")
+          && col("l_shipdate") < ts("1998-02-01 00:00:00"))
+        .join(broadcast(part(spark, sfDir)), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0L))).as("promo_cents"),
+          sum(rev).as("total_cents"))
+        .selectExpr("promo_cents", "total_cents",
+          "(1000000 * promo_cents) DIV total_cents AS promo_ppm")
+    },
+
+    // Q18: large-volume customers — the HAVING-subquery shape. The inner
+    // per-order quantity agg is a map-side-combinable hash agg; the outer
+    // join consumes it as a (small) semi-join side; the customer dim
+    // broadcasts.
+    GraftQuery("tpch_q18",
+      """SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+        |  CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS BIGINT)) > 300)
+        |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY total_cents DESC, o_orderkey LIMIT 100""".stripMargin,
+      bench = true) { (spark, sfDir) =>
+      val l = lineitem(spark, sfDir)
+      val big = l.groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      orders(spark, sfDir)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(customer(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("odate"),
+          cents(col("o_totalprice")).as("total_cents"), col("sum_qty"))
+        .orderBy(col("total_cents").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
+    // Q19: disjunctive brand/size/quantity predicate — the pushdown
+    // stress-shape: the OR-of-conjunctions must evaluate after the
+    // broadcast join (it spans both sides), but the common p_size upper
+    // bound and quantity band still prune the scans.
+    GraftQuery("tpch_q19",
+      """SELECT
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin) { (spark, sfDir) =>
+      val q = col("l_quantity")
+      val cond =
+        (col("p_brand") === "Brand#13" && col("p_size").between(1, 15) && q.between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) && q.between(10, 20)) ||
+        (col("p_brand") === "Brand#19" && col("p_size").between(1, 35) && q.between(20, 30))
+      lineitem(spark, sfDir)
+        .filter(q.between(1, 30))
+        .join(broadcast(part(spark, sfDir).filter(col("p_size").between(1, 35))),
+          col("l_partkey") === col("p_partkey"))
+        .filter(cond)
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("rev_cents"),
+          count(lit(1)).as("n"))
+    },
+
+    // Q22 (adapted): above-average-balance customers with no RECENT
+    // orders, by nation — global scalar-aggregate threshold (broadcast
+    // single row) + broadcast anti-join against the filtered recent-order
+    // keys. Threshold averages POSITIVE balances only so the floor
+    // division is over non-negative longs (Spark DIV truncates toward
+    // zero, DuckDB // floors — they agree only on non-negatives).
+    GraftQuery("tpch_q22",
+      """WITH thr AS (
+        |  SELECT CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT))
+        |              // count(*) AS BIGINT) AS avg_cents
+        |  FROM customer WHERE c_acctbal > 0),
+        |recent AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |SELECT n_name, count(*) AS numcust,
+        |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totbal_cents
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE CAST(floor(c_acctbal * 100) AS BIGINT) > (SELECT avg_cents FROM thr)
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (spark, sfDir) =>
+      val c = customer(spark, sfDir)
+      val thr = c.filter(col("c_acctbal") > 0)
+        .agg(sum(cents(col("c_acctbal"))).as("sum_c"), count(lit(1)).as("cnt"))
+        .selectExpr("sum_c DIV cnt AS avg_cents")
+      val recent = orders(spark, sfDir)
+        .filter(col("o_orderdate") >= ts("2000-01-01 00:00:00"))
+        .select(col("o_custkey")).distinct()
+      c.join(broadcast(thr))
+        .filter(cents(col("c_acctbal")) > col("avg_cents"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("numcust"),
+          sum(cents(col("c_acctbal"))).as("totbal_cents"))
+        .orderBy("n_name")
     }
   )
 }

@@ -668,10 +668,36 @@ object SimilarityOps {
        |        row_number() OVER (PARTITION BY qid ORDER BY sim6 DESC, nid) AS rnk
        |      FROM p2)""".stripMargin
 
-  /** IVF probe + exact re-rank: top-k rows (qid, rnk, nid, sim6) per
-    * query id — the sim_ann_ivf pipeline body, shared with
-    * sim_ann_recall's evaluation join (unordered; callers sort). */
-  def ivfTopK(spark: SparkSession, sfDir: String,
+  /** the 1e6-quantized integer component CTE the LSH chain hashes over —
+    * same rows as the kmeans oracle's `comps`, so sim_ann_hybrid (which
+    * already carries the kmeans CTEs) omits this and reuses that one */
+  private val LshCompsCte: String =
+    """comps AS (SELECT vec_id, i - 1 AS i,
+      |        CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+      |      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) ii)""".stripMargin
+
+  /** DuckDB CTEs for the LSH multiprobe candidate set, ending in
+    * `lcands(qid, nid)`; assumes a `comps(vec_id, i, xq)` CTE is already
+    * in scope. Shared by sim_ann_lsh and sim_ann_hybrid. */
+  private def lshCandOracleCtes: String = {
+    val probes = "[code, xor(code, 1), xor(code, 2), xor(code, 4), xor(code, 8)]"
+    s"""hs AS (SELECT vec_id, h,
+       |        CAST(sum(xq * ${wExprSql("h", "i")}) AS BIGINT) AS dp
+       |      FROM comps, (SELECT unnest(generate_series(0, ${Tables4 * BitsPerTable - 1})) AS h) hh
+       |      GROUP BY vec_id, h),
+       |codes AS (SELECT vec_id, h // $BitsPerTable AS t,
+       |        CAST(sum(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << (h % $BitsPerTable)) ELSE 0 END) AS BIGINT) AS code
+       |      FROM hs GROUP BY vec_id, h // $BitsPerTable),
+       |qcodes AS (SELECT vec_id AS qid, t, unnest($probes) AS code
+       |      FROM codes WHERE vec_id < $NumQueries),
+       |lcands AS (SELECT DISTINCT q.qid, c.vec_id AS nid
+       |      FROM codes c JOIN qcodes q ON c.t = q.t AND c.code = q.code
+       |      WHERE c.vec_id <> q.qid)""".stripMargin
+  }
+
+  /** IVF candidate pairs (qid, nid): every member of the query's nprobe
+    * nearest inverted lists. Equi-join on list id — n·nprobe/K pairs. */
+  def ivfCandidates(spark: SparkSession, sfDir: String,
       nprobe: Int = IvfProbes): DataFrame = {
     // assignment (all n vectors): one codegen argmin pass; full ranking
     // (needed for the nprobe probe lists) only over the NumQueries query
@@ -681,9 +707,16 @@ object SimilarityOps {
         Some(embeddings(spark, sfDir).filter(col("vec_id") < NumQueries)))
       .filter(col("r") <= nprobe)
       .select(col("vec_id").as("qid"), col("cluster").as("list"))
-    val cands = assign.join(broadcast(probes), Seq("list"))
+    assign.join(broadcast(probes), Seq("list"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"))
+  }
+
+  /** exact cosine re-rank of a (qid, nid) candidate frame — the shared
+    * tail of every ANN variant: norms computed once per vector before the
+    * pair join, 6-dp round before ranking so engines order identically. */
+  private def rerankCands(spark: SparkSession, sfDir: String,
+      cands: DataFrame): DataFrame = {
     val e = embeddings(spark, sfDir)
     val q = e.select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qe"))
       .withColumn("nq", norm(col("qe")))
@@ -697,6 +730,13 @@ object SimilarityOps {
       .filter(col("rnk") <= TopK)
       .select("qid", "rnk", "nid", "sim6")
   }
+
+  /** IVF probe + exact re-rank: top-k rows (qid, rnk, nid, sim6) per
+    * query id — the sim_ann_ivf pipeline body, shared with
+    * sim_ann_recall's evaluation join (unordered; callers sort). */
+  def ivfTopK(spark: SparkSession, sfDir: String,
+      nprobe: Int = IvfProbes): DataFrame =
+    rerankCands(spark, sfDir, ivfCandidates(spark, sfDir, nprobe))
 
   /** brute-force cosine top-k for qid < NumQueries; rounded to 6 dp before
     * ranking so Spark and DuckDB order identically. Norms are computed ONCE
@@ -997,24 +1037,10 @@ object SimilarityOps {
     // orders (a float dot near a hyperplane could flip between runs) —
     // which is what lets this probabilistic operator be fully oracled.
     // Recall vs brute force is additionally asserted in SimilaritySpec.
-    GraftQuery("sim_ann_lsh", {
-      val probes = "[code, xor(code, 1), xor(code, 2), xor(code, 4), xor(code, 8)]"
-      s"""WITH comps AS (SELECT vec_id, i - 1 AS i,
-         |        CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xq
-         |      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) ii),
-         |hs AS (SELECT vec_id, h,
-         |        CAST(sum(xq * ${wExprSql("h", "i")}) AS BIGINT) AS dp
-         |      FROM comps, (SELECT unnest(generate_series(0, ${Tables4 * BitsPerTable - 1})) AS h) hh
-         |      GROUP BY vec_id, h),
-         |codes AS (SELECT vec_id, h // $BitsPerTable AS t,
-         |        CAST(sum(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << (h % $BitsPerTable)) ELSE 0 END) AS BIGINT) AS code
-         |      FROM hs GROUP BY vec_id, h // $BitsPerTable),
-         |qcodes AS (SELECT vec_id AS qid, t, unnest($probes) AS code
-         |      FROM codes WHERE vec_id < $NumQueries),
-         |cands AS (SELECT DISTINCT q.qid, c.vec_id AS nid
-         |      FROM codes c JOIN qcodes q ON c.t = q.t AND c.code = q.code
-         |      WHERE c.vec_id <> q.qid),
-         |p AS (SELECT cands.qid, cands.nid,
+    GraftQuery("sim_ann_lsh",
+      s"""WITH $LshCompsCte,
+         |$lshCandOracleCtes,
+         |p AS (SELECT lcands.qid, lcands.nid,
          |        round(list_sum(list_transform(generate_series(1, 64),
          |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
          |          / (sqrt(list_sum(list_transform(generate_series(1, 64),
@@ -1022,55 +1048,88 @@ object SimilarityOps {
          |           * sqrt(list_sum(list_transform(generate_series(1, 64),
          |               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
          |          , 6) AS sim6
-         |      FROM cands
-         |      JOIN embeddings a ON a.vec_id = cands.qid
-         |      JOIN embeddings b ON b.vec_id = cands.nid),
+         |      FROM lcands
+         |      JOIN embeddings a ON a.vec_id = lcands.qid
+         |      JOIN embeddings b ON b.vec_id = lcands.nid),
          |r AS (SELECT qid, nid, sim6,
          |        row_number() OVER (PARTITION BY qid ORDER BY sim6 DESC, nid) AS rnk
          |      FROM p)
          |SELECT qid, rnk, nid, sim6 FROM r WHERE rnk <= $TopK
-         |ORDER BY qid, rnk""".stripMargin
-    }) { (spark, sfDir) =>
-      val e = embeddings(spark, sfDir)
-      // (vec_id, i, xq): 1e6-quantized integer component per row
-      val comps = e.select(col("vec_id"),
-          posexplode(toDouble(col("embedding"))).as(Seq("i", "x")))
-        .select(col("vec_id"), col("i"), floor(col("x") * 1000000).cast("long").as("xq"))
-      // h = t * BitsPerTable + j hyperplanes; bit = (w·v > 0), exact int dot
-      val hs = comps.crossJoin(
-          spark.range(Tables4 * BitsPerTable).select(col("id").cast("int").as("h")))
-        .select(col("vec_id"), col("h"),
-          (col("xq") * expr(wExprSql("h", "i"))).as("wx"))
-        .groupBy("vec_id", "h").agg(sum("wx").as("dp"))
-        .select(col("vec_id"), col("h"), (col("dp") > 0).cast("long").as("bit"))
-      val codes = hs
-        .select(col("vec_id"), (col("h") / BitsPerTable).cast("int").as("t"),
-          (col("bit") * expr(s"shiftleft(CAST(1 AS BIGINT), h % $BitsPerTable)")).as("v"))
-        .groupBy("vec_id", "t").agg(sum("v").as("code"))
-      // multiprobe: each query also probes the 4 hamming-1 neighbor codes of
-      // its bucket per table — recall ↑ sharply for the cost of 5 broadcast
-      // lookups instead of 1 (still no quadratic join)
-      val qcodes = codes.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("qid"), col("t"),
-          explode(array(col("code"),
-            expr("CAST(code AS BIGINT) ^ 1"), expr("CAST(code AS BIGINT) ^ 2"),
-            expr("CAST(code AS BIGINT) ^ 4"), expr("CAST(code AS BIGINT) ^ 8"))).as("code"))
-      val cands = codes.join(broadcast(qcodes), Seq("t", "code"))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("nid")).distinct()
-      // exact re-rank of candidates (norms once per vector, see bruteForce)
-      val q = e.select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qe"))
-        .withColumn("nq", norm(col("qe")))
-      val c = e.select(col("vec_id").as("nid"), toDouble(col("embedding")).as("ne"))
-        .withColumn("nn", norm(col("ne")))
-      val w = Window.partitionBy("qid").orderBy(col("sim6").desc, col("nid"))
-      cands.join(broadcast(q), Seq("qid")).join(c, Seq("nid"))
-        .select(col("qid"), col("nid"),
-          round(dot(col("qe"), col("ne")) / (col("nq") * col("nn")), 6).as("sim6"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= TopK)
-        .select("qid", "rnk", "nid", "sim6")
+         |ORDER BY qid, rnk""".stripMargin) { (spark, sfDir) =>
+      rerankCands(spark, sfDir, lshCandidates(spark, sfDir))
         .orderBy("qid", "rnk")
+    },
+
+    // hybrid ANN: the UNION of the IVF probe candidates and the LSH
+    // multiprobe bucket candidates, exact-re-ranked once. The two
+    // candidate generators fail differently — IVF misses neighbors that
+    // fall just outside the probed Voronoi cells, LSH misses neighbors
+    // whose codes differ in >1 bit per table — so their union's recall
+    // dominates both at the cost of one extra linear candidate pass (both
+    // pipelines stay equi-joins; the union is a set-union of two
+    // O(n·probes/K)-sized frames, never a pair blow-up). This is the
+    // standard production answer when one index family can't hit the
+    // recall floor alone; the codebook build is shared (memoized) with
+    // sim_ann_ivf / sim_kmeans_clusters, and the whole evaluation stays
+    // oracled because both candidate sets are deterministic.
+    GraftQuery("sim_ann_hybrid",
+      s"""WITH $ivfOracleCtes,
+         |$lshCandOracleCtes,
+         |u AS (SELECT qid, nid FROM cands
+         |      UNION SELECT qid, nid FROM lcands),
+         |hp AS (SELECT u.qid, u.nid,
+         |        round(list_sum(list_transform(generate_series(1, 64),
+         |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         |          / (sqrt(list_sum(list_transform(generate_series(1, 64),
+         |               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+         |           * sqrt(list_sum(list_transform(generate_series(1, 64),
+         |               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+         |          , 6) AS sim6
+         |      FROM u
+         |      JOIN embeddings a ON a.vec_id = u.qid
+         |      JOIN embeddings b ON b.vec_id = u.nid),
+         |hr AS (SELECT qid, nid, sim6,
+         |        row_number() OVER (PARTITION BY qid ORDER BY sim6 DESC, nid) AS rnk
+         |      FROM hp)
+         |SELECT qid, rnk, nid, sim6 FROM hr WHERE rnk <= $TopK
+         |ORDER BY qid, rnk""".stripMargin) { (spark, sfDir) =>
+      val cands = ivfCandidates(spark, sfDir)
+        .union(lshCandidates(spark, sfDir)).distinct()
+      rerankCands(spark, sfDir, cands).orderBy("qid", "rnk")
     }
   )
+
+  /** LSH multiprobe candidate pairs (qid, nid), distinct: each query
+    * probes its own bucket plus the 4 hamming-1 neighbor codes per table.
+    * Integer 1e6-quantized hyperplane dots make the codes bit-exact
+    * across engines and partial-agg orders. */
+  def lshCandidates(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir)
+    // (vec_id, i, xq): 1e6-quantized integer component per row
+    val comps = e.select(col("vec_id"),
+        posexplode(toDouble(col("embedding"))).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"), floor(col("x") * 1000000).cast("long").as("xq"))
+    // h = t * BitsPerTable + j hyperplanes; bit = (w·v > 0), exact int dot
+    val hs = comps.crossJoin(
+        spark.range(Tables4 * BitsPerTable).select(col("id").cast("int").as("h")))
+      .select(col("vec_id"), col("h"),
+        (col("xq") * expr(wExprSql("h", "i"))).as("wx"))
+      .groupBy("vec_id", "h").agg(sum("wx").as("dp"))
+      .select(col("vec_id"), col("h"), (col("dp") > 0).cast("long").as("bit"))
+    val codes = hs
+      .select(col("vec_id"), (col("h") / BitsPerTable).cast("int").as("t"),
+        (col("bit") * expr(s"shiftleft(CAST(1 AS BIGINT), h % $BitsPerTable)")).as("v"))
+      .groupBy("vec_id", "t").agg(sum("v").as("code"))
+    // multiprobe: each query also probes the 4 hamming-1 neighbor codes of
+    // its bucket per table — recall ↑ sharply for the cost of 5 broadcast
+    // lookups instead of 1 (still no quadratic join)
+    val qcodes = codes.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("t"),
+        explode(array(col("code"),
+          expr("CAST(code AS BIGINT) ^ 1"), expr("CAST(code AS BIGINT) ^ 2"),
+          expr("CAST(code AS BIGINT) ^ 4"), expr("CAST(code AS BIGINT) ^ 8"))).as("code"))
+    codes.join(broadcast(qcodes), Seq("t", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid")).distinct()
+  }
 }

@@ -28,6 +28,27 @@ class PlanSpec extends AnyFunSuite with CacheDrained {
       }
   }
 
+  test("q7/q10/q18 keep broadcast dims; q18's only wide shuffle is the order-qty agg") {
+    Seq("tpch_q7", "tpch_q10", "tpch_q18").foreach { q =>
+      val df = SparkEntry.queries(q)(TestSpark.spark, TestSpark.Sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast dim join:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to all-pairs:\n$p")
+    }
+  }
+
+  test("q19's quantity band and q14's date band reach the lineitem scan") {
+    Seq("tpch_q19" -> "l_quantity", "tpch_q14" -> "l_shipdate").foreach {
+      case (q, c) =>
+        val p = SparkEntry.queries(q)(TestSpark.spark, TestSpark.Sf)
+          .queryExecution.executedPlan.toString
+        assert(p.contains("PushedFilters: ["), s"$q scan has no pushed filters")
+        assert(p.contains(c), s"$q's $c filter missing from the scan")
+    }
+  }
+
   test("sim_near_dup_pairs generates candidates via LSH buckets, not an all-pairs join") {
     val df = SparkEntry.queries("sim_near_dup_pairs")(TestSpark.spark, TestSpark.Sf)
     df.collect()

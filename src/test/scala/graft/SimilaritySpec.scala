@@ -31,6 +31,29 @@ class SimilaritySpec extends AnyFunSuite {
       "recall below floor at sf0.01 (8 tables × 4 bits, hamming-1 multiprobe)")
   }
 
+  /** hybrid = exact re-rank over the UNION of IVF and LSH candidates.
+    * Dominance is a theorem, not a tuning outcome: with exact scores, a
+    * true top-k member in the candidate set can only be displaced by
+    * other true top-k members, so growing the candidate set never evicts
+    * one — union recall >= each family's recall, always. The absolute
+    * floor is the measured margin (0.99 / 0.985 at sf0.001 / sf0.01). */
+  test("hybrid ANN recall@10 dominates both families and clears 0.95") {
+    val spark = TestSpark.spark
+    Seq(TestSpark.Sf, "/root/testdata/sf0.01").foreach { sf =>
+      val brute = SparkEntry.queries("sim_cosine_topk")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      def top(q: String): Set[(Long, Long)] = SparkEntry.queries(q)(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      def rec(s: Set[(Long, Long)]): Double = (brute & s).size.toDouble / brute.size
+      val (ivf, lsh, hyb) = (rec(top("sim_ann_ivf")), rec(top("sim_ann_lsh")),
+        rec(top("sim_ann_hybrid")))
+      info(f"$sf recall@10: ivf=$ivf%.3f lsh=$lsh%.3f hybrid=$hyb%.3f")
+      assert(hyb >= ivf && hyb >= lsh,
+        s"$sf: hybrid recall $hyb below a component family ($ivf / $lsh)")
+      assert(hyb >= 0.95, s"$sf: hybrid recall $hyb below the 0.95 floor")
+    }
+  }
+
   /** brute-force cosine near-dup pairs via the composed built-in form
     * (zip_with + aggregate), independent of the custom expressions */
   private def brutePairs(sf: String): Set[(Long, Long)] = {
