@@ -71,5 +71,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("centroid_mindist",
       (es: Seq[Expression]) =>
         CentroidMinDist(es.head, codebookArg(es(1), "centroid_mindist")), "scala_udf")
+    reg.createOrReplaceTempFunction("zorder2",
+      (es: Seq[Expression]) => ZOrderKey(es.head, es(1)), "scala_udf")
   }
 }

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.Tables._
+import graft.functions.ZOrderKey.zorder2
+
+/** Multi-dimensional data-layout operators: the Z-order (Morton)
+  * clustering key that makes min/max data-skipping work on MORE THAN ONE
+  * filter column. At 100 TB the win is at write time: sorting (or
+  * range-partitioning) a table by `zorder2(a, b)` tiles the (a, b) key
+  * space, so every output file / parquet row group covers a bounded span
+  * of BOTH columns and a point or range filter on EITHER prunes most of
+  * the scan from footer stats alone — a 1-D sort gives that for its one
+  * leading column and nothing for the rest. The key is pure long
+  * arithmetic (a codegen ZOrderKey expression, bit-identical in DuckDB),
+  * so the layout decision itself is oracled; LayoutSpec measures the
+  * actual per-file span narrowing on a range-partitioned write. */
+object LayoutOps {
+
+  /** DuckDB twin of ZOrderKey.spread: 5 magic-mask dilation rounds */
+  private def spreadSql(x: String): String =
+    Seq((16, 281470681808895L), (8, 71777214294589695L),
+      (4, 1085102592571150095L), (2, 3689348814741910323L),
+      (1, 6148914691236517205L))
+      .foldLeft(s"(CAST($x AS BIGINT) & 4294967295)") { case (v, (sh, m)) =>
+        s"(($v | ($v << $sh)) & $m)"
+      }
+
+  private def zorderSql(a: String, b: String): String =
+    s"(${spreadSql(a)} | (${spreadSql(b)} << 1))"
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // the clustering key itself, per row — interleaving the part and
+    // order dimensions of lineitem (the two columns a copy/reporting
+    // workload filters by). Pure per-row arithmetic: no shuffle, no
+    // join; stays inside one codegen span with the scan.
+    GraftQuery("layout_zorder",
+      s"""SELECT l_orderkey, l_linenumber,
+         |  ${zorderSql("l_partkey", "l_orderkey")} AS zkey
+         |FROM lineitem""".stripMargin) { (spark, sfDir) =>
+      lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          zorder2(col("l_partkey"), col("l_orderkey")).as("zkey"))
+    },
+
+    // layout quality audit: cut the z-key range into 16 equal-width
+    // strides (what a range-partitioned write makes into files) and
+    // report each stride's span of BOTH source dimensions — the
+    // data-skipping evidence a table-format stats collector publishes.
+    // Distributed shape: one scalar max (broadcast single row) + one
+    // hash aggregation; no global sort anywhere (ntile would serialize
+    // through a single partition — the write path uses
+    // repartitionByRange, see LayoutSpec).
+    GraftQuery("layout_zorder_stats",
+      s"""WITH z AS (SELECT l_partkey, l_orderkey,
+         |        ${zorderSql("l_partkey", "l_orderkey")} AS zkey
+         |      FROM lineitem),
+         |s AS (SELECT (max(zkey) // 16) + 1 AS stride FROM z)
+         |SELECT zkey // (SELECT stride FROM s) AS zbucket,
+         |  count(*) AS n,
+         |  CAST(min(l_partkey) AS BIGINT) AS pk_min,
+         |  CAST(max(l_partkey) AS BIGINT) AS pk_max,
+         |  CAST(min(l_orderkey) AS BIGINT) AS ok_min,
+         |  CAST(max(l_orderkey) AS BIGINT) AS ok_max
+         |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin) { (spark, sfDir) =>
+      val z = lineitem(spark, sfDir)
+        .select(col("l_partkey"), col("l_orderkey"),
+          zorder2(col("l_partkey"), col("l_orderkey")).as("zkey"))
+      val stride = z.agg((expr("max(zkey) DIV 16") + 1).as("stride"))
+      z.join(broadcast(stride))
+        .groupBy(expr("zkey DIV stride").as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min("l_partkey").as("pk_min"), max("l_partkey").as("pk_max"),
+          min("l_orderkey").as("ok_min"), max("l_orderkey").as("ok_max"))
+        .orderBy("zbucket")
+    }
+  )
+}
