@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.GraftQuery
@@ -25,6 +26,36 @@ object SketchOps {
   private[graft] val D = 4 // hash rows
   private[graft] val W = 64 // buckets per row
   import PortableHash.{P, permA, permB}
+
+  // Bloom filter shape: BloomBits bits as ⌈BloomBits/63⌉ long words (63 usable bits per word — the sign bit stays clear so the mask arithmetic is portable; DuckDB errors on 1<<63), BloomK
+  // deterministic hash functions (PortableHash perms 6..9 — disjoint from
+  // count-min's 1..4 and HLL's 5). Fixed size keeps the structure oracled
+  // at every sf; production sizes m from the build-side count (m ≈ 16n
+  // for ~3‰ fp at k=4) — the shape of the code is size-independent.
+  private[graft] val BloomBits = 4096
+  private[graft] val BloomK = 4
+
+  /** the j-th bloom bit of the pre-hashed key column `h`, as DuckDB SQL */
+  private def bloomBitSql(j: Int): String =
+    s"(((${permA(5 + j)} * (h % $P) + ${permB(5 + j)}) % $P) % $BloomBits)"
+
+  /** (word, mask) rows — one per (input row, hash j) — for the key column.
+    * Pure per-row expressions: works on batch AND streaming frames, and
+    * OR-idempotence means no distinct is ever needed on the build side. */
+  private[graft] def bloomBitRows(df: DataFrame, key: Column): DataFrame = {
+    val h = PortableHash.h8(lpad(key.cast("string"), 8, "0"))
+    (1 to BloomK).map { j =>
+      df.select((PortableHash.minhashPerm(h, 5 + j) % BloomBits).as("bit"))
+        .selectExpr("bit DIV 63 AS word",
+          "shiftleft(CAST(1 AS BIGINT), CAST(bit % 63 AS INT)) AS mask")
+    }.reduce(_ unionByName _)
+  }
+
+  /** the bloom word table (≤ ⌈BloomBits/63⌉ rows): bit-OR of every key's
+    * masks — ONE hash aggregation over the build side, constant output.
+    * Shared with the streaming twin so it cannot drift from the oracle. */
+  private[graft] def bloomWords(df: DataFrame, key: Column): DataFrame =
+    bloomBitRows(df, key).groupBy("word").agg(expr("bit_or(mask)").as("bits"))
 
   /** bucket i of the H8 value `h`, as DuckDB SQL */
   private def bucketSql(i: Int): String =
@@ -175,6 +206,94 @@ object SketchOps {
     // the batch registers. hllBucketRho is shared with events_hll_distinct,
     // so the incremental registers cannot drift from the oracled batch
     // estimate's inputs.
+    // Bloom-filter membership probe — the reusable, shippable form of the
+    // runtime bloom join PlanSpec demonstrates: build a 4096-bit / 4-hash
+    // filter over the customers with RECENT orders (one hash agg → ≤ 66
+    // long words), then probe EVERY customer against the broadcast word
+    // table. bloom_hit = 1 for every true member ALWAYS (no false
+    // negatives — the invariant RankSketchSpec pins); exact_in sits
+    // alongside so the false-positive rate is visible. Deterministic
+    // PortableHash bits make the probabilistic structure exactly
+    // oracle-checkable, per key. At scale: build side is a linear scan +
+    // constant-size agg; probe side never shuffles (4 broadcast joins of
+    // a 64-row table); the classic use ships `words` to ANOTHER job to
+    // pre-filter its scan.
+    GraftQuery("events_bloom",
+      s"""WITH mh AS (SELECT ${PortableHash.h8Sql("lpad(CAST(o_custkey AS VARCHAR), 8, '0')")} AS h
+         |  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'),
+         |mb AS (${(1 to BloomK).map(j => s"SELECT ${bloomBitSql(j)} AS bit FROM mh")
+            .mkString(" UNION ALL ")}),
+         |words AS (SELECT bit // 63 AS word,
+         |    CAST(bit_or(CAST(1 AS BIGINT) << CAST(bit % 63 AS INT)) AS BIGINT) AS bits
+         |  FROM mb GROUP BY bit // 63),
+         |pk AS (SELECT c_custkey,
+         |    ${PortableHash.h8Sql("lpad(CAST(c_custkey AS VARCHAR), 8, '0')")} AS h
+         |  FROM customer),
+         |pq AS (SELECT c_custkey,
+         |    ${(1 to BloomK).map(j =>
+             s"${bloomBitSql(j)} // 63 AS word$j, " +
+             s"(CAST(1 AS BIGINT) << CAST(${bloomBitSql(j)} % 63 AS INT)) AS mask$j")
+            .mkString(", ")}
+         |  FROM pk)
+         |SELECT pq.c_custkey,
+         |  CAST(CASE WHEN ${(1 to BloomK).map(j =>
+             s"(coalesce(w$j.bits, 0) & pq.mask$j) != 0").mkString(" AND ")}
+         |       THEN 1 ELSE 0 END AS BIGINT) AS bloom_hit,
+         |  CAST(CASE WHEN pq.c_custkey IN (
+         |      SELECT o_custkey FROM orders
+         |      WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+         |       THEN 1 ELSE 0 END AS BIGINT) AS exact_in
+         |FROM pq ${(1 to BloomK).map(j => s"LEFT JOIN words w$j ON w$j.word = pq.word$j")
+            .mkString(" ")}
+         |ORDER BY pq.c_custkey""".stripMargin) { (spark, sfDir) =>
+      val recent = Tables.orders(spark, sfDir)
+        .filter(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast("timestamp_ntz"))
+        .select(col("o_custkey"))
+      val words = bloomWords(recent, col("o_custkey"))
+      val h = PortableHash.h8(lpad(col("c_custkey").cast("string"), 8, "0"))
+      val probe = Tables.customer(spark, sfDir)
+        .select((col("c_custkey") +: (1 to BloomK).map(j =>
+          (PortableHash.minhashPerm(h, 5 + j) % BloomBits).as(s"bit$j"))): _*)
+        .selectExpr(("c_custkey" +: (1 to BloomK).flatMap(j => Seq(
+          s"bit$j DIV 63 AS word$j",
+          s"shiftleft(CAST(1 AS BIGINT), CAST(bit$j % 63 AS INT)) AS mask$j"))): _*)
+      val joined = (1 to BloomK).foldLeft(probe) { (acc, j) =>
+        acc.join(broadcast(words.select(col("word").as(s"w$j"), col("bits").as(s"bits$j"))),
+          col(s"word$j") === col(s"w$j"), "left")
+      }
+      val hit = (1 to BloomK).map(j =>
+        (coalesce(col(s"bits$j"), lit(0L)).bitwiseAND(col(s"mask$j")) =!= 0))
+        .reduce(_ && _)
+      val members = recent.select(col("o_custkey").as("c_custkey")).distinct()
+        .withColumn("m", lit(1L))
+      joined.join(broadcast(members), Seq("c_custkey"), "left")
+        .select(col("c_custkey"), hit.cast("long").as("bloom_hit"),
+          coalesce(col("m"), lit(0L)).as("exact_in"))
+        .orderBy("c_custkey")
+    },
+
+    // STREAMING bloom-filter maintenance, registered and oracled: purchase
+    // events flow through a running bit-OR aggregation whose state IS the
+    // filter (≤ 66 word rows forever — bounded with no watermark because
+    // OR-state cannot grow), drained AvailableNow and hash-compared
+    // against the batch word table in DuckDB. bloomBitRows is shared with
+    // events_bloom, so the incremental filter cannot drift from the
+    // oracled batch construction.
+    GraftQuery("stream_bloom",
+      s"""WITH mh AS (SELECT ${PortableHash.h8Sql("lpad(CAST(user_id AS VARCHAR), 8, '0')")} AS h
+         |  FROM events WHERE event_type = 'purchase'),
+         |mb AS (${(1 to BloomK).map(j => s"SELECT ${bloomBitSql(j)} AS bit FROM mh")
+            .mkString(" UNION ALL ")})
+         |SELECT bit // 63 AS word,
+         |    CAST(bit_or(CAST(1 AS BIGINT) << CAST(bit % 63 AS INT)) AS BIGINT) AS bits
+         |FROM mb GROUP BY bit // 63 ORDER BY word""".stripMargin) { (spark, sfDir) =>
+      val words = graft.streaming.StreamOps.bloomFilterWords(
+        graft.streaming.StreamOps.eventStream(spark, sfDir))
+      graft.streaming.StreamOps
+        .runToCompletion(words, s"stream_bloom_${streamRunId.incrementAndGet()}")
+        .orderBy("word")
+    },
+
     GraftQuery("stream_hll",
       s"""WITH k AS (SELECT user_id,
          |    ${PortableHash.h8Sql("lpad(CAST(user_id AS VARCHAR), 8, '0')")} AS h

@@ -274,6 +274,14 @@ object StreamOps {
       .groupBy("bucket")
       .agg(max("rho").as("m"))
 
+  /** streaming bloom-filter maintenance over purchase events: the running
+    * bit-OR aggregation IS the filter (≤ ⌈BloomBits/63⌉ word rows forever).
+    * Bit derivation is SketchOps.bloomBitRows — shared expression-for-
+    * expression with the batch/oracled construction. */
+  def bloomFilterWords(events: DataFrame): DataFrame =
+    graft.operators.SketchOps.bloomWords(
+      events.filter(col("event_type") === "purchase"), col("user_id"))
+
   def runToCompletion(df: DataFrame, queryName: String): DataFrame = {
     val q = df.writeStream
       .outputMode(OutputMode.Complete())

@@ -83,6 +83,27 @@ class RankSketchSpec extends AnyFunSuite with CacheDrained {
     assert(est == 15L, s"estimate $est drifted from the deterministic sketch")
   }
 
+  test("events_bloom: no false negatives at any sf; word table stays bounded") {
+    Seq(TestSpark.Sf, "/root/testdata/sf0.01").foreach { sf =>
+      val rows = SparkEntry.queries("events_bloom")(spark, sf)
+        .as[(Long, Long, Long)].collect()
+      assert(rows.nonEmpty)
+      // the bloom guarantee: a true member NEVER misses
+      rows.foreach { case (k, hit, in) =>
+        assert(in == 0L || hit == 1L, s"$sf: member $k missed by the bloom filter")
+      }
+      val fps = rows.count { case (_, hit, in) => hit == 1L && in == 0L }
+      val nonMembers = rows.count(_._3 == 0L)
+      info(s"$sf: ${rows.length} probes, $nonMembers non-members, $fps false positives")
+      // the filter must actually reject most non-members at these loads
+      // (4096 bits / 4 hashes; build side ≤ ~1.4k keys at sf0.01)
+      assert(nonMembers == 0 || fps.toDouble / nonMembers < 0.5,
+        s"$sf: false-positive rate ${fps.toDouble / nonMembers} — filter saturated")
+      val words = SparkEntry.queries("stream_bloom")(spark, sf).collect()
+      assert(words.length <= 66, s"$sf: ${words.length} word rows > bound")
+    }
+  }
+
   test("text_quality_model: keep is exactly the threshold predicate and splits") {
     val rows = SparkEntry.queries("text_quality_model")(spark, TestSpark.Sf)
       .as[(Long, Long, Boolean)].collect()
