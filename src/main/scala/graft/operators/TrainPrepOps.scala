@@ -396,6 +396,43 @@ object TrainPrepOps {
           col("rnk").cast("long").as("rnk"),
           when(col("rnk") <= k, 1).otherwise(0).as("selected"))
         .orderBy("doc_id")
+    },
+
+    // Document chunking for embedding/retrieval pipelines: split every
+    // document into overlapping fixed-width windows (W=200 chars, stride
+    // S=150 → 50-char overlap so no boundary phrase is lost), emitting
+    // one content-addressed row per chunk — (doc_id, chunk_id, start_pos,
+    // chunk_len, chunk_md5). n_chunks = ceil((len-W)/S)+1, min 1, so the
+    // final window always reaches the end of the document. Per-row
+    // explode only: linear in total text, no shuffle, no join — the shape
+    // that feeds a 100 TB corpus into an embedding model in one pass;
+    // md5 travels instead of the chunk text so the verify frame stays
+    // narrow while pinning the exact chunk CONTENT, not just offsets.
+    GraftQuery("train_chunk_windows",
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |n AS (SELECT doc_id, text, len,
+        |        CASE WHEN len <= 200 THEN 1
+        |             ELSE ((len - 200 + 149) // 150) + 1 END AS n_chunks
+        |      FROM d),
+        |c AS (SELECT doc_id, text, len,
+        |        unnest(generate_series(0, CAST(n_chunks - 1 AS BIGINT))) AS k
+        |      FROM n)
+        |SELECT doc_id, k AS chunk_id,
+        |  CAST(1 + k * 150 AS BIGINT) AS start_pos,
+        |  CAST(length(substring(text, CAST(1 + k * 150 AS INT), 200)) AS BIGINT) AS chunk_len,
+        |  md5(substring(text, CAST(1 + k * 150 AS INT), 200)) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (spark, sfDir) =>
+      docs(spark, sfDir)
+        .selectExpr("doc_id", "text", "length(text) AS len")
+        .selectExpr("doc_id", "text",
+          "CASE WHEN len <= 200 THEN 1 ELSE ((len - 200 + 149) DIV 150) + 1 END AS n_chunks")
+        .select(col("doc_id"), col("text"),
+          explode(expr("sequence(0L, n_chunks - 1)")).as("k"))
+        .selectExpr("doc_id", "k AS chunk_id",
+          "CAST(1 + k * 150 AS BIGINT) AS start_pos",
+          "CAST(length(substring(text, CAST(1 + k * 150 AS INT), 200)) AS BIGINT) AS chunk_len",
+          "md5(CAST(substring(text, CAST(1 + k * 150 AS INT), 200) AS BINARY)) AS chunk_md5")
+        .orderBy("doc_id", "chunk_id")
     }
   )
 }

@@ -207,4 +207,34 @@ class TrainPrepSpec extends AnyFunSuite with CacheDrained {
     assert(minSel >= maxUnsel,
       s"selection not monotone: min selected $minSel < max unselected $maxUnsel")
   }
+
+  test("train_chunk_windows tiles every document end-to-end with the declared overlap") {
+    val spark = TestSpark.spark
+    val lens = Tables.documents(spark, TestSpark.Sf)
+      .selectExpr("doc_id", "CAST(length(text) AS BIGINT) AS len")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunks = SparkEntry.queries("train_chunk_windows")(spark, TestSpark.Sf)
+      .select("doc_id", "chunk_id", "start_pos", "chunk_len")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(chunks.keySet == lens.keySet, "some documents produced no chunks")
+    chunks.foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      val len = lens(doc)
+      // chunk_ids are 0..n-1; starts follow the stride; windows cover [1, len]
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length.toLong).toSeq)
+      sorted.foreach { case (_, k, start, clen) =>
+        assert(start == 1 + k * 150, s"doc $doc chunk $k start $start off-stride")
+        assert(clen == math.min(200L, len - start + 1), s"doc $doc chunk $k length")
+      }
+      val (_, _, lastStart, lastLen) = sorted.last
+      assert(lastStart + lastLen - 1 == len, s"doc $doc not covered to its end")
+      // every adjacent pair overlaps by W - S = 50 chars (unless the doc ends)
+      sorted.sliding(2).filter(_.length == 2).foreach { pair =>
+        val (_, _, s1, l1) = pair(0)
+        val (_, _, s2, _) = pair(1)
+        assert(s2 == s1 + 150 && s1 + l1 - s2 >= 0)
+      }
+    }
+  }
 }
