@@ -190,6 +190,51 @@ object DedupOps {
         .orderBy("a", "b")
     },
 
+    // leakage-safe train/val/test split: the split bucket is computed
+    // from the NEAR-DUP CLUSTER REPRESENTATIVE, not the document itself,
+    // so two near-duplicate documents can never straddle train and test
+    // (the eval-leakage failure mode a naive per-doc hash split has).
+    // Composition of the cluster labels with text_split_assign's
+    // deterministic bucketing; singleton docs are their own rep. The
+    // component frame is tiny next to the corpus (only docs in dup
+    // pairs), so its left join broadcasts and the corpus side never
+    // shuffles — the shape that holds when 100 TB has a few-% dup rate.
+    GraftQuery("train_split_safe",
+      s"""WITH RECURSIVE $ShinglesCte,
+         |$PairCte,
+         |pairs AS (SELECT inter.ida AS a, inter.idb AS b FROM inter
+         |          JOIN sizes sa ON sa.doc_id = inter.ida
+         |          JOIN sizes sb ON sb.doc_id = inter.idb
+         |          WHERE CAST(inter.i AS DOUBLE) / (sa.n + sb.n - inter.i) >= $JaccardThreshold),
+         |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT a AS src, b AS dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a),
+         |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster
+         |         FROM reach GROUP BY src),
+         |rep AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS rep
+         |        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+         |SELECT doc_id, rep,
+         |  CASE WHEN (rep % 100 * 61) % 100 < 90 THEN 'train'
+         |       WHEN (rep % 100 * 61) % 100 < 95 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM rep ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
+      val pairs = jaccardPairs(docShingles(spark, sfDir))
+        .filter(col("jacc") >= JaccardThreshold)
+        .select("a", "b")
+      val comp = GraphOps.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("cluster"))
+      Tables.documents(spark, sfDir).select("doc_id")
+        .join(broadcast(comp), Seq("doc_id"), "left")
+        .withColumn("rep", coalesce(col("cluster"), col("doc_id")))
+        .withColumn("bucket", col("rep") % 100 * 61 % 100)
+        .select(col("doc_id"), col("rep"),
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val").otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+
     // near-duplicate clustering: connected components over the ≥0.8-Jaccard
     // pair graph, each doc labeled with the min doc_id of its component
     // (the canonical-document assignment an actual dedup pass keeps).

@@ -64,4 +64,22 @@ class OperatorInvariantSpec extends AnyFunSuite with CacheDrained {
     assert(nView >= nClick && nClick >= nPurchase)
     assert(nPurchase > 0, "no user completes the funnel in testdata")
   }
+
+  test("train_split_safe: no near-dup pair ever straddles two splits") {
+    val spark = TestSpark.spark
+    val split = SparkEntry.queries("train_split_safe")(spark, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val pairs = SparkEntry.queries("dedup_jaccard")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty && split.size == 500)
+    pairs.foreach { case (a, b) =>
+      assert(split(a)._2 == split(b)._2,
+        s"near-dups $a/$b landed in ${split(a)._2} and ${split(b)._2}")
+      assert(split(a)._1 == split(b)._1, s"near-dups $a/$b have different reps")
+    }
+    // the split is still roughly 90/5/5 (rep-keyed bucketing, same rule
+    // as text_split_assign)
+    val byS = split.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byS("train") > 400 && byS.getOrElse("val", 0) > 0 && byS.getOrElse("test", 0) > 0)
+  }
 }
