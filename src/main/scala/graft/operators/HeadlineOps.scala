@@ -327,6 +327,161 @@ object HeadlineOps {
         .agg(count(lit(1)).as("numcust"),
           sum(cents(col("c_acctbal"))).as("totbal_cents"))
         .orderBy("n_name")
+    },
+
+    // Q4 (adapted: no commit/receipt dates in this schema): order-priority
+    // checking via an EXISTS semi-join with a MIXED equi + non-equi
+    // condition — at least one line item shipped more than 30 days after
+    // the order date. The semi-join hashes on the order key and evaluates
+    // the date comparison as a residual, so the fact side streams once.
+    GraftQuery("tpch_q4",
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (spark, sfDir) =>
+      orders(spark, sfDir)
+        .filter(col("o_orderdate") >= ts("1997-01-01 00:00:00")
+          && col("o_orderdate") < ts("1997-04-01 00:00:00"))
+        .join(lineitem(spark, sfDir).select("l_orderkey", "l_shipdate"),
+          col("l_orderkey") === col("o_orderkey")
+            && col("l_shipdate") > expr("o_orderdate + INTERVAL 30 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Q8 (adapted): national market share — of all ECONOMY-part revenue
+    // ordered by EUROPE customers, the ppm share supplied by NATION_13,
+    // per order year. Six-way join where every dimension side broadcasts
+    // (nation twice, in two roles); the integer-ppm ratio keeps the
+    // published share exact in both engines.
+    GraftQuery("tpch_q8",
+      """SELECT o_year,
+        |  CAST(sum(CASE WHEN s_nat = 'NATION_13'
+        |    THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS nat_cents,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  CAST((1000000 * sum(CASE WHEN s_nat = 'NATION_13'
+        |    THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |    ELSE 0 END)) // sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS share_ppm
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, n2.n_name AS s_nat,
+        |         l_extendedprice, l_discount
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        |  JOIN region ON r_regionkey = n1.n_regionkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+        |  WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY')
+        |GROUP BY o_year ORDER BY o_year""".stripMargin) { (spark, sfDir) =>
+      val rev = cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+      val nr = nation(spark, sfDir)
+        .join(broadcast(region(spark, sfDir).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cnat_key"))
+      val c = customer(spark, sfDir)
+        .join(broadcast(nr), col("c_nationkey") === col("cnat_key"))
+        .select("c_custkey")
+      val sn = supplier(spark, sfDir)
+        .join(broadcast(nation(spark, sfDir)
+          .select(col("n_nationkey").as("snat_key"), col("n_name").as("s_nat"))),
+          col("s_nationkey") === col("snat_key"))
+        .select("s_suppkey", "s_nat")
+      lineitem(spark, sfDir)
+        .join(broadcast(part(spark, sfDir).filter(col("p_type") === "ECONOMY")
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .join(orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(when(col("s_nat") === "NATION_13", rev).otherwise(lit(0L))).as("nat_cents"),
+          sum(rev).as("total_cents"))
+        .selectExpr("o_year", "nat_cents", "total_cents",
+          "(1000000 * nat_cents) DIV total_cents AS share_ppm")
+        .orderBy("o_year")
+    },
+
+    // Q13: customer order-count distribution — the outer join with an
+    // ON-clause filter (customers with zero qualifying orders must keep
+    // their c_count = 0 row), then a second aggregation over the counts.
+    GraftQuery("tpch_q13",
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer LEFT JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin) { (spark, sfDir) =>
+      customer(spark, sfDir).select("c_custkey")
+        .join(orders(spark, sfDir).select("o_custkey", "o_orderkey", "o_orderpriority"),
+          col("c_custkey") === col("o_custkey")
+            && col("o_orderpriority") =!= "1-URGENT", "left")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // Q15: top supplier by quarterly revenue — the scalar-max subquery
+    // shape: the per-supplier revenue view feeds both the max (one row,
+    // broadcast) and the equality filter against it.
+    GraftQuery("tpch_q15",
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin) { (spark, sfDir) =>
+      val rev = lineitem(spark, sfDir)
+        .filter(col("l_shipdate") >= ts("1998-01-01 00:00:00")
+          && col("l_shipdate") < ts("1998-04-01 00:00:00"))
+        .groupBy("l_suppkey")
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("total_rev"))
+      val mx = rev.agg(max("total_rev").as("mx"))
+      supplier(spark, sfDir)
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(mx))
+        .filter(col("total_rev") === col("mx"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    },
+
+    // Q17: small-quantity-order revenue — the correlated per-part average
+    // decorrelated into one per-part aggregate joined back. The classic
+    // qty < 0.2·avg(qty) predicate becomes the INTEGER inequality
+    // 5·qty·count < sum (qty is integer-valued), so the threshold is
+    // exact in both engines with no float division anywhere.
+    GraftQuery("tpch_q17",
+      """WITH pa AS (SELECT l_partkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+        |    CAST(count(*) AS BIGINT) AS cq
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |       count(*) AS n
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN pa ON pa.l_partkey = lineitem.l_partkey
+        |WHERE p_brand = 'Brand#13'
+        |  AND CAST(l_quantity AS BIGINT) * 5 * cq < sq""".stripMargin) { (spark, sfDir) =>
+      val pa = lineitem(spark, sfDir).groupBy(col("l_partkey").as("pa_key"))
+        .agg(sum(col("l_quantity").cast("long")).as("sq"), count(lit(1)).as("cq"))
+      lineitem(spark, sfDir)
+        .join(broadcast(part(spark, sfDir).filter(col("p_brand") === "Brand#13")
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(pa), col("l_partkey") === col("pa_key"))
+        .filter(expr("CAST(l_quantity AS BIGINT) * 5 * cq < sq"))
+        .agg(sum(cents(col("l_extendedprice"))).as("rev_cents"),
+          count(lit(1)).as("n"))
     }
   )
 }
