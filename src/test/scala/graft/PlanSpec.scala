@@ -272,6 +272,24 @@ class PlanSpec extends AnyFunSuite with CacheDrained {
     } finally df.unpersist()
   }
 
+  test("hive-style partitioned write prunes partitions at the scan (PartitionFilters)") {
+    val spark = TestSpark.spark
+    val dir = Files.createTempDirectory("graft-part").toString
+    Tables.lineitem(spark, TestSpark.Sf)
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+    val scan = spark.read.parquet(dir).filter(col("l_returnflag") === "R")
+    val p = scan.queryExecution.executedPlan.toString
+    // the predicate must land in PartitionFilters (directory pruning —
+    // non-matching partitions are never listed, the 100 TB layout lever),
+    // NOT in PushedFilters (row-group stats checked after opening files)
+    assert(p.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      s"returnflag filter not applied at partition level:\n$p")
+    val files = scan.select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(files.nonEmpty && files.forall(_.contains("l_returnflag=R")),
+      s"scan read non-matching partition directories: $files")
+  }
+
   test("bucketed join on the same keys avoids the shuffle exchange") {
     val spark = TestSpark.spark
     val wh = Files.createTempDirectory("graft-buckets").toString

@@ -50,6 +50,23 @@ class SourcesSpec extends AnyFunSuite {
     assert(got.except(idm).count() == 0 && idm.except(got).count() == 0)
   }
 
+  test("orc source/sink round-trips the inventory projection losslessly") {
+    val spark = TestSpark.spark
+    val tmp = Files.createTempDirectory("graft-orc").toString
+    val inv = SparkEntry.queries("inv_projection")(spark, TestSpark.Sf)
+    inv.write.mode("overwrite").orc(s"$tmp/inv")
+    val got = spark.read.orc(s"$tmp/inv")
+    // ORC (like parquet) reads everything nullable; names/types must hold
+    assert(got.schema.map(f => (f.name, f.dataType)) ==
+      inv.schema.map(f => (f.name, f.dataType)), "orc round-trip changed the schema")
+    assert(got.count() == inv.count())
+    assert(got.except(inv).count() == 0 && inv.except(got).count() == 0)
+    // predicate pushdown reaches the ORC scan too (same lever as parquet)
+    val p = got.filter(col("length") > 1000000L).queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [") && p.contains("length"),
+      s"no pushed filter on the orc scan:\n$p")
+  }
+
   test("binaryFile listing scans a directory tree with content (op 3)") {
     val spark = TestSpark.spark
     val tmp = Files.createTempDirectory("graft-bin").toString
