@@ -482,6 +482,258 @@ object HeadlineOps {
         .filter(expr("CAST(l_quantity AS BIGINT) * 5 * cq < sq"))
         .agg(sum(cents(col("l_extendedprice"))).as("rev_cents"),
           count(lit(1)).as("n"))
+    },
+
+    // Q2 (adapted: no partsupp table — the part↔supplier relation is
+    // DERIVED from observed lineitem trade, cost = min observed sale in
+    // cents): minimum-cost supplier per qualifying part within a region.
+    // The correlated min-subquery decorrelates into a per-part aggregate
+    // joined back on (part, cost). Scale shape: the part filter broadcasts
+    // INTO the lineitem scan BEFORE the pair aggregation, so the derived
+    // ps relation is built only for qualifying parts (the oracle builds it
+    // for all parts then filters — same rows, ours never materializes the
+    // full pair table).
+    GraftQuery("tpch_q2",
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(min(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cost_cents
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier
+        |       JOIN nation ON s_nationkey = n_nationkey
+        |       JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+        |best AS (SELECT ps.l_partkey AS bp, min(cost_cents) AS mc
+        |         FROM ps JOIN eu ON ps.l_suppkey = eu.s_suppkey GROUP BY 1)
+        |SELECT CAST(floor(s_acctbal * 100) AS BIGINT) AS acctbal_cents, s_name, n_name,
+        |       p_partkey, p_name, cost_cents
+        |FROM part JOIN ps ON p_partkey = ps.l_partkey
+        |JOIN eu ON ps.l_suppkey = eu.s_suppkey
+        |JOIN best ON bp = p_partkey AND cost_cents = mc
+        |WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+        |ORDER BY acctbal_cents DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin) { (spark, sfDir) =>
+      val pf = part(spark, sfDir)
+        .filter(col("p_size").between(10, 20) && col("p_type") === "LARGE")
+        .select("p_partkey", "p_name")
+      val eu = supplier(spark, sfDir)
+        .join(broadcast(nation(spark, sfDir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(spark, sfDir).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), cents(col("s_acctbal")).as("acctbal_cents"),
+          col("n_name"))
+      val ps = lineitem(spark, sfDir)
+        .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "acctbal_cents", "n_name")
+        .agg(min(cents(col("l_extendedprice"))).as("cost_cents"))
+      val best = ps.groupBy(col("p_partkey").as("bp")).agg(min("cost_cents").as("mc"))
+      ps.join(broadcast(best), col("p_partkey") === col("bp") && col("cost_cents") === col("mc"))
+        .select("acctbal_cents", "s_name", "n_name", "p_partkey", "p_name", "cost_cents")
+        .orderBy(col("acctbal_cents").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    },
+
+    // Q9 (adapted: supply cost proxied as 80% of the part's retail price,
+    // integer cents): product-type profit by supplier nation and year —
+    // the classic shuffle-heavy five-way join. Part filter and the
+    // supplier→nation map broadcast; the one wide shuffle is
+    // lineitem⋈orders on the order key; profit stays integer end-to-end.
+    GraftQuery("tpch_q9",
+      """SELECT nation, o_year, CAST(sum(profit_cents) AS BIGINT) AS profit_cents
+        |FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |        CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |        - CAST(l_quantity AS BIGINT) * CAST(floor(p_retailprice * 80) AS BIGINT) AS profit_cents
+        |      FROM lineitem JOIN part ON p_partkey = l_partkey
+        |      JOIN supplier ON s_suppkey = l_suppkey
+        |      JOIN orders ON o_orderkey = l_orderkey
+        |      JOIN nation ON n_nationkey = s_nationkey
+        |      WHERE p_name LIKE '%widget%')
+        |GROUP BY nation, o_year ORDER BY nation, o_year DESC""".stripMargin,
+      bench = true) { (spark, sfDir) =>
+      val pf = part(spark, sfDir).filter(col("p_name").like("%widget%"))
+        .select(col("p_partkey"), cents(col("p_retailprice") * 0.8).as("supp_cents"))
+      val sn = supplier(spark, sfDir)
+        .join(broadcast(nation(spark, sfDir)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      lineitem(spark, sfDir)
+        .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .join(orders(spark, sfDir).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          - col("l_quantity").cast("long") * col("supp_cents")).as("profit_cents"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // Q11 (adapted: "stock value" = observed traded value in cents from
+    // the derived lineitem pair relation): parts holding an outsized share
+    // of one nation's traded value — global scalar threshold via a
+    // broadcast single-row cross join, compared as an INTEGER cross
+    // multiplication (value·1000 > total), no float division.
+    GraftQuery("tpch_q11",
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |        CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS val_cents
+        |        FROM lineitem GROUP BY 1, 2),
+        |  nat AS (SELECT s_suppkey FROM supplier
+        |          JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_7'),
+        |  natval AS (SELECT l_partkey, CAST(sum(val_cents) AS BIGINT) AS value_cents
+        |             FROM ps JOIN nat ON l_suppkey = s_suppkey GROUP BY 1),
+        |  tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total FROM natval)
+        |SELECT l_partkey AS partkey, value_cents
+        |FROM natval, tot WHERE value_cents * 1000 > total
+        |ORDER BY value_cents DESC, partkey""".stripMargin) { (spark, sfDir) =>
+      val nat = supplier(spark, sfDir)
+        .join(broadcast(nation(spark, sfDir).filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val natval = lineitem(spark, sfDir)
+        .join(broadcast(nat), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey").as("partkey"))
+        .agg(sum(cents(col("l_extendedprice"))).as("value_cents"))
+      val tot = natval.agg(sum("value_cents").as("total"))
+      natval.join(broadcast(tot))
+        .filter(col("value_cents") * 1000 > col("total"))
+        .select("partkey", "value_cents")
+        .orderBy(col("value_cents").desc, col("partkey"))
+    },
+
+    // Q12 (adapted: no ship mode or commit/receipt dates — the mode
+    // becomes a DERIVED shipping-delay bucket): late-shipment priority
+    // accounting. The bucket CASE and the priority flag both evaluate
+    // inside one post-join projection; the year filter pushes to the
+    // lineitem scan.
+    GraftQuery("tpch_q12",
+      """SELECT delay_bucket,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM (SELECT o_orderpriority,
+        |        CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 'FAST'
+        |             WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY THEN 'NORMAL'
+        |             ELSE 'SLOW' END AS delay_bucket
+        |      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+        |GROUP BY delay_bucket ORDER BY delay_bucket""".stripMargin) { (spark, sfDir) =>
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      lineitem(spark, sfDir)
+        .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00")
+          && col("l_shipdate") < ts("1998-01-01 00:00:00"))
+        .join(orders(spark, sfDir).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(hi.as("hi"),
+          when(col("l_shipdate") <= expr("o_orderdate + INTERVAL 30 DAYS"), "FAST")
+            .when(col("l_shipdate") <= expr("o_orderdate + INTERVAL 90 DAYS"), "NORMAL")
+            .otherwise("SLOW").as("delay_bucket"))
+        .groupBy("delay_bucket")
+        .agg(sum(when(col("hi"), 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(col("hi"), 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("delay_bucket")
+    },
+
+    // Q16 (adapted: derived pair relation; "complaint" suppliers proxied
+    // by negative balance): supplier counts by part attributes — the
+    // distinct-pair + distinct-count + NOT-IN shape. The excluded-supplier
+    // set broadcasts as an anti-join; the pair dedup rides the same
+    // shuffle as the final distinct count.
+    GraftQuery("tpch_q16",
+      """SELECT p_brand, p_type, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) { (spark, sfDir) =>
+      val pf = part(spark, sfDir)
+        .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO"
+          && col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val bad = supplier(spark, sfDir).filter(col("s_acctbal") < 0).select("s_suppkey")
+      lineitem(spark, sfDir).select("l_partkey", "l_suppkey")
+        .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    },
+
+    // Q20 (adapted: "excess stock" = a supplier moved more than a
+    // threshold quantity of one qualifying part in the year): the nested
+    // semi-join chain — part name filter feeds a per-(supplier, part)
+    // HAVING aggregate, whose supplier set semi-joins the nation-filtered
+    // supplier dim. Every dimension side broadcasts; the only shuffle is
+    // the pair aggregation.
+    GraftQuery("tpch_q20",
+      """WITH qual AS (SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_name LIKE 'red%'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY l_suppkey, l_partkey HAVING sum(CAST(l_quantity AS BIGINT)) > 30)
+        |SELECT s_name, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3' AND s_suppkey IN (SELECT l_suppkey FROM qual)
+        |ORDER BY s_name""".stripMargin) { (spark, sfDir) =>
+      val qual = lineitem(spark, sfDir)
+        .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00")
+          && col("l_shipdate") < ts("1998-01-01 00:00:00"))
+        .join(broadcast(part(spark, sfDir).filter(col("p_name").like("red%"))
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(sum(col("l_quantity").cast("long")).as("sq"))
+        .filter(col("sq") > 30)
+        .select("l_suppkey")
+      supplier(spark, sfDir)
+        .join(broadcast(nation(spark, sfDir).filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    },
+
+    // Q21 (adapted: lateness = shipped >60 days after the order date):
+    // suppliers who kept multi-supplier orders waiting — the EXISTS /
+    // NOT-EXISTS pair over the same fact table. EXISTS becomes a
+    // left-semi on the order key with a supplier-inequality residual;
+    // NOT EXISTS a left-anti whose lateness predicate correlates l3's
+    // ship date against the OUTER row's order date (mixed-side non-equi
+    // residual on the hashed key). All three lineitem passes shuffle on
+    // the same order key, so AQE coalesces them into one exchange reuse.
+    GraftQuery("tpch_q21",
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F' AND n_name = 'NATION_4'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+      bench = true) { (spark, sfDir) =>
+      val sn = supplier(spark, sfDir)
+        .join(broadcast(nation(spark, sfDir).filter(col("n_name") === "NATION_4")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+      val l1 = lineitem(spark, sfDir)
+        .join(orders(spark, sfDir).filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > expr("o_orderdate + INTERVAL 60 DAYS"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .select("l_orderkey", "l_suppkey", "s_name", "o_orderdate")
+      val l2 = lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+      val l3 = lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"),
+          col("l_shipdate").as("d3"))
+      l1.join(l2, col("l_orderkey") === col("k2") && col("s2") =!= col("l_suppkey"),
+          "left_semi")
+        .join(l3, col("l_orderkey") === col("k3") && col("s3") =!= col("l_suppkey")
+          && col("d3") > expr("o_orderdate + INTERVAL 60 DAYS"), "left_anti")
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
     }
   )
 }

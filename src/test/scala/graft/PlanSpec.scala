@@ -39,6 +39,28 @@ class PlanSpec extends AnyFunSuite with CacheDrained {
     }
   }
 
+  test("q2/q9/q16/q21 completion tier: broadcast dims, no all-pairs fallback") {
+    Seq("tpch_q2", "tpch_q9", "tpch_q16").foreach { q =>
+      val df = SparkEntry.queries(q)(TestSpark.spark, TestSpark.Sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast dim join:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to all-pairs:\n$p")
+    }
+    // q21's EXISTS/NOT-EXISTS pair must stay semi/anti joins on the hashed
+    // order key (the supplier inequality and lateness predicates ride as
+    // residual conditions), never a joined-then-filtered wide join.
+    // Inspected PRE-execution: at the test sf the result is empty and AQE
+    // legitimately collapses the executed plan to EmptyRelation.
+    val p21 = SparkEntry.queries("tpch_q21")(TestSpark.spark, TestSpark.Sf)
+      .queryExecution.executedPlan.toString
+    assert(p21.contains("LeftSemi"), s"q21 EXISTS is not a semi join:\n$p21")
+    assert(p21.contains("LeftAnti"), s"q21 NOT EXISTS is not an anti join:\n$p21")
+    assert(!p21.contains("CartesianProduct") && !p21.contains("BroadcastNestedLoopJoin"),
+      s"q21 degenerated to all-pairs:\n$p21")
+  }
+
   test("q19's quantity band and q14's date band reach the lineitem scan") {
     Seq("tpch_q19" -> "l_quantity", "tpch_q14" -> "l_shipdate").foreach {
       case (q, c) =>
