@@ -82,4 +82,54 @@ class OperatorInvariantSpec extends AnyFunSuite with CacheDrained {
     val byS = split.values.groupBy(_._2).view.mapValues(_.size).toMap
     assert(byS("train") > 400 && byS.getOrElse("val", 0) > 0 && byS.getOrElse("test", 0) > 0)
   }
+
+  test("PII redaction is idempotent and leaves no detectable PII behind") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val probes = Seq(
+      "mail alice.smith@corp.example.org and bob@x.io now",
+      "ssn 123-45-6789 phone 415-555-0199 host 192.168.0.1",
+      "no pii here at all",
+      "edge a@b.co 1.2.3.4 999-99-9999").toDF("t")
+    val once = probes.select(col("t"), operators.CleanOps.piiRedact(col("t")).as("r1"))
+    val twice = once.select(col("t"), col("r1"),
+      operators.CleanOps.piiRedact(col("r1")).as("r2"))
+    twice.collect().foreach { row =>
+      assert(row.getString(1) == row.getString(2),
+        s"redaction not idempotent on '${row.getString(0)}'")
+    }
+    // post-redaction, every category's count must be zero
+    val counts = operators.CleanOps.piiCounts(col("r1"))
+    once.select(counts.map { case (cat, c) => c.as(cat) }: _*).collect().foreach { row =>
+      (0 until row.length).foreach(i => assert(row.getLong(i) == 0L,
+        s"category ${row.schema(i).name} still detected after redaction"))
+    }
+    // and the clean probe passes through byte-identical
+    val clean = once.filter(col("t") === "no pii here at all").head()
+    assert(clean.getString(0) == clean.getString(1))
+  }
+
+  test("boilerplate stripping is frequency-correct and the frequent set broadcasts") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 60 docs: a shared footer in all, a half-corpus banner, unique bodies
+    val docs = (0L until 60L).map { i =>
+      val banner = if (i % 2 == 0) "\nspecial offer today" else ""
+      (i, s"body line $i$banner\nshared footer")
+    }.toDF("doc_id", "t")
+    val out = operators.CleanOps.stripBoilerplateLines(docs, "t", maxDf = 40)
+    val rows = out.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // footer (df=60) stripped everywhere; banner (df=30 <= 40) kept
+    (0L until 60L).foreach { i =>
+      val (nLines, nKept) = rows(i)
+      val expLines = if (i % 2 == 0) 3L else 2L
+      assert(nLines == expLines, s"doc $i: n_lines=$nLines")
+      assert(nKept == expLines - 1, s"doc $i: footer not stripped (kept=$nKept)")
+    }
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"frequent-line probe lost its broadcast:\n$p")
+  }
 }
