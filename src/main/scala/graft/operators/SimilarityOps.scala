@@ -645,15 +645,21 @@ object SimilarityOps {
   /** DuckDB CTE chain for the IVF probe pipeline, ending in
     * `r2(qid, nid, sim6, rnk)` — the per-query exact re-rank over the
     * probed lists' members. Shared by sim_ann_ivf and sim_ann_recall. */
-  private def ivfOracleCtes: String =
+  /** the probe half only — `cands(qid, nid)` without the exact re-rank
+    * tail; PqOps builds its asymmetric-distance scan on top of this */
+  private[operators] def ivfCandOracleCtes: String =
     s"""$kmeansOracleCtes,
        |assign AS (SELECT vec_id, c AS list FROM ranked WHERE r = 1),
        |probes AS (SELECT vec_id AS qid, c AS list FROM ranked
        |      WHERE r <= $IvfProbes AND vec_id < $NumQueries),
        |cands AS (SELECT p.qid, a.vec_id AS nid
        |      FROM probes p JOIN assign a ON a.list = p.list
-       |      WHERE a.vec_id <> p.qid),
-       |p2 AS (SELECT cands.qid, cands.nid,
+       |      WHERE a.vec_id <> p.qid)""".stripMargin
+
+  /** exact-cosine re-rank tail over any (qid, nid) CTE — p2/r2 as in the
+    * Spark rerankCands; `src` names the candidate CTE to consume */
+  private[operators] def rerankOracleTail(src: String): String =
+    s"""p2 AS (SELECT $src.qid, $src.nid,
        |        round(list_sum(list_transform(generate_series(1, 64),
        |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
        |          / (sqrt(list_sum(list_transform(generate_series(1, 64),
@@ -661,12 +667,16 @@ object SimilarityOps {
        |           * sqrt(list_sum(list_transform(generate_series(1, 64),
        |               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
        |          , 6) AS sim6
-       |      FROM cands
-       |      JOIN embeddings a ON a.vec_id = cands.qid
-       |      JOIN embeddings b ON b.vec_id = cands.nid),
+       |      FROM $src
+       |      JOIN embeddings a ON a.vec_id = $src.qid
+       |      JOIN embeddings b ON b.vec_id = $src.nid),
        |r2 AS (SELECT qid, nid, sim6,
        |        row_number() OVER (PARTITION BY qid ORDER BY sim6 DESC, nid) AS rnk
        |      FROM p2)""".stripMargin
+
+  private def ivfOracleCtes: String =
+    s"""$ivfCandOracleCtes,
+       |${rerankOracleTail("cands")}""".stripMargin
 
   /** the 1e6-quantized integer component CTE the LSH chain hashes over —
     * same rows as the kmeans oracle's `comps`, so sim_ann_hybrid (which
@@ -715,7 +725,7 @@ object SimilarityOps {
   /** exact cosine re-rank of a (qid, nid) candidate frame — the shared
     * tail of every ANN variant: norms computed once per vector before the
     * pair join, 6-dp round before ranking so engines order identically. */
-  private def rerankCands(spark: SparkSession, sfDir: String,
+  private[operators] def rerankCands(spark: SparkSession, sfDir: String,
       cands: DataFrame): DataFrame = {
     val e = embeddings(spark, sfDir)
     val q = e.select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qe"))
