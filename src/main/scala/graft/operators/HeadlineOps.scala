@@ -574,7 +574,7 @@ object HeadlineOps {
         |        CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS val_cents
         |        FROM lineitem GROUP BY 1, 2),
         |  nat AS (SELECT s_suppkey FROM supplier
-        |          JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_7'),
+        |          JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_13'),
         |  natval AS (SELECT l_partkey, CAST(sum(val_cents) AS BIGINT) AS value_cents
         |             FROM ps JOIN nat ON l_suppkey = s_suppkey GROUP BY 1),
         |  tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total FROM natval)
@@ -582,7 +582,7 @@ object HeadlineOps {
         |FROM natval, tot WHERE value_cents * 1000 > total
         |ORDER BY value_cents DESC, partkey""".stripMargin) { (spark, sfDir) =>
       val nat = supplier(spark, sfDir)
-        .join(broadcast(nation(spark, sfDir).filter(col("n_name") === "NATION_7")),
+        .join(broadcast(nation(spark, sfDir).filter(col("n_name") === "NATION_13")),
           col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey")
       val natval = lineitem(spark, sfDir)
@@ -701,7 +701,7 @@ object HeadlineOps {
         |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
         |JOIN orders ON o_orderkey = l1.l_orderkey
         |JOIN nation ON s_nationkey = n_nationkey
-        |WHERE o_orderstatus = 'F' AND n_name = 'NATION_4'
+        |WHERE o_orderstatus = 'F' AND n_name = 'NATION_13'
         |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
         |  AND EXISTS (SELECT 1 FROM lineitem l2
         |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
@@ -712,7 +712,7 @@ object HeadlineOps {
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
       bench = true) { (spark, sfDir) =>
       val sn = supplier(spark, sfDir)
-        .join(broadcast(nation(spark, sfDir).filter(col("n_name") === "NATION_4")),
+        .join(broadcast(nation(spark, sfDir).filter(col("n_name") === "NATION_13")),
           col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey", "s_name")
       val l1 = lineitem(spark, sfDir)
