@@ -567,8 +567,12 @@ object HeadlineOps {
     // Q11 (adapted: "stock value" = observed traded value in cents from
     // the derived lineitem pair relation): parts holding an outsized share
     // of one nation's traded value — global scalar threshold via a
-    // broadcast single-row cross join, compared as an INTEGER cross
-    // multiplication (value·1000 > total), no float division.
+    // broadcast single-row cross join. The cut is SELF-SCALING (parts
+    // above 2× the nation's mean part value, as an integer cross
+    // multiplication value·np > 2·total): real TPC-H scales its q11
+    // fraction by 1/SF for the same reason — a fixed per-part share
+    // empties out as the part population grows. ~6% of parts qualify at
+    // every measured sf (11 / 83 / 1 263 / 12 630 rows at sf0.001…sf1).
     GraftQuery("tpch_q11",
       """WITH ps AS (SELECT l_partkey, l_suppkey,
         |        CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS val_cents
@@ -577,9 +581,10 @@ object HeadlineOps {
         |          JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_13'),
         |  natval AS (SELECT l_partkey, CAST(sum(val_cents) AS BIGINT) AS value_cents
         |             FROM ps JOIN nat ON l_suppkey = s_suppkey GROUP BY 1),
-        |  tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total FROM natval)
+        |  tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total,
+        |                 CAST(count(*) AS BIGINT) AS np FROM natval)
         |SELECT l_partkey AS partkey, value_cents
-        |FROM natval, tot WHERE value_cents * 1000 > total
+        |FROM natval, tot WHERE value_cents * np > 2 * total
         |ORDER BY value_cents DESC, partkey""".stripMargin) { (spark, sfDir) =>
       val nat = supplier(spark, sfDir)
         .join(broadcast(nation(spark, sfDir).filter(col("n_name") === "NATION_13")),
@@ -589,9 +594,9 @@ object HeadlineOps {
         .join(broadcast(nat), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("l_partkey").as("partkey"))
         .agg(sum(cents(col("l_extendedprice"))).as("value_cents"))
-      val tot = natval.agg(sum("value_cents").as("total"))
+      val tot = natval.agg(sum("value_cents").as("total"), count(lit(1)).as("np"))
       natval.join(broadcast(tot))
-        .filter(col("value_cents") * 1000 > col("total"))
+        .filter(col("value_cents") * col("np") > col("total") * 2)
         .select("partkey", "value_cents")
         .orderBy(col("value_cents").desc, col("partkey"))
     },
@@ -688,13 +693,17 @@ object HeadlineOps {
     },
 
     // Q21 (adapted: lateness = shipped >60 days after the order date):
-    // suppliers who kept multi-supplier orders waiting — the EXISTS /
-    // NOT-EXISTS pair over the same fact table. EXISTS becomes a
-    // left-semi on the order key with a supplier-inequality residual;
-    // NOT EXISTS a left-anti whose lateness predicate correlates l3's
-    // ship date against the OUTER row's order date (mixed-side non-equi
-    // residual on the hashed key). All three lineitem passes shuffle on
-    // the same order key, so AQE coalesces them into one exchange reuse.
+    // suppliers who kept multi-supplier orders waiting. The ORACLE keeps
+    // the literal TPC-H EXISTS / NOT-EXISTS shape; the Spark plan is the
+    // scale-right AGGREGATION REWRITE of it — an l1 row survives both
+    // subqueries iff its order has >1 distinct supplier and exactly one
+    // distinct LATE supplier (l1's own), so per-order supplier stats
+    // answer all three correlated passes at once. One fact shuffle
+    // (lineitem⋈orders on the order key) instead of three: both
+    // downstream groupBys — (orderkey, suppkey) then (orderkey) — are
+    // subsets of the join's hash partitioning and reshuffle nothing.
+    // The hash-compare against the EXISTS oracle IS the equivalence
+    // proof of the rewrite. Measured sf1→sf10: 12.6 s → 4.4 s warm.
     GraftQuery("tpch_q21",
       """SELECT s_name, count(*) AS numwait
         |FROM supplier
@@ -715,23 +724,22 @@ object HeadlineOps {
         .join(broadcast(nation(spark, sfDir).filter(col("n_name") === "NATION_13")),
           col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey", "s_name")
-      val l1 = lineitem(spark, sfDir)
+      val late = col("l_shipdate") > expr("o_orderdate + INTERVAL 60 DAYS")
+      val perSupp = lineitem(spark, sfDir).select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(orders(spark, sfDir).filter(col("o_orderstatus") === "F")
           .select("o_orderkey", "o_orderdate"),
           col("l_orderkey") === col("o_orderkey"))
-        .filter(col("l_shipdate") > expr("o_orderdate + INTERVAL 60 DAYS"))
-        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
-        .select("l_orderkey", "l_suppkey", "s_name", "o_orderdate")
-      val l2 = lineitem(spark, sfDir)
-        .select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
-      val l3 = lineitem(spark, sfDir)
-        .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"),
-          col("l_shipdate").as("d3"))
-      l1.join(l2, col("l_orderkey") === col("k2") && col("s2") =!= col("l_suppkey"),
-          "left_semi")
-        .join(l3, col("l_orderkey") === col("k3") && col("s3") =!= col("l_suppkey")
-          && col("d3") > expr("o_orderdate + INTERVAL 60 DAYS"), "left_anti")
-        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(sum(when(late, 1L).otherwise(0L)).as("late_lines"))
+      val perOrder = perSupp.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("ns"),
+          sum(when(col("late_lines") > 0, 1L).otherwise(0L)).as("nlate"),
+          max(when(col("late_lines") > 0, col("l_suppkey"))).as("late_supp"),
+          sum(col("late_lines")).as("late_line_total"))
+        .filter(col("ns") > 1 && col("nlate") === 1)
+      perOrder
+        .join(broadcast(sn), col("late_supp") === col("s_suppkey"))
+        .groupBy("s_name").agg(sum(col("late_line_total")).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(100)
     }

@@ -48,17 +48,30 @@ class PlanSpec extends AnyFunSuite with CacheDrained {
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q degenerated to all-pairs:\n$p")
     }
-    // q21's EXISTS/NOT-EXISTS pair must stay semi/anti joins on the hashed
-    // order key (the supplier inequality and lateness predicates ride as
-    // residual conditions), never a joined-then-filtered wide join.
-    // Inspected PRE-execution: at the test sf the result is empty and AQE
-    // legitimately collapses the executed plan to EmptyRelation.
-    val p21 = SparkEntry.queries("tpch_q21")(TestSpark.spark, TestSpark.Sf)
-      .queryExecution.executedPlan.toString
-    assert(p21.contains("LeftSemi"), s"q21 EXISTS is not a semi join:\n$p21")
-    assert(p21.contains("LeftAnti"), s"q21 NOT EXISTS is not an anti join:\n$p21")
+    // q21 runs the aggregation REWRITE of the oracle's EXISTS/NOT-EXISTS
+    // pair: per-order supplier stats instead of three correlated fact
+    // passes. The scale property: at cluster scale the orders side does
+    // NOT broadcast, the fact join sort-merges on the order key, and BOTH
+    // stacked groupBys — (orderkey, suppkey) then (orderkey) — ride that
+    // partitioning (subset clustering), so neither adds an exchange.
+    // Reproduce the cluster regime by disabling broadcast; inspected
+    // PRE-execution (the test-sf result is empty → AQE collapses it).
+    val conf21 = TestSpark.spark.conf
+    val saved21 = conf21.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val p21 = try {
+      conf21.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      SparkEntry.queries("tpch_q21")(TestSpark.spark, TestSpark.Sf)
+        .queryExecution.executedPlan.toString
+    } finally conf21.set("spark.sql.autoBroadcastJoinThreshold", saved21)
     assert(!p21.contains("CartesianProduct") && !p21.contains("BroadcastNestedLoopJoin"),
       s"q21 degenerated to all-pairs:\n$p21")
+    assert(!p21.matches("(?s).*Exchange hashpartitioning\\(l_orderkey#\\d+L?, l_suppkey.*"),
+      s"q21's per-supplier groupBy re-shuffles instead of riding the join:\n$p21")
+    // fact-key exchanges = the sort-merge join's two inputs only; the
+    // aggregations above them must contribute zero more
+    val okExchanges = "Exchange hashpartitioning\\((?:l_orderkey|o_orderkey)#"
+      .r.findAllIn(p21).size
+    assert(okExchanges <= 2, s"q21 rewrite re-shuffles the fact side ($okExchanges):\n$p21")
   }
 
   test("q19's quantity band and q14's date band reach the lineitem scan") {
