@@ -78,6 +78,24 @@ object CleanOps {
           lit(""))).as("clean_md5"))
   }
 
+  /** the frequent-line md5 set (docf > maxDf) computed from the BATCH
+    * corpus — the static side of the stream-static boilerplate gate.
+    * Memoized per (session, sfDir): bounded by construction (boilerplate
+    * is the small tail of very common distinct lines). */
+  private val frequentCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), Array[String]]
+
+  private def frequentLineHashes(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, maxDf: Int): Array[String] =
+    frequentCache.getOrElseUpdate((spark, sfDir), {
+      val docs = withBoiler(graft.Tables.documents(spark, sfDir))
+      docs.select(col("doc_id"), explode(split(col("t"), "\n")).as("line"))
+        .groupBy(md5(col("line")).as("lh"))
+        .agg(countDistinct(col("doc_id")).as("docf"))
+        .filter(col("docf") > maxDf)
+        .collect().map(_.getString(0))
+    })
+
   // deterministic doc_id-derived enrichment shared by the PII queries;
   // the oracle replays it with the same closed-form expressions
   private def withPii(docs: DataFrame): DataFrame = {
@@ -99,6 +117,18 @@ object CleanOps {
       .as("t"))
   }
 
+  /** boilerplate-demo enrichment: known common lines + one unique line,
+    * appended deterministically; shared by the batch and streaming twins */
+  private def withBoiler(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    docs.select(id, concat(
+      col("text"),
+      when(id % 2 === 0, lit("\nsubscribe to our newsletter")).otherwise(""),
+      when(id % 3 === 0, lit("\nall rights reserved")).otherwise(""),
+      when(id % 10 === 0, lit("\nclick here to continue")).otherwise(""),
+      lit("\nref "), id.cast("string")).as("t"))
+  }
+
   private val PiiEnrichSql =
     """SELECT doc_id, text
       |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
@@ -106,6 +136,51 @@ object CleanOps {
       |    || CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || ' up' ELSE '' END
       |    || CASE WHEN doc_id % 11 = 0 THEN ' id 123-45-6789 on file' ELSE '' END AS t
       |  FROM documents""".stripMargin
+
+  private val StreamRunId = new java.util.concurrent.atomic.AtomicLong()
+
+  /** the redact projection shared by the batch query and its streaming
+    * twin: stateless, per-row, append-safe */
+  private def piiRedactFrame(enriched: DataFrame): DataFrame =
+    enriched.withColumn("clean", piiRedact(col("t")))
+      .filter(col("clean") =!= col("t"))
+      .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
+        (length(col("t")) - length(col("clean"))).cast("long").as("delta_len"))
+
+  /** one oracle for both the batch and streaming redact queries —
+    * streaming/batch parity is a CORRECTNESS row, not just a spec */
+  private val PiiRedactOracle: String =
+    s"WITH e AS ($PiiEnrichSql),\n" +
+      """r AS (SELECT doc_id, t,
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+      |      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+      |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean
+      |  FROM e)
+      |SELECT doc_id, md5(clean) AS clean_md5,
+      |  CAST(length(t) - length(clean) AS BIGINT) AS delta_len
+      |FROM r WHERE clean <> t ORDER BY doc_id""".stripMargin
+
+  /** one oracle for both boilerplate twins (maxDf = 100) */
+  private val BoilerOracle: String =
+    """WITH e AS (SELECT doc_id,
+      |    text
+      |    || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'subscribe to our newsletter' ELSE '' END
+      |    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'all rights reserved' ELSE '' END
+      |    || CASE WHEN doc_id % 10 = 0 THEN chr(10) || 'click here to continue' ELSE '' END
+      |    || chr(10) || 'ref ' || doc_id AS t
+      |  FROM documents),
+      |ls AS (SELECT doc_id, string_split(t, chr(10)) AS lst FROM e),
+      |lx AS (SELECT doc_id, pos, lst[pos] AS line
+      |       FROM (SELECT doc_id, lst, unnest(generate_series(1, len(lst))) AS pos FROM ls)),
+      |df AS (SELECT line, count(DISTINCT doc_id) AS docf FROM lx GROUP BY line)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(CASE WHEN docf <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  md5(coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE docf <= 100), '')) AS clean_md5
+      |FROM lx JOIN df USING (line)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val queries: Seq[GraftQuery] = Seq(
 
@@ -126,54 +201,49 @@ object CleanOps {
     },
 
     // in-place redaction; affected docs only, redacted text content-hashed
-    GraftQuery("text_pii_redact",
-      s"WITH e AS ($PiiEnrichSql),\n" +
-        """r AS (SELECT doc_id, t,
-        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |      '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
-        |      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
-        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean
-        |  FROM e)
-        |SELECT doc_id, md5(clean) AS clean_md5,
-        |  CAST(length(t) - length(clean) AS BIGINT) AS delta_len
-        |FROM r WHERE clean <> t ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
-      withPii(documents(spark, sfDir))
-        .withColumn("clean", piiRedact(col("t")))
-        .filter(col("clean") =!= col("t"))
-        .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
-          (length(col("t")) - length(col("clean"))).cast("long").as("delta_len"))
+    GraftQuery("text_pii_redact", PiiRedactOracle) { (spark, sfDir) =>
+      piiRedactFrame(withPii(documents(spark, sfDir))).orderBy("doc_id")
+    },
+
+    // streaming twin: the SAME stateless redact projection over the
+    // documents file stream (append mode, no watermark, zero state — a
+    // per-row regex pass is the ideal streaming stage), drained via
+    // AvailableNow and hash-compared against the identical batch oracle.
+    GraftQuery("stream_pii_redact", PiiRedactOracle) { (spark, sfDir) =>
+      val out = piiRedactFrame(withPii(
+        graft.streaming.StreamOps.docStream(spark, sfDir)))
+      graft.streaming.StreamOps.runAppendToCompletion(out,
+        s"stream_pii_redact_${StreamRunId.incrementAndGet()}")
         .orderBy("doc_id")
     },
 
-    // corpus-frequency boilerplate stripping: lines in >100 of 500 docs
-    // are removed; reassembled text is content-hashed per doc
-    GraftQuery("text_strip_boilerplate",
-      """WITH e AS (SELECT doc_id,
-        |    text
-        |    || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'subscribe to our newsletter' ELSE '' END
-        |    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'all rights reserved' ELSE '' END
-        |    || CASE WHEN doc_id % 10 = 0 THEN chr(10) || 'click here to continue' ELSE '' END
-        |    || chr(10) || 'ref ' || doc_id AS t
-        |  FROM documents),
-        |ls AS (SELECT doc_id, string_split(t, chr(10)) AS lst FROM e),
-        |lx AS (SELECT doc_id, pos, lst[pos] AS line
-        |       FROM (SELECT doc_id, lst, unnest(generate_series(1, len(lst))) AS pos FROM ls)),
-        |df AS (SELECT line, count(DISTINCT doc_id) AS docf FROM lx GROUP BY line)
-        |SELECT doc_id,
-        |  CAST(count(*) AS BIGINT) AS n_lines,
-        |  CAST(sum(CASE WHEN docf <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |  md5(coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE docf <= 100), '')) AS clean_md5
-        |FROM lx JOIN df USING (line)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
-      val id = col("doc_id")
-      val enriched = documents(spark, sfDir).select(id, concat(
-        col("text"),
-        when(id % 2 === 0, lit("\nsubscribe to our newsletter")).otherwise(""),
-        when(id % 3 === 0, lit("\nall rights reserved")).otherwise(""),
-        when(id % 10 === 0, lit("\nclick here to continue")).otherwise(""),
-        lit("\nref "), id.cast("string")).as("t"))
-      stripBoilerplateLines(enriched, "t", maxDf = 100).orderBy("doc_id")
+    // corpus-frequency boilerplate stripping: lines in >100 docs are
+    // removed; reassembled text is content-hashed per doc
+    GraftQuery("text_strip_boilerplate", BoilerOracle) { (spark, sfDir) =>
+      stripBoilerplateLines(withBoiler(documents(spark, sfDir)), "t", maxDf = 100)
+        .orderBy("doc_id")
+    },
+
+    // streaming twin — the stream-STATIC split of the same operator: the
+    // frequent-line set is a batch-computed corpus statistic (bounded,
+    // memoized, collected once), and the stream applies it as a PER-ROW
+    // higher-order filter over the row's own line array — no explode, no
+    // shuffle, no state; per-doc reassembly never leaves the row. The
+    // identical batch oracle hash-checks the parity.
+    GraftQuery("stream_strip_boilerplate", BoilerOracle) { (spark, sfDir) =>
+      val bad = frequentLineHashes(spark, sfDir, maxDf = 100)
+      val lines = split(col("t"), "\n")
+      val keptArr =
+        if (bad.isEmpty) lines
+        else filter(lines, l => !md5(l).isin(bad.toSeq: _*))
+      val out = withBoiler(graft.streaming.StreamOps.docStream(spark, sfDir))
+        .select(col("doc_id"),
+          size(lines).cast("long").as("n_lines"),
+          size(keptArr).cast("long").as("n_kept"),
+          md5(array_join(keptArr, "\n")).as("clean_md5"))
+      graft.streaming.StreamOps.runAppendToCompletion(out,
+        s"stream_strip_boilerplate_${StreamRunId.incrementAndGet()}")
+        .orderBy("doc_id")
     }
   )
 }

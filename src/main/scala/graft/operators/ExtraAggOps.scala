@@ -271,6 +271,61 @@ object ExtraAggOps {
         array_join(slice(col("acl"), 1, 2), "|").as("first_two"),
         array_position(col("acl"), "other::r--").cast("int").as("other_pos"))
         .orderBy("file")
+    },
+
+    // equi-depth bucketing (feature binning): ntile(10) per event type
+    // over the value in integer cents, total-ordered by (value, event_id)
+    // so both engines cut identical bucket boundaries. Published as
+    // (type, bucket) → count + [lo, hi] cents. At 100 TB the exact
+    // windowed form gives way to approx_percentile cut points (the
+    // agg_percentiles exposure) — this is the exact-tier exposure of the
+    // same binning operator, like the other window queries.
+    GraftQuery("events_ntile_buckets",
+      """SELECT event_type, bucket, count(*) AS n,
+        |  CAST(min(v) AS BIGINT) AS lo_cents, CAST(max(v) AS BIGINT) AS hi_cents
+        |FROM (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v,
+        |        ntile(10) OVER (PARTITION BY event_type
+        |                        ORDER BY CAST(floor(value * 100) AS BIGINT), event_id) AS bucket
+        |      FROM events)
+        |GROUP BY event_type, bucket ORDER BY event_type, bucket""".stripMargin) { (spark, sfDir) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = floor(col("value") * 100).cast("long")
+      val w = Window.partitionBy("event_type").orderBy(col("v"), col("event_id"))
+      graft.Tables.events(spark, sfDir)
+        .select(col("event_type"), v.as("v"), col("event_id"))
+        .withColumn("bucket", ntile(10).over(w))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n"), min("v").as("lo_cents"), max("v").as("hi_cents"))
+        .orderBy("event_type", "bucket")
+    },
+
+    // join-key skew profiler — the 100 TB pre-flight diagnostic: per-key
+    // cardinality of the fact table's join key, ranked, with each hot
+    // key's corpus share in exact ppm. One hash agg (map-side combined)
+    // + a TakeOrdered top-20; the global total is a broadcast single row.
+    // This is what decides salting / AQE skew thresholds before a big
+    // join, as a first-class oracled operator rather than a notebook.
+    GraftQuery("prof_key_skew",
+      """WITH k AS (SELECT l_orderkey AS key, CAST(count(*) AS BIGINT) AS cnt
+        |           FROM lineitem GROUP BY 1),
+        |s AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM k),
+        |top AS (SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rnk
+        |        FROM k)
+        |SELECT rnk, key, cnt,
+        |  CAST(cnt * 1000000 // (SELECT total FROM s) AS BIGINT) AS share_ppm
+        |FROM top WHERE rnk <= 20 ORDER BY rnk""".stripMargin) { (spark, sfDir) =>
+      import org.apache.spark.sql.expressions.Window
+      val k = lineitem(spark, sfDir)
+        .groupBy(col("l_orderkey").as("key")).agg(count(lit(1)).as("cnt"))
+      val tot = k.agg(sum("cnt").as("total"))
+      // TakeOrdered keeps the top slice distributed; the rank window then
+      // runs on 20 rows, never on the full key population
+      k.orderBy(col("cnt").desc, col("key")).limit(20)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("cnt").desc, col("key"))))
+        .join(broadcast(tot))
+        .selectExpr("rnk", "key", "cnt", "(cnt * 1000000) DIV total AS share_ppm")
+        .orderBy("rnk")
     }
   )
 }

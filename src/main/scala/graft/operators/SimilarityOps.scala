@@ -726,16 +726,19 @@ object SimilarityOps {
     * tail of every ANN variant: norms computed once per vector before the
     * pair join, 6-dp round before ranking so engines order identically. */
   private[operators] def rerankCands(spark: SparkSession, sfDir: String,
-      cands: DataFrame): DataFrame = {
+      cands: DataFrame, maxSim: Option[Double] = None): DataFrame = {
     val e = embeddings(spark, sfDir)
     val q = e.select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qe"))
       .withColumn("nq", norm(col("qe")))
     val c = e.select(col("vec_id").as("nid"), toDouble(col("embedding")).as("ne"))
       .withColumn("nn", norm(col("ne")))
     val w = Window.partitionBy("qid").orderBy(col("sim6").desc, col("nid"))
-    cands.join(broadcast(q), Seq("qid")).join(c, Seq("nid"))
+    val scored = cands.join(broadcast(q), Seq("qid")).join(c, Seq("nid"))
       .select(col("qid"), col("nid"),
         round(dot(col("qe"), col("ne")) / (col("nq") * col("nn")), 6).as("sim6"))
+    // maxSim: exclusive upper bound applied BEFORE ranking — the
+    // hard-negative miner's "similar but not a positive" cut
+    maxSim.fold(scored)(t => scored.filter(col("sim6") < t))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= TopK)
       .select("qid", "rnk", "nid", "sim6")
@@ -1106,6 +1109,41 @@ object SimilarityOps {
       val cands = ivfCandidates(spark, sfDir)
         .union(lshCandidates(spark, sfDir)).distinct()
       rerankCands(spark, sfDir, cands).orderBy("qid", "rnk")
+    },
+
+    // hard-negative mining for contrastive training: per query, the
+    // top-k MOST similar candidates strictly below the near-dup
+    // threshold — similar enough to be hard, not similar enough to be a
+    // false negative (a positive mislabeled as negative). Runs on the
+    // hybrid IVF∪LSH candidate union with the shared exact re-rank, so
+    // the miner inherits the production candidate machinery instead of a
+    // brute-force pair scan; the τ cut applies BEFORE ranking in both
+    // engines.
+    GraftQuery("sim_hard_negatives",
+      s"""WITH $ivfOracleCtes,
+         |$lshCandOracleCtes,
+         |u AS (SELECT qid, nid FROM cands
+         |      UNION SELECT qid, nid FROM lcands),
+         |hp AS (SELECT u.qid, u.nid,
+         |        round(list_sum(list_transform(generate_series(1, 64),
+         |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         |          / (sqrt(list_sum(list_transform(generate_series(1, 64),
+         |               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+         |           * sqrt(list_sum(list_transform(generate_series(1, 64),
+         |               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+         |          , 6) AS sim6
+         |      FROM u
+         |      JOIN embeddings a ON a.vec_id = u.qid
+         |      JOIN embeddings b ON b.vec_id = u.nid),
+         |hr AS (SELECT qid, nid, sim6,
+         |        row_number() OVER (PARTITION BY qid ORDER BY sim6 DESC, nid) AS rnk
+         |      FROM hp WHERE sim6 < $NearDupThreshold)
+         |SELECT qid, rnk, nid, sim6 FROM hr WHERE rnk <= $TopK
+         |ORDER BY qid, rnk""".stripMargin) { (spark, sfDir) =>
+      val cands = ivfCandidates(spark, sfDir)
+        .union(lshCandidates(spark, sfDir)).distinct()
+      rerankCands(spark, sfDir, cands, maxSim = Some(NearDupThreshold))
+        .orderBy("qid", "rnk")
     }
   )
 
