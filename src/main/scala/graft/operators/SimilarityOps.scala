@@ -40,6 +40,8 @@ object SimilarityOps {
     * would prefer. */
   val MaxNearDupTables = 256
 
+  private val StreamRunSeq = new java.util.concurrent.atomic.AtomicLong()
+
   /** Derive the LSH shape (tables, bits) for a threshold — and, when the
     * corpus size is known, for that size.
     *
@@ -967,6 +969,31 @@ object SimilarityOps {
          |SELECT vec_id, c AS cluster FROM ranked WHERE r = 1
          |ORDER BY vec_id""".stripMargin) { (spark, sfDir) =>
       kmeansAssign(spark, sfDir).orderBy("vec_id")
+    },
+
+    // streaming index maintenance: newly arriving vectors classified
+    // into their inverted list by the BATCH-trained codebook (the
+    // memoized k-means model) — the continuous-ingestion half of the IVF
+    // index. The assignment is the same single CentroidArgmin codegen
+    // pass, stateless in append mode (no watermark, no shuffle, no
+    // state), so an unbounded vector stream indexes at scan throughput;
+    // the identical batch oracle hash-checks the parity. Codebook
+    // RETRAINING stays a batch concern (the model is a corpus snapshot),
+    // which is exactly how production IVF services roll their indexes.
+    GraftQuery("stream_kmeans_assign",
+      s"""WITH $kmeansOracleCtes
+         |SELECT vec_id, c AS cluster FROM ranked WHERE r = 1
+         |ORDER BY vec_id""".stripMargin) { (spark, sfDir) =>
+      val cb = kmeansCodebook(spark, sfDir)
+      val s = spark.readStream
+        .schema(Tables.embeddings(spark, sfDir).schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sfDir)
+      val out = s.select(col("vec_id"),
+        graft.functions.CentroidArgmin.centroidArgmin(col("embedding"), cb).as("cluster"))
+      graft.streaming.StreamOps.runAppendToCompletion(out,
+        s"stream_kmeans_assign_${StreamRunSeq.incrementAndGet()}")
+        .orderBy("vec_id")
     },
 
     // SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup with the
