@@ -15,7 +15,8 @@ object SparkEntry {
       DedupOps.queries ++ SimilarityOps.queries ++ EventOps.queries ++
       MultimodalOps.queries ++ SqlOps.queries ++ ExtraAggOps.queries ++
       TrainPrepOps.queries ++ RankOps.queries ++ SketchOps.queries ++
-      LayoutOps.queries ++ CleanOps.queries ++ PqOps.queries
+      LayoutOps.queries ++ CleanOps.queries ++ PqOps.queries ++
+      BpeOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Distinct-identities pipeline (§7.2 step 1): scan → project → explode →

@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.Tables
+
+/** Distributed byte-pair-encoding tokenizer training (Sennrich et al.,
+  * ACL'16) — the vocabulary-induction step of an LLM data pipeline, as a
+  * Spark-first iteration (north-star op; no counterpart in the reference).
+  *
+  * Shape for 100 TB: ONE corpus-sized pass (word extraction → word-count
+  * hash aggregation, combiner-friendly, shuffles only distinct words);
+  * every merge round after that operates on the BOUNDED vocabulary table
+  * (≤ a few million rows regardless of corpus size — this is how
+  * industrial BPE trainers scale, they train on word counts, not tokens).
+  * Per round: one vocab-sized pair-count aggregation, a top-1 ordered agg
+  * (1-row collect, bounded), and a per-word greedy re-merge projection.
+  * Rounds are chained through eager localCheckpoints (the [[GraphOps]]
+  * hygiene: ≤2 live checkpoint RDDs, lineage never deepens).
+  *
+  * The greedy left-to-right merge is a fold: scanning tokens once,
+  * merging when the accumulator's LAST token is `l` and the incoming
+  * token is `r`. Because a merged token `l+r` can never re-equal `l`
+  * (strictly longer), the fold is exactly the greedy non-overlapping
+  * scan — including the `l==r` run case ("aaa" → [aa, a]). The oracle
+  * replays the identical fold via DuckDB `list_reduce` over a
+  * US(0x1f)-delimited accumulator, so token boundaries stay explicit and
+  * the learned merge table is bit-comparable.
+  */
+object BpeOps {
+
+  /** merge rounds learned (and unrolled in the oracle CTE chain) */
+  private[graft] val Rounds = 10
+
+  /** doc-prefix length encoded by text_bpe_encode (bounds the per-doc fold) */
+  private val EncodeChars = 120
+
+  /** token separator inside the fold accumulator: US, not in [a-z_] */
+  private val Sep = ""
+
+  // ---------------------------------------------------------------- Spark
+
+  /** distinct corpus words with counts and initial char+end-marker tokens */
+  private def wordTable(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("word"))
+      .groupBy("word").agg(count(lit(1)).cast("long").as("cnt"))
+      .withColumn("toks",
+        expr("array_append(transform(sequence(1, length(word)), i -> substr(word, i, 1)), '_')"))
+
+  /** greedy non-overlapping merge of adjacent (l, r) into l+r, as a fold */
+  private def mergeCol(toks: Column, l: String, r: String): Column =
+    split(
+      aggregate(toks, lit(""), (acc, t) =>
+        when((acc === lit(l) || acc.endsWith(Sep + l)) && t === lit(r),
+          concat(acc, lit(r)))
+          .otherwise(when(acc === lit(""), t)
+            .otherwise(concat(acc, lit(Sep), t)))),
+      Sep)
+
+  /** adjacent-pair counts (overlapping occurrences, standard BPE) */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words
+      .select(col("cnt"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> named_struct('l', element_at(toks, i), 'r', element_at(toks, i + 1)))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum("cnt").cast("long").as("c"))
+
+  private case class Merge(round: Long, l: String, r: String, c: Long)
+
+  /** run the training loop; returns (learned merges, final word table) */
+  private def train(spark: SparkSession, sfDir: String): (Seq[Merge], DataFrame) = {
+    var words = wordTable(spark, sfDir).localCheckpoint(true)
+    val merges = Seq.newBuilder[Merge]
+    for (round <- 1 to Rounds) {
+      // deterministic top pair: count desc, then lexicographic (ASCII)
+      val top = pairCounts(words)
+        .orderBy(desc("c"), asc("l"), asc("r")).limit(1)
+        .collect()(0) // bounded: exactly one row
+      val (l, r, c) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += Merge(round.toLong, l, r, c)
+      val next = words
+        .withColumn("toks", mergeCol(col("toks"), l, r))
+        .localCheckpoint(true)
+      words.unpersist(blocking = false)
+      words = next
+    }
+    (merges.result(), words)
+  }
+
+  // --------------------------------------------------------------- oracle
+
+  private def mergeSql(toks: String, l: String, r: String): String =
+    s"""string_split(list_reduce($toks,
+       |  (acc, t) -> CASE WHEN (acc = $l OR ends_with(acc, chr(31) || $l)) AND t = $r
+       |                   THEN acc || $r
+       |                   ELSE acc || chr(31) || t END), chr(31))""".stripMargin
+
+  /** the unrolled w0 → (p1, w1) → … → (pR, wR) training chain */
+  private def chainSql: String = {
+    val sb = new StringBuilder(
+      """WITH w0 AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+        |    list_append(list_transform(generate_series(1, length(word)),
+        |                               i -> substr(word, i, 1)), '_') AS toks
+        |  FROM (SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS word
+        |        FROM documents)
+        |  GROUP BY word
+        |)""".stripMargin)
+    for (k <- 1 to Rounds) {
+      sb.append(s""",
+        |p$k AS (
+        |  SELECT l, r, c FROM (
+        |    SELECT toks[i] AS l, toks[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS c
+        |    FROM w${k - 1}, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+        |    GROUP BY 1, 2)
+        |  ORDER BY c DESC, l, r LIMIT 1
+        |),
+        |w$k AS (
+        |  SELECT word, cnt, ${mergeSql("toks", "p.l", "p.r")} AS toks
+        |  FROM w${k - 1}, p$k p
+        |)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  private def mergesOracle: String = {
+    val union = (1 to Rounds)
+      .map(k => s"SELECT $k AS round, l AS left_tok, r AS right_tok, c AS pair_count FROM p$k")
+      .mkString("\n  UNION ALL ")
+    s"""$chainSql
+       |SELECT CAST(round AS BIGINT) AS round, left_tok, right_tok, pair_count
+       |FROM ($union) ORDER BY round""".stripMargin
+  }
+
+  private def vocabOracle: String =
+    s"""$chainSql
+       |SELECT tok, CAST(sum(cnt) AS BIGINT) AS freq
+       |FROM w$Rounds, unnest(toks) AS u(tok)
+       |GROUP BY tok ORDER BY freq DESC, tok LIMIT 30""".stripMargin
+
+  private def encodeOracle: String = {
+    val sb = new StringBuilder(chainSql)
+    sb.append(s""",
+      |d0 AS (
+      |  SELECT doc_id, list_transform(generate_series(1, length(substr(text, 1, $EncodeChars))),
+      |                                i -> substr(substr(text, 1, $EncodeChars), i, 1)) AS toks
+      |  FROM documents
+      |)""".stripMargin)
+    for (k <- 1 to Rounds)
+      sb.append(s""",
+        |d$k AS (
+        |  SELECT doc_id, ${mergeSql("toks", "p.l", "p.r")} AS toks
+        |  FROM d${k - 1}, p$k p
+        |)""".stripMargin)
+    sb.append(s"""
+      |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  md5(list_aggregate(list_transform(toks, t -> CAST(t AS VARCHAR)), 'string_agg', chr(31))) AS toks_md5
+      |FROM d$Rounds ORDER BY doc_id""".stripMargin)
+    sb.toString
+  }
+
+  // -------------------------------------------------------------- queries
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // the learned merge table — the tokenizer-training deliverable
+    GraftQuery("text_bpe_merges", mergesOracle, bench = true) { (spark, sfDir) =>
+      val (merges, words) = train(spark, sfDir)
+      words.unpersist(blocking = false)
+      import spark.implicits._
+      // tuples, not the private case class: Janino cannot codegen an
+      // encoder against private accessors
+      merges.map(m => (m.round, m.l, m.r, m.c))
+        .toDF("round", "left_tok", "right_tok", "pair_count")
+    },
+
+    // the induced subword vocabulary (corpus-weighted top 30)
+    GraftQuery("text_bpe_vocab", vocabOracle) { (spark, sfDir) =>
+      val (_, words) = train(spark, sfDir)
+      val out = words
+        .select(col("cnt"), explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(sum("cnt").cast("long").as("freq"))
+        .orderBy(desc("freq"), asc("tok")).limit(30)
+      out
+    },
+
+    // the tokenizer APPLIED: encode each doc prefix with the learned
+    // merges in training order (char-level fold per round, corpus-linear)
+    GraftQuery("text_bpe_encode", encodeOracle) { (spark, sfDir) =>
+      val (merges, words) = train(spark, sfDir)
+      words.unpersist(blocking = false)
+      val prefix = substring(col("text"), 1, EncodeChars)
+      val chars = expr(
+        s"transform(sequence(1, length(substr(text, 1, $EncodeChars))), i -> substr(substr(text, 1, $EncodeChars), i, 1))")
+      val toks = merges.foldLeft(chars: Column)((c, m) => mergeCol(c, m.l, m.r))
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          md5(concat_ws(Sep, col("toks"))).as("toks_md5"))
+    }
+  )
+}

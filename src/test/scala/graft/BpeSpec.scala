@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Independent (plain-Scala) recompute of the distributed BPE trainer —
+  * pins the greedy-merge and tie-break semantics against a third
+  * implementation, beyond the DuckDB fold oracle. */
+class BpeSpec extends AnyFunSuite with CacheDrained {
+
+  /** reference greedy non-overlapping left-to-right merge */
+  private def merge(toks: Vector[String], l: String, r: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < toks.length) {
+      if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** reference trainer: word counts → R rounds of (top pair, merge) */
+  private def referenceTrain(corpus: Seq[String], rounds: Int)
+      : (Seq[(String, String, Long)], Map[Vector[String], Long]) = {
+    val words = corpus
+      .flatMap(t => "[a-z]+".r.findAllIn(t))
+      .groupBy(identity).map { case (w, ws) =>
+        (w.map(_.toString).toVector :+ "_") -> ws.size.toLong
+      }
+    var state = words
+    val merges = Seq.newBuilder[(String, String, Long)]
+    for (_ <- 1 to rounds) {
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      state.foreach { case (toks, cnt) =>
+        toks.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + cnt
+          case _         =>
+        }
+      }
+      val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+      merges += ((l, r, c))
+      state = state.map { case (toks, cnt) => merge(toks, l, r) -> cnt }
+    }
+    (merges.result(), state)
+  }
+
+  test("text_bpe_merges equals a plain-Scala reference BPE trainer") {
+    val spark = TestSpark.spark
+    val corpus = Tables.documents(spark, TestSpark.Sf)
+      .select("text").collect().map(_.getString(0)).toSeq
+    val (expected, _) = referenceTrain(corpus, graft.operators.BpeOps.Rounds)
+    val got = SparkEntry.queries("text_bpe_merges")(spark, TestSpark.Sf)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // the learned merges are real subwords, not all single chars
+    assert(expected.exists { case (l, r, _) => (l + r).length > 2 })
+  }
+
+  test("greedy fold handles the l==r run-overlap case like the reference") {
+    // "aaa" must merge to [aa, a], not [aa, aa] — the fold's merged token
+    // can never re-match l, which is exactly the greedy scan's skip
+    assert(merge(Vector("a", "a", "a"), "a", "a") == Vector("aa", "a"))
+    assert(merge(Vector("a", "a", "a", "a"), "a", "a") == Vector("aa", "aa"))
+  }
+
+  test("text_bpe_encode token counts stay within the prefix bound and compress") {
+    val spark = TestSpark.spark
+    val docs = Tables.documents(spark, TestSpark.Sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = SparkEntry.queries("text_bpe_encode")(spark, TestSpark.Sf).collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val prefix = docs(r.getLong(0)).take(120)
+      val n = r.getLong(1)
+      // merging only ever joins adjacent tokens: count in (0, |prefix|]
+      assert(n <= prefix.length && (prefix.isEmpty || n > 0))
+    }
+    // merges fire somewhere: at least one doc compresses below char count
+    assert(rows.exists(r => r.getLong(1) < docs(r.getLong(0)).take(120).length))
+  }
+
+  test("text_bpe_vocab carries the learned subwords with exact frequencies") {
+    val spark = TestSpark.spark
+    val corpus = Tables.documents(spark, TestSpark.Sf)
+      .select("text").collect().map(_.getString(0)).toSeq
+    val (_, finalState) = referenceTrain(corpus, graft.operators.BpeOps.Rounds)
+    val expected = finalState.toSeq
+      .flatMap { case (toks, cnt) => toks.map(_ -> cnt) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .toSeq.sortBy { case (t, f) => (-f, t) }.take(30)
+    val got = SparkEntry.queries("text_bpe_vocab")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected)
+    assert(got.exists(_._1.length > 1), "vocab contains a learned multi-char subword")
+  }
+}
