@@ -237,6 +237,37 @@ object EventOps {
           row_number().over(Window.partitionBy("user_id").orderBy("start_us")).cast("long"))
         .select("user_id", "sid", "start_us", "end_us", "n")
         .orderBy("user_id", "sid")
+    },
+
+    // Time-series gap fill (resample to a daily grid): per-user daily event
+    // counts with every missing day inside the user's active span emitted
+    // as an explicit zero — the densification step feature pipelines and
+    // forecasting models need before lag/rolling features make sense.
+    // Distributed shape: one hash agg to daily counts, a per-user span agg,
+    // then sequence()+explode generates each user's calendar WITH the row
+    // (no driver-side date range, no cross join against a global calendar
+    // dimension — at 100 TB the global calendar × users cross join is the
+    // naive trap; here each user only materializes their own span) and a
+    // co-partitioned left join fills the zeros.
+    GraftQuery("events_gap_fill",
+      """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1),
+        |cal AS (SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |        FROM span)
+        |SELECT c.user_id, c.day, coalesce(d.n, 0) AS n
+        |FROM cal c LEFT JOIN d ON d.user_id = c.user_id AND d.day = c.day
+        |ORDER BY c.user_id, c.day""".stripMargin) { (spark, sfDir) =>
+      val daily = Tables.events(spark, sfDir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val cal = daily.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      cal.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("user_id", "day")
     }
   )
 }

@@ -120,4 +120,55 @@ object GraphOps {
     graft.CacheTracker.trackCheckpointed(r)
     r
   }
+
+  /** Exact triangle enumeration over an undirected simple graph given as a
+    * canonical (u, v) pair list (u < v, distinct). Returns one row per
+    * triangle, members sorted ascending as (a, b, c).
+    *
+    * Execution uses DEGREE-ORDERED orientation: every edge is directed
+    * from its lower-(degree, id) endpoint, wedges are enumerated from each
+    * node's out-edges, and a wedge (b, c) counts only if the oriented edge
+    * b→c exists. Orientation caps every out-degree at O(√m) on any graph,
+    * so wedge fan-out is Σ C(outdeg, 2) = O(m^1.5) worst case — the classic
+    * fix for hub explosion (a celebrity node with degree d contributes
+    * C(d, 2) wedges under id-ordering but ~0 as a wedge CENTER under degree
+    * ordering, because all its edges point INTO it). The oracle enumerates
+    * the same triangle set with the simple id-orientation 3-way join; the
+    * set is orientation-independent, so hash equality holds while the
+    * engine runs the skew-safe plan. Three shuffles total: the degree agg
+    * and the two equi-joins (wedge build + closure probe). */
+  /** the orientation step of [[triangles]], exposed for the skew spec:
+    * each undirected (u, v) edge becomes (src, dst, ddst) directed from
+    * its lower-(degree, id) endpoint, ddst = degree(dst) */
+  private[graft] def orientByDegree(ue: DataFrame): DataFrame = {
+    val e0 = ue.select(col("u"), col("v"))
+    val deg = e0.select(col("u").as("node"))
+      .unionByName(e0.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = e0
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val uFirst = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("src"),
+      when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
+  }
+
+  def triangles(ue: DataFrame): DataFrame = {
+    val oriented = orientByDegree(ue)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val o1 = oriented.select(col("src"), col("dst").as("b"), col("ddst").as("db"))
+    val o2 = oriented.select(col("src"), col("dst").as("c"), col("ddst").as("dc"))
+    val wedges = o1.join(o2, "src")
+      .filter(col("db") < col("dc") || (col("db") === col("dc") && col("b") < col("c")))
+    val closed = wedges.join(
+      oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+    val tri = closed
+      .select(array_sort(array(col("src"), col("b"), col("c"))).as("t"))
+      .select(col("t").getItem(0).as("a"), col("t").getItem(1).as("b"),
+        col("t").getItem(2).as("c"))
+    graft.CacheTracker.track(oriented)
+    tri
+  }
 }

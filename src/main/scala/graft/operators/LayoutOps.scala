@@ -31,6 +31,10 @@ object LayoutOps {
   private def zorderSql(a: String, b: String): String =
     s"(${spreadSql(a)} | (${spreadSql(b)} << 1))"
 
+  /** compaction target bytes — sized so sf0.01 directories yield multi-
+    * group plans (the 128 MiB analogue at fixture file sizes) */
+  val CompactTarget: Long = 64000000L
+
   val queries: Seq[GraftQuery] = Seq(
 
     // the clustering key itself, per row — interleaving the part and
@@ -76,6 +80,41 @@ object LayoutOps {
           min("l_partkey").as("pk_min"), max("l_partkey").as("pk_max"),
           min("l_orderkey").as("ok_min"), max("l_orderkey").as("ok_max"))
         .orderBy("zbucket")
+    },
+
+    // Small-files compaction planner — the table-maintenance operator every
+    // lakehouse runs: within each directory, walk files in name order and
+    // assign each to merge group floor(bytes-before-it / target), so every
+    // group holds ~target bytes (one file may straddle a boundary; a group
+    // overshoots by at most one file). Output is the rewrite manifest
+    // (directory, group, file count, bytes) a compactor executes.
+    // Distributed shape: ONE window cumsum partitioned by directory (per-
+    // directory file counts are bounded — the same reason the reference
+    // bin-packs directories, generate-file-list.py:19-50) + one hash agg.
+    // No global sort, no driver state; at 100 TB each directory's plan is
+    // independent, so the job parallelizes over directories.
+    GraftQuery("layout_compact_plan",
+      s"""WITH ${graft.fixtures.RefFixtures.InvFilesCte},
+         |w AS (SELECT parent_directory, name, length,
+         |        CAST(sum(length) OVER (PARTITION BY parent_directory ORDER BY name
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |          - length AS cum_before
+         |      FROM invf)
+         |SELECT parent_directory, CAST(cum_before // $CompactTarget AS BIGINT) AS grp_id,
+         |  count(*) AS n_files, CAST(sum(length) AS BIGINT) AS grp_bytes
+         |FROM w GROUP BY 1, 2
+         |ORDER BY parent_directory, grp_id""".stripMargin,
+      bench = true) { (spark, sfDir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("parent_directory").orderBy("name")
+        .rowsBetween(Long.MinValue, 0)
+      graft.fixtures.RefFixtures.invFiles(spark, sfDir)
+        .select(col("parent_directory"), col("name"), col("length"))
+        .withColumn("cum_before", sum("length").over(w) - col("length"))
+        .groupBy(col("parent_directory"),
+          expr(s"cum_before DIV $CompactTarget").as("grp_id"))
+        .agg(count(lit(1)).as("n_files"), sum("length").as("grp_bytes"))
+        .orderBy("parent_directory", "grp_id")
     }
   )
 }

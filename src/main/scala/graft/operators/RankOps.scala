@@ -71,5 +71,41 @@ object RankOps {
       GraphOps.pageRank(edges, Iters, Scale)
         .select(col("node"), col("rank").as("rank_ppb"))
         .orderBy(col("rank_ppb").desc, col("node"))
+    },
+
+    // Exact per-node triangle counts over the part co-purchase graph
+    // (parts sharing an order = an undirected edge) — the community-density
+    // signal a recommender / taxonomy pipeline derives before clustering.
+    // Edge build is a self-join co-partitioned on l_orderkey with per-order
+    // fan-out bounded by order size; enumeration runs the degree-ordered
+    // orientation in GraphOps.triangles (wedge fan-out O(m^1.5) on ANY
+    // degree distribution), while the oracle replays the same triangle set
+    // with the textbook id-ordered 3-way join — the set is orientation-
+    // independent, so hash equality proves the skew-safe plan correct.
+    GraftQuery("graph_triangles",
+      """WITH ue AS (SELECT l1.l_partkey AS u, l2.l_partkey AS v
+        |            FROM lineitem l1 JOIN lineitem l2
+        |              ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        |            GROUP BY 1, 2),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM ue e1 JOIN ue e2 ON e2.u = e1.v
+        |             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |pern AS (SELECT node, count(*) AS tri FROM (
+        |    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) t
+        |  GROUP BY node)
+        |SELECT node, CAST(tri AS BIGINT) AS n_triangles
+        |FROM pern ORDER BY node""".stripMargin,
+      bench = true) { (spark, sfDir) =>
+      val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
+      val ue = li.as("l1").join(li.as("l2"),
+          col("l1.l_orderkey") === col("l2.l_orderkey") &&
+            col("l1.l_partkey") < col("l2.l_partkey"))
+        .select(col("l1.l_partkey").as("u"), col("l2.l_partkey").as("v"))
+        .distinct()
+      GraphOps.triangles(ue)
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+        .orderBy("node")
     })
 }

@@ -125,6 +125,40 @@ object RelationalOps {
         .select("r_name", "n_name").orderBy("r_name", "n_name")
     },
 
+    // Fuzzy record linkage (blocked edit-distance join) — the entity-
+    // resolution primitive: find name pairs within edit distance 3,
+    // BLOCKED on the name's second token so the quadratic comparison runs
+    // only inside blocks, never across the corpus. The linkage runs on the
+    // DISTINCT-name dimension (names are a vocabulary, bounded ≪ corpus at
+    // 100 TB — the row side carries each name's support count instead of
+    // exploding per-row pairs); within-block pairing is an equi-join on
+    // the block key with a levenshtein post-filter — no cross join in the
+    // plan. Residual risk is a mega-block (a stop-word block key), handled
+    // in practice by block-key salting/length buckets; block sizes here
+    // are vocabulary-bounded.
+    GraftQuery("join_fuzzy",
+      """WITH p AS (SELECT p_name, split_part(p_name, ' ', 2) AS blk,
+        |             count(*) AS n FROM part GROUP BY 1, 2)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+        |  a.n AS n_a, b.n AS n_b
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin) { (spark, sfDir) =>
+      val p = part(spark, sfDir)
+        .groupBy(col("p_name"), split(col("p_name"), " ").getItem(1).as("blk"))
+        .agg(count(lit(1)).as("n"))
+      val a = p.select(col("p_name").as("name_a"), col("blk"), col("n").as("n_a"))
+      val b = p.select(col("p_name").as("name_b"), col("blk"), col("n").as("n_b"))
+      a.join(b, Seq("blk"))
+        .filter(col("name_a") < col("name_b") &&
+          levenshtein(col("name_a"), col("name_b")) <= 3)
+        .select(col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"),
+          col("n_a"), col("n_b"))
+        .orderBy("name_a", "name_b")
+    },
+
     // set operations: intersect / except / union-distinct (§2.7)
     GraftQuery("setops",
       """SELECT 'exc' AS op, k FROM (

@@ -417,6 +417,62 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Bigram-LM perplexity filter (the CCNet/KenLM quality gate reduced to
+    // an integer-exact serving shape): score every document by its mean
+    // conditional surprisal under the corpus's own add-one-smoothed bigram
+    // model, p(w2|w1) = (c(w1w2)+1) / (c(w1·)+V). The per-bigram surprisal
+    // is floor(log2(1024/p)) computed WITHOUT libm — floor-div the scaled
+    // inverse probability, then floor(log2(x)) = length(bin(x)) - 1, exact
+    // integer bit arithmetic both engines agree on at every value (a float
+    // Σ-ln p would hinge on cross-engine ULP agreement under round()).
+    // High mean = improbable token transitions = the gibberish/boilerplate
+    // tail a perplexity filter drops. Shape: explode bigrams once, two
+    // hash-agg count tables, re-join the stream on (w1,w2) — the history
+    // counts and the V scalar broadcast; the bigram-count join is a plain
+    // equi-join because the bigram vocabulary is corpus-sized at 100 TB.
+    GraftQuery("text_perplexity",
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
+        |b AS (SELECT doc_id,
+        |        unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i])) AS w1,
+        |        unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i + 1])) AS w2
+        |      FROM t),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2),
+        |cu AS (SELECT w1, count(*) AS cu FROM b GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w1) AS v FROM
+        |        (SELECT w1 FROM b UNION ALL SELECT w2 FROM b) u(w1)),
+        |s AS (SELECT b.doc_id,
+        |        length(bin(((cu.cu + (SELECT v FROM v)) * 1024) // (cb.cb + 1))) - 1 AS bits10
+        |      FROM b JOIN cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
+        |             JOIN cu ON cu.w1 = b.w1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(bits10) AS BIGINT) AS sum_bits10,
+        |  CAST((sum(bits10) * 100) // count(*) AS BIGINT) AS mean_cbits
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      bench = true) { (spark, sfDir) =>
+      val bi = docs(spark, sfDir)
+        .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), " +
+            "(a, b) -> struct(a AS w1, b AS w2))")).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      val cu = bi.groupBy("w1").agg(count(lit(1)).as("cu"))
+      val v = bi.select(col("w1")).unionByName(bi.select(col("w2").as("w1")))
+        .agg(countDistinct("w1").as("v"))
+      bi.join(cb, Seq("w1", "w2"))
+        .join(broadcast(cu), Seq("w1"))
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"),
+          (length(bin(expr("((cu + v) * 1024) DIV (cb + 1)"))) - 1)
+            .cast("long").as("bits10"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("bits10").as("sum_bits10"))
+        .select(col("doc_id"), col("n_bigrams"), col("sum_bits10"),
+          expr("(sum_bits10 * 100) DIV n_bigrams").as("mean_cbits"))
+        .orderBy("doc_id")
+    },
+
     // vocabulary building: top tokens by document frequency
     GraftQuery("text_vocab_topdf",
       """WITH t AS (SELECT DISTINCT doc_id, tok FROM (

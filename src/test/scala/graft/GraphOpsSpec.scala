@@ -45,4 +45,34 @@ class GraphOpsSpec extends AnyFunSuite with CacheDrained {
         sc.getPersistentRDDs.get(id).forall(_.getStorageLevel == StorageLevel.NONE)),
       s"blocks survived releaseAll: $after")
   }
+
+  test("triangles: degree-ordered enumeration equals the known triangle set") {
+    // 4-clique {0,1,2,3} (4 triangles) + star center 10 with leaves
+    // 11..15 (hub, no triangles) + one triangle {20,21,22} sharing no
+    // vertex with the rest + a path 30-31-32 (open wedge, no triangle)
+    val clique = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val star = (11L to 15L).map(l => (10L, l))
+    val tri = Seq((20L, 21L), (20L, 22L), (21L, 22L))
+    val path = Seq((30L, 31L), (31L, 32L))
+    val ue = (clique ++ star ++ tri ++ path).toDF("u", "v")
+    val got = GraphOps.triangles(ue)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = Set((0L, 1L, 2L), (0L, 1L, 3L), (0L, 2L, 3L), (1L, 2L, 3L),
+      (20L, 21L, 22L))
+    assert(got == want)
+  }
+
+  test("triangles: hub node is never a wedge center (degree orientation)") {
+    // all edges at a max-degree hub point INTO it, so its oriented
+    // out-degree is 0 and it contributes no wedges — the skew guarantee
+    // the O(m^1.5) bound rests on. Under id-ordering, hub 0 would emit
+    // all 40 edges outward and the wedge stage would enumerate
+    // C(40, 2) = 780 pairs at the one skewed node.
+    val star = (1L to 40L).map(l => (0L, l)).toDF("u", "v")
+    val outDeg = GraphOps.orientByDegree(star)
+      .groupBy("src").count().as[(Long, Long)].collect().toMap
+    assert(!outDeg.contains(0L), s"hub emitted ${outDeg.getOrElse(0L, 0L)} oriented edges")
+    assert(outDeg.values.sum == 40 && outDeg.values.forall(_ == 1))
+    assert(GraphOps.triangles(star).count() == 0)
+  }
 }

@@ -132,4 +132,94 @@ class OperatorInvariantSpec extends AnyFunSuite with CacheDrained {
     assert(p.contains("BroadcastHashJoin"),
       s"frequent-line probe lost its broadcast:\n$p")
   }
+
+  test("text_perplexity: bigram count ties to token count; surprisal bounded") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val ppl = SparkEntry.queries("text_perplexity")(spark, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // token counts under the SAME tokenizer the perplexity gate uses
+    val toks = graft.Tables.documents(spark, TestSpark.Sf)
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ppl.nonEmpty)
+    ppl.foreach { case (doc, (nBigrams, sumBits, meanCbits)) =>
+      // every document with >= 2 tokens contributes exactly n_tokens - 1
+      // bigrams (the zip-with-tail contract)
+      assert(nBigrams == toks(doc) - 1, s"doc $doc: $nBigrams bigrams, ${toks(doc)} tokens")
+      // add-one smoothing keeps every probability < 1 ⇒ every bigram's
+      // scaled surprisal ≥ the 10-bit scale floor, and the mean ties out
+      assert(sumBits >= 10 * nBigrams, s"doc $doc: surprisal below scale floor")
+      assert(meanCbits == sumBits * 100 / nBigrams)
+    }
+    // documents with >= 2 tokens and no perplexity row would be a dropped join
+    assert(ppl.keySet == toks.filter(_._2 >= 2).keySet)
+  }
+
+  test("join_fuzzy: pairs are blocked, deduped, and within the distance bound") {
+    val spark = TestSpark.spark
+    val rows = SparkEntry.queries("join_fuzzy")(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, d) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(a < b, s"pair ($a, $b) not canonical")
+      assert(d <= 3 && d >= 0, s"($a, $b): dist $d")
+      assert(a.split(" ")(1) == b.split(" ")(1), s"($a, $b) crossed blocks")
+    }
+    // a known near-pair from the fixture vocabulary survives the gate
+    assert(rows.exists(r => r.getString(0) == "cold widget" && r.getString(1) == "old widget"))
+  }
+
+  test("events_gap_fill: spans are contiguous and zeros are exactly the missing days") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val out = SparkEntry.queries("events_gap_fill")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val byUser = out.groupBy(_._1)
+    assert(byUser.nonEmpty)
+    byUser.foreach { case (u, rows) =>
+      val days = rows.map(_._2).sorted
+      val span = java.time.temporal.ChronoUnit.DAYS.between(days.head, days.last)
+      assert(days.size == span + 1, s"user $u: ${days.size} rows over $span+1 days")
+      assert(days.distinct.size == days.size, s"user $u: duplicate days")
+      // boundary days come from min/max of real activity — never zero
+      assert(rows.minBy(_._2)._3 > 0 && rows.maxBy(_._2)._3 > 0, s"user $u: zero at boundary")
+    }
+    // nonzero rows must agree with an independent raw daily aggregation
+    val raw = graft.Tables.events(spark, TestSpark.Sf)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day")).count()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate) -> r.getLong(2)).toMap
+    out.filter(_._3 > 0).foreach { case (u, d, n) =>
+      assert(raw((u, d)) == n, s"user $u day $d: $n != ${raw((u, d))}")
+    }
+    assert(out.count(_._3 > 0) == raw.size)
+  }
+
+  test("layout_compact_plan: groups partition each directory and respect the target") {
+    val spark = TestSpark.spark
+    val plan = SparkEntry.queries("layout_compact_plan")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val files = graft.fixtures.RefFixtures.invFiles(spark, TestSpark.Sf)
+      .groupBy("parent_directory")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("length").as("bytes"),
+        org.apache.spark.sql.functions.max("length").as("maxLen"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val target = operators.LayoutOps.CompactTarget
+    plan.groupBy(_._1).foreach { case (dir, groups) =>
+      val (nFiles, bytes, maxLen) = files(dir)
+      // complete partition of the directory's files and bytes
+      assert(groups.map(_._3).sum == nFiles, s"$dir: file counts")
+      assert(groups.map(_._4).sum == bytes, s"$dir: byte totals")
+      // contiguous ids from 0 (offset-based grouping leaves no holes:
+      // every target-sized stripe of the byte range is touched in order)
+      assert(groups.map(_._2).sorted.toSeq == (0L until groups.size).toSeq, s"$dir: ids")
+      // offset grouping bounds: a group holds the files STARTING inside
+      // one target stripe, so its bytes stay under target + one max file
+      groups.foreach { case (_, g, _, b) =>
+        assert(b <= target + maxLen, s"$dir group $g: $b bytes > target + maxLen")
+      }
+    }
+  }
 }
