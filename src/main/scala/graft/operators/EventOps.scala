@@ -268,6 +268,48 @@ object EventOps {
       cal.join(daily, Seq("user_id", "day"), "left")
         .select(col("user_id"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
         .orderBy("user_id", "day")
+    },
+
+    // Exponentially-weighted moving average (α = 1/4) over each event
+    // type's daily count series — the time-series smoothing step behind
+    // trend/anomaly features. Integer-exact recurrence
+    // s_t = (3·s_{t-1} + x_t) DIV 4 with s_1 = x_1: every operand is a
+    // non-negative count, so floor (DuckDB //) and truncate (Spark DIV)
+    // agree and the smoothed series is bit-identical cross-engine. The
+    // fold is sequential BY NATURE, so it runs per-key over the key's own
+    // ordered array (sort_array of (day, n) structs — collect_list alone
+    // is partition-order-nondeterministic): keys parallelize, each key's
+    // series is bounded by the calendar, and the full smoothed series
+    // comes from prefix folds of the one array — no cross-row window, no
+    // single-partition stage. The streaming twin of this shape would
+    // carry s_t as flatMapGroupsWithState state.
+    GraftQuery("events_ewma",
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |             CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |arr AS (SELECT event_type, list(day ORDER BY day) AS ds,
+        |          list(n ORDER BY day) AS xs FROM d GROUP BY 1)
+        |SELECT event_type,
+        |  CAST(unnest(ds) AS DATE) AS day,
+        |  unnest(xs) AS n,
+        |  unnest(list_transform(generate_series(1, len(xs)),
+        |    i -> CAST(list_reduce(xs[1:i], (s, x) -> (3 * s + x) // 4) AS BIGINT))) AS ewma
+        |FROM arr ORDER BY event_type, day""".stripMargin) { (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("s"))
+        .selectExpr("event_type",
+          "s.day AS ds", "s.n AS xs",
+          "transform(sequence(1, size(s)), i -> " +
+            "aggregate(slice(s.n, 2, i - 1), element_at(s.n, 1), " +
+            "(acc, x) -> (3L * acc + x) DIV 4L)) AS es")
+        .select(col("event_type"),
+          explode(arrays_zip(col("ds"), col("xs"), col("es"))).as("z"))
+        .select(col("event_type"), col("z.ds").as("day"),
+          col("z.xs").as("n"), col("z.es").as("ewma"))
+        .orderBy("event_type", "day")
     }
   )
 }

@@ -326,6 +326,46 @@ object ExtraAggOps {
         .join(broadcast(tot))
         .selectExpr("rnk", "key", "cnt", "(cnt * 1000000) DIV total AS share_ppm")
         .orderBy("rnk")
+    },
+
+    // table profiler (the ANALYZE TABLE / stats-collection operator):
+    // per-column exact distinct count, min, max, row count in ONE scan —
+    // what a CBO, data-quality monitor, or layout advisor reads first.
+    // Spark plans the multi-distinct aggregate with one Expand + two-stage
+    // hash agg (no per-column rescans); min/max stringify so the profile
+    // row shape is column-type-agnostic like a real stats catalog. At
+    // 100 TB exact ndv is the one heavy term — the documented scale relief
+    // is approx_count_distinct (HLL, the events_hll_distinct machinery),
+    // kept exact here so the row stays oracle-checkable.
+    GraftQuery("prof_table_stats",
+      """WITH s AS (SELECT count(*) AS n,
+        |    count(DISTINCT l_partkey) AS ndv_pk, min(l_partkey) AS mn_pk, max(l_partkey) AS mx_pk,
+        |    count(DISTINCT l_suppkey) AS ndv_sk, min(l_suppkey) AS mn_sk, max(l_suppkey) AS mx_sk,
+        |    count(DISTINCT l_returnflag) AS ndv_rf, min(l_returnflag) AS mn_rf, max(l_returnflag) AS mx_rf
+        |  FROM lineitem)
+        |SELECT 'l_partkey' AS col, CAST(ndv_pk AS BIGINT) AS ndv,
+        |  CAST(mn_pk AS VARCHAR) AS min_v, CAST(mx_pk AS VARCHAR) AS max_v,
+        |  CAST(n AS BIGINT) AS n_rows FROM s
+        |UNION ALL SELECT 'l_returnflag', CAST(ndv_rf AS BIGINT), mn_rf, mx_rf,
+        |  CAST(n AS BIGINT) FROM s
+        |UNION ALL SELECT 'l_suppkey', CAST(ndv_sk AS BIGINT),
+        |  CAST(mn_sk AS VARCHAR), CAST(mx_sk AS VARCHAR), CAST(n AS BIGINT) FROM s
+        |ORDER BY col""".stripMargin) { (spark, sfDir) =>
+      val s = lineitem(spark, sfDir).agg(
+        count(lit(1)).as("n"),
+        countDistinct("l_partkey").as("ndv_pk"),
+        min("l_partkey").as("mn_pk"), max("l_partkey").as("mx_pk"),
+        countDistinct("l_suppkey").as("ndv_sk"),
+        min("l_suppkey").as("mn_sk"), max("l_suppkey").as("mx_sk"),
+        countDistinct("l_returnflag").as("ndv_rf"),
+        min("l_returnflag").as("mn_rf"), max("l_returnflag").as("mx_rf"))
+      s.selectExpr(
+        "stack(3, " +
+          "'l_partkey', ndv_pk, CAST(mn_pk AS STRING), CAST(mx_pk AS STRING), " +
+          "'l_returnflag', ndv_rf, mn_rf, mx_rf, " +
+          "'l_suppkey', ndv_sk, CAST(mn_sk AS STRING), CAST(mx_sk AS STRING)) " +
+          "AS (col, ndv, min_v, max_v)", "n AS n_rows")
+        .orderBy("col")
     }
   )
 }

@@ -196,6 +196,43 @@ class OperatorInvariantSpec extends AnyFunSuite with CacheDrained {
     assert(out.count(_._3 > 0) == raw.size)
   }
 
+  test("events_ewma: smoothed series replays the integer recurrence exactly") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val out = SparkEntry.queries("events_ewma")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (typ, rows) =>
+      val ordered = rows.sortBy(_._2)
+      // driver-side replay of s_1 = x_1; s_t = (3 s_{t-1} + x_t) / 4
+      var s = ordered.head._3
+      ordered.zipWithIndex.foreach { case ((_, day, n, ewma), i) =>
+        if (i > 0) s = (3 * s + n) / 4
+        assert(ewma == s, s"$typ $day: ewma $ewma != replay $s")
+      }
+    }
+    // daily inputs agree with an independent aggregation
+    val raw = graft.Tables.events(spark, TestSpark.Sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day")).count()
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate) -> r.getLong(2)).toMap
+    out.foreach { case (t, d, n, _) => assert(raw((t, d)) == n) }
+    assert(out.length == raw.size)
+  }
+
+  test("prof_table_stats: profile row invariants hold against the raw table") {
+    val spark = TestSpark.spark
+    val rows = SparkEntry.queries("prof_table_stats")(spark, TestSpark.Sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2), r.getString(3), r.getLong(4))).toMap
+    val n = graft.Tables.lineitem(spark, TestSpark.Sf).count()
+    assert(rows.keySet == Set("l_partkey", "l_suppkey", "l_returnflag"))
+    rows.foreach { case (c, (ndv, mn, mx, nRows)) =>
+      assert(nRows == n, s"$c: n_rows $nRows != $n")
+      assert(ndv >= 1 && ndv <= n, s"$c: ndv $ndv")
+      assert(mn != null && mx != null, s"$c: null bounds")
+    }
+    assert(rows("l_returnflag")._1 == 3 && rows("l_returnflag")._2 == "A")
+  }
+
   test("layout_compact_plan: groups partition each directory and respect the target") {
     val spark = TestSpark.spark
     val plan = SparkEntry.queries("layout_compact_plan")(spark, TestSpark.Sf)
