@@ -16,7 +16,8 @@ object SparkEntry {
       MultimodalOps.queries ++ SqlOps.queries ++ ExtraAggOps.queries ++
       TrainPrepOps.queries ++ RankOps.queries ++ SketchOps.queries ++
       LayoutOps.queries ++ CleanOps.queries ++ PqOps.queries ++
-      BpeOps.queries
+      BpeOps.queries ++ TopKOps.queries ++ CdcOps.queries ++
+      RetrievalOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Distinct-identities pipeline (§7.2 step 1): scan → project → explode →

@@ -155,6 +155,42 @@ object GraphOps {
       when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
   }
 
+  /** Exact BFS hop levels from `src` over an undirected (u, v) pair list,
+    * capped at `maxDepth`; returns (node, level) for every node reached
+    * (level 0 = the source). Each level is one equi-join (frontier ×
+    * edges) plus one anti-join against the visited set — no driver-side
+    * traversal, frontier size bounded by the graph, rounds bounded by the
+    * cap. Rounds `localCheckpoint` with eager release like the other
+    * iterative ops, so the plan stays O(1) across levels. */
+  def bfsLevels(ue: DataFrame, src: Long, maxDepth: Int): DataFrame = {
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = ue.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(ue.select(col("v").as("a"), col("u").as("b")))
+      .persist(mad)
+    edges.count()
+    val spark = ue.sparkSession
+    import spark.implicits._
+    var visited = Seq((src, 0L)).toDF("node", "level").localCheckpoint()
+    var frontier = visited.select("node")
+    var depth = 1
+    var exhausted = false
+    while (depth <= maxDepth && !exhausted) {
+      val newly = frontier.join(edges, frontier("node") === edges("a"))
+        .select(col("b").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .select(col("node"), lit(depth.toLong).as("level"))
+      val next = visited.unionByName(newly).localCheckpoint()
+      exhausted = next.count() == visited.count()
+      graft.CacheTracker.checkpointRdds(visited).foreach(_.unpersist(false))
+      visited = next
+      frontier = visited.filter(col("level") === depth.toLong).select("node")
+      depth += 1
+    }
+    edges.unpersist(blocking = false)
+    graft.CacheTracker.trackCheckpointed(visited)
+    visited
+  }
+
   def triangles(ue: DataFrame): DataFrame = {
     val oriented = orientByDegree(ue)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -18,6 +18,7 @@ object RankOps {
 
   private val Iters = 10
   private val Scale = 1000000000L
+  private val BfsDepth = 4
 
   /** the r1..rIters power-iteration rounds as unrolled DuckDB CTEs —
     * aggregation is not allowed in a recursive CTE term, so the fixed
@@ -107,5 +108,46 @@ object RankOps {
         .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("n_triangles"))
         .orderBy("node")
+    },
+
+    // BFS hop levels from the minimum part id over the same co-purchase
+    // graph — the reachability/radius probe a graph pipeline runs before
+    // choosing propagation depths. Engine: one join + anti-join per level
+    // (GraphOps.bfsLevels, O(1) plan per round); oracle: the same frontier
+    // expansion unrolled as chained CTEs (aggregation-free, so plain
+    // NOT IN set subtraction replays the anti-join exactly).
+    GraftQuery("graph_bfs_levels",
+      s"""WITH ue AS (SELECT l1.l_partkey AS u, l2.l_partkey AS v
+         |            FROM lineitem l1 JOIN lineitem l2
+         |              ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+         |            GROUP BY 1, 2),
+         |e AS (SELECT u AS a, v AS b FROM ue UNION ALL SELECT v, u FROM ue),
+         |l0 AS (SELECT (SELECT min(u) FROM ue) AS node),
+         |v0 AS (SELECT node FROM l0),
+         |$bfsRoundsSql
+         |SELECT node, level FROM (
+         |  SELECT node, CAST(0 AS BIGINT) AS level FROM l0
+         |  ${(1 to BfsDepth).map(d =>
+              s"UNION ALL SELECT node, CAST($d AS BIGINT) FROM l$d").mkString("\n  ")})
+         |ORDER BY level, node""".stripMargin) { (spark, sfDir) =>
+      val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
+      val ue = li.as("l1").join(li.as("l2"),
+          col("l1.l_orderkey") === col("l2.l_orderkey") &&
+            col("l1.l_partkey") < col("l2.l_partkey"))
+        .select(col("l1.l_partkey").as("u"), col("l2.l_partkey").as("v"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(ue)
+      val src = ue.agg(min(col("u"))).first().getLong(0)
+      GraphOps.bfsLevels(ue, src, BfsDepth).orderBy("level", "node")
     })
+
+  /** frontier rounds 1..BfsDepth as chained CTEs: l_d = distinct neighbors
+    * of l_{d-1} minus everything visited; v_d = v_{d-1} ∪ l_d */
+  private def bfsRoundsSql: String =
+    (1 to BfsDepth).map { d =>
+      s"""l$d AS (SELECT DISTINCT e.b AS node FROM e JOIN l${d - 1} ON e.a = l${d - 1}.node
+         |  WHERE e.b NOT IN (SELECT node FROM v${d - 1})),
+         |v$d AS (SELECT node FROM v${d - 1} UNION SELECT node FROM l$d)""".stripMargin
+    }.mkString(",\n")
 }

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.Tables
+
+/** Lexical retrieval tier (north-star: corpus search / RAG candidate
+  * generation over the documents table; no counterpart in the reference).
+  *
+  * BM25 (Robertson–Spärck Jones, the Okapi formulation) over the same
+  * tokenizer convention as the TF-IDF query (`[a-z0-9]+`). Scoring is made
+  * hash-deterministic the same way the sketch/rank operators are: every
+  * per-term contribution is floored to integer micro-units BEFORE the
+  * per-document sum, so the aggregation is associative integer addition
+  * and immune to float summation order — the one place a naive BM25 would
+  * diverge between engines.
+  *
+  * Scale shape: one token explode + two hash aggs (tf, df) + a broadcast
+  * of the query-term frame (|Q| rows) + a TakeOrdered top-k. The corpus
+  * frame is touched twice (tf and dl) on one scan each; nothing quadratic,
+  * no windows over the full corpus.
+  */
+object RetrievalOps {
+
+  private val K1x10 = 12 // k1 = 1.2
+  private val Bx100 = 75 // b = 0.75
+  private val QueryTerms = 5
+  private val TopK = 20
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // "query" = the QueryTerms highest-df tokens (deterministic, corpus-
+    // derived: the driver has no external query log); score every document
+    // against it, return the TopK by (score, doc_id). idf uses the
+    // +1-smoothed RSJ form, positive for any df.
+    GraftQuery("text_bm25",
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+         |             FROM documents),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tok GROUP BY doc_id, tok),
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+         |df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |       FROM tok GROUP BY tok),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |             (SELECT CAST(count(*) AS BIGINT) FROM tok) AS toks
+         |      FROM documents),
+         |q AS (SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT $QueryTerms),
+         |contrib AS (
+         |  SELECT tf.doc_id,
+         |    CAST(floor(1000000.0
+         |      * ln((n.n - q.df + 0.5) / (q.df + 0.5) + 1.0)
+         |      * (tf.tf * (1.0 + ${K1x10 / 10.0}))
+         |      / (tf.tf + ${K1x10 / 10.0} * (1.0 - ${Bx100 / 100.0}
+         |           + ${Bx100 / 100.0} * dl.dl * n.n / n.toks))) AS BIGINT) AS c
+         |  FROM tf JOIN q ON q.tok = tf.tok
+         |       JOIN dl ON dl.doc_id = tf.doc_id
+         |       CROSS JOIN n)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+         |FROM contrib GROUP BY doc_id
+         |ORDER BY score_micro DESC, doc_id LIMIT $TopK""".stripMargin) { (spark, sfDir) =>
+      val docs = Tables.documents(spark, sfDir)
+      val tok = docs.select(col("doc_id"),
+        explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("tok"))
+      val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val dfreq = tok.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+      // two bounded driver scalars (corpus size, token total) — the same
+      // pattern as the TF-IDF query's n
+      val n = docs.count()
+      val toks = tok.count()
+      val q = dfreq.orderBy(col("df").desc, col("tok")).limit(QueryTerms)
+      val k1 = K1x10 / 10.0
+      val b = Bx100 / 100.0
+      tf.join(broadcast(q), Seq("tok"))
+        .join(dl, Seq("doc_id"))
+        .select(col("doc_id"),
+          floor(lit(1000000.0)
+            * log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+            * (col("tf") * (1.0 + k1))
+            / (col("tf") + lit(k1) * (lit(1.0 - b)
+                + lit(b) * col("dl") * n.toDouble / toks.toDouble)))
+            .cast("long").as("c"))
+        .groupBy("doc_id").agg(sum("c").as("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id")).limit(TopK)
+    })
+}

@@ -23,6 +23,16 @@ object SimilarityOps {
   val BitsPerTable = 4
   val NearDupSeed = 42L
 
+  /** nDCG@TopK machinery: position discounts floor(1e6 / log2(r+1)) are
+    * computed HERE once and inlined into both engines as integer literals
+    * (so neither engine's libm is on the comparison path), and the ideal
+    * DCG for graded relevance TopK..1 is a compile-time constant. */
+  val NdcgWeights: Seq[Long] =
+    (1 to TopK).map(r => math.floor(1e6 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+  val NdcgIdeal: Long =
+    NdcgWeights.zipWithIndex.map { case (w, i) => (TopK - i).toLong * w }.sum
+  private def ndcgWeightsSql: String = NdcgWeights.mkString(", ")
+
   /** per-hyperplane sign-agreement probability for a pair at cosine exactly
     * tau (Charikar STOC 2002: P[h(a)=h(b)] = 1 - θ/π) */
   def pMatch(tau: Double): Double = 1.0 - math.acos(tau) / math.Pi
@@ -954,6 +964,53 @@ object SimilarityOps {
         .groupBy("qid").agg(count(col("hit")).as("n_hit"))
         .select(col("qid"), col("n_hit"),
           expr(s"(n_hit * 100) DIV $TopK").as("recall_pct"))
+        .orderBy("qid")
+    },
+
+    // ranked ANN quality: nDCG@TopK of the IVF+re-rank list against the
+    // brute-force ideal, graded relevance rel = TopK+1-exact_rank. The
+    // log2 position discounts are floored to micro-units IN SCALA and
+    // inlined into both engines as literals, and relevance grades are
+    // integers — so DCG, IDCG and the final ppm ratio are pure integer
+    // arithmetic with no libm call anywhere in either engine. Same probe
+    // family as sim_ann_recall (memoized build shared).
+    GraftQuery("sim_eval_ndcg",
+      s"""WITH $ivfOracleCtes,
+         |ivf AS (SELECT qid, nid, rnk FROM r2 WHERE rnk <= $TopK),
+         |bq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |       WHERE vec_id < $NumQueries),
+         |bp AS (SELECT bq.qid, e.vec_id AS nid,
+         |        list_sum(list_transform(generate_series(1, len(e.embedding)),
+         |          i -> CAST(bq.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS dp,
+         |        sqrt(list_sum(list_transform(generate_series(1, len(bq.qe)),
+         |          i -> CAST(bq.qe[i] AS DOUBLE) * CAST(bq.qe[i] AS DOUBLE)))) AS nq,
+         |        sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+         |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) AS ne
+         |      FROM embeddings e, bq WHERE e.vec_id <> bq.qid),
+         |br AS (SELECT qid, nid,
+         |        row_number() OVER (PARTITION BY qid
+         |                           ORDER BY round(dp / (nq * ne), 6) DESC, nid) AS rnk
+         |      FROM bp),
+         |brute AS (SELECT qid, nid, rnk FROM br WHERE rnk <= $TopK),
+         |g AS (SELECT ivf.qid,
+         |        CAST(coalesce(${TopK + 1} - brute.rnk, 0)
+         |             * ([$ndcgWeightsSql])[ivf.rnk] AS BIGINT) AS part
+         |      FROM ivf LEFT JOIN brute
+         |        ON brute.qid = ivf.qid AND brute.nid = ivf.nid),
+         |d AS (SELECT qid, CAST(sum(part) AS BIGINT) AS dcg FROM g GROUP BY qid)
+         |SELECT qid, dcg, (dcg * 1000000) // $NdcgIdeal AS ndcg_ppm
+         |FROM d ORDER BY qid""".stripMargin) { (spark, sfDir) =>
+      val ivf = ivfTopK(spark, sfDir).select(col("qid"), col("nid"), col("rnk"))
+      val brute = bruteForce(spark, sfDir)
+        .select(col("qid"), col("nid"), col("rnk").as("brnk"))
+      val weights = array(NdcgWeights.map(lit): _*)
+      ivf.join(brute, Seq("qid", "nid"), "left_outer")
+        .select(col("qid"),
+          (coalesce(lit(TopK + 1) - col("brnk"), lit(0)).cast("long")
+            * element_at(weights, col("rnk").cast("int"))).as("part"))
+        .groupBy("qid").agg(sum("part").as("dcg"))
+        .select(col("qid"), col("dcg"),
+          expr(s"(dcg * 1000000) DIV $NdcgIdeal").as("ndcg_ppm"))
         .orderBy("qid")
     },
 

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom bounded-heap top-k operator (graft.plans): the rewrite must
+  * fire exactly on the safe pattern, the physical pair must replace the
+  * map-side sort, and results must be row-identical to the window form. */
+class TopKPlanSpec extends AnyFunSuite with CacheDrained {
+
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def executed(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("row_number <= k rewrites to the two-phase heap exec, no map-side full sort") {
+    val df = SparkEntry.queries("topk_heap")(spark, TestSpark.Sf)
+    val p = executed(df)
+    assert(p.contains("TopKPerKey"), s"rewrite did not fire:\n$p")
+    // partial (pre-exchange) and final (post-exchange) instances
+    assert("TopKPerKey".r.findAllIn(p).size >= 2, s"expected partial+final pair:\n$p")
+    // the only Sorts allowed sit above the final heap output (the Window
+    // re-deriving rn over <= k*keys rows, plus the query's orderBy); the
+    // map side below the hash exchange must be sort-free — that missing
+    // full sort IS the operator's win over the built-in group-limit path
+    val mapSide = p.substring(p.lastIndexOf("Exchange hashpartitioning"))
+    assert(mapSide.contains("TopKPerKey"), s"no heap partial below the exchange:\n$p")
+    assert(!mapSide.contains("Sort ["), s"map side still sorts:\n$p")
+  }
+
+  test("heap result is row-identical to the unrewritten rank() window form") {
+    // rank() never matches RewriteRankLimit; with a total ordering it
+    // computes the same set, so it is the in-engine control
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val control = Tables.orders(spark, TestSpark.Sf)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", rank().over(w))
+      .filter(col("rn") <= 5)
+      .orderBy(col("o_orderpriority"), col("rn"))
+    assert(!executed(control).contains("TopKPerKey"),
+      "rank() form must stay on the built-in path")
+    val heap = SparkEntry.queries("topk_heap")(spark, TestSpark.Sf)
+    assert(heap.collect().toSeq == control.collect().toSeq)
+  }
+
+  test("wide (per-supplier) variant matches the rank() control too") {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+    val control = Tables.lineitem(spark, TestSpark.Sf)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+      .withColumn("rn", rank().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("l_suppkey"), col("rn"))
+    val heap = SparkEntry.queries("topk_heap_wide")(spark, TestSpark.Sf)
+    assert(heap.collect().toSeq == control.collect().toSeq)
+  }
+
+  test("rewrite respects null ordering and k=1 equality form") {
+    val df = Seq(
+      ("a", Some(3), 1), ("a", None, 2), ("a", Some(1), 3), ("a", Some(1), 4),
+      ("b", None, 5), ("b", None, 6), ("c", Some(7), 7)
+    ).toDF("k", "v", "id")
+    // NULLS FIRST ascending (Spark default): nulls must win rank 1
+    val w = Window.partitionBy("k").orderBy(col("v").asc_nulls_first, col("id"))
+    val top = df.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+    assert(executed(top).contains("TopKPerKey"), "rn = 1 form should fire")
+    val got = top.select("k", "id").as[(String, Int)].collect().toMap
+    assert(got == Map("a" -> 2, "b" -> 5, "c" -> 7))
+    // NULLS LAST descending: nulls must lose
+    val w2 = Window.partitionBy("k").orderBy(col("v").desc_nulls_last, col("id"))
+    val top2 = df.withColumn("rn", row_number().over(w2)).filter($"rn" < 2)
+    val got2 = top2.select("k", "id").as[(String, Int)].collect().toMap
+    assert(got2 == Map("a" -> 1, "b" -> 5, "c" -> 7))
+  }
+
+  test("unsafe patterns stay on the built-in path") {
+    val df = Seq(("a", 1, 1), ("a", 2, 2), ("b", 3, 3)).toDF("k", "v", "id")
+    val w = Window.partitionBy("k").orderBy("v", "id")
+    // rank-like but not row_number
+    val r1 = df.withColumn("rn", dense_rank().over(w)).filter($"rn" <= 1)
+    // no upper bound on rn
+    val r2 = df.withColumn("rn", row_number().over(w)).filter($"rn" >= 2)
+    // a second non-rank window expression over the same spec would change
+    // under input limiting
+    val r3 = df.withColumn("rn", row_number().over(w))
+      .withColumn("s", sum("v").over(Window.partitionBy("k")))
+      .filter($"rn" <= 1)
+    Seq(r1, r2, r3).foreach { r =>
+      assert(!executed(r).contains("TopKPerKey"),
+        s"rewrite fired on an unsafe pattern:\n${executed(r)}")
+    }
+    // r3 sanity: the partition-wide sum must see all rows
+    assert(r3.select("k", "s").as[(String, Long)].collect().toMap ==
+      Map("a" -> 3L, "b" -> 3L))
+  }
+
+  test("extra filter conjuncts survive the rewrite") {
+    val df = Seq(("a", 1, 1), ("a", 2, 2), ("a", 3, 3), ("b", 9, 4))
+      .toDF("k", "v", "id")
+    val w = Window.partitionBy("k").orderBy(col("v").desc, col("id"))
+    val top = df.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2 && $"v" > 1)
+    assert(executed(top).contains("TopKPerKey"))
+    assert(top.select("k", "v").as[(String, Int)].collect().toSet ==
+      Set(("a", 3), ("a", 2), ("b", 9)))
+  }
+}
