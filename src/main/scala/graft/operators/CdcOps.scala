@@ -20,6 +20,7 @@ import graft.Tables
 object CdcOps {
 
   private val OrderCols = Seq("us", "event_type", "event_id")
+  private val streamRunId = new java.util.concurrent.atomic.AtomicLong()
 
   val queries: Seq[GraftQuery] = Seq(
 
@@ -114,6 +115,34 @@ object CdcOps {
             expr("CAST((versions - 1) * 3600000000 DIV span_us AS BIGINT)"))
             .otherwise(lit(null).cast("long")).as("changes_per_hour"))
         .orderBy("user_id")
+    },
+
+    // STREAMING SCD2, registered and oracled: the closed intervals the
+    // incremental flatMapGroupsWithState fold emits (StreamOps
+    // .scd2Intervals, O(1) state per entity) must hash-match the batch
+    // collapse's closed rows — the same oracle as cdc_scd2 minus the open
+    // tail. This row-level CORRECTNESS entry pins streaming/batch CDC
+    // parity beyond the spec-level assertion.
+    GraftQuery("stream_scd2",
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |c AS (SELECT *, lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY us, event_type, event_id) AS prev
+        |      FROM e),
+        |ch AS (SELECT user_id, event_type AS state, us AS valid_from_us
+        |       FROM c WHERE prev IS NULL OR prev <> event_type),
+        |iv AS (SELECT user_id, state, valid_from_us,
+        |         lead(valid_from_us) OVER (PARTITION BY user_id
+        |           ORDER BY valid_from_us, state) AS valid_to_us
+        |       FROM ch)
+        |SELECT user_id, state, valid_from_us, valid_to_us
+        |FROM iv WHERE valid_to_us IS NOT NULL
+        |ORDER BY user_id, valid_from_us, state""".stripMargin) { (spark, sfDir) =>
+      val closed = graft.streaming.StreamOps.scd2Intervals(spark,
+        graft.streaming.StreamOps.eventStream(spark, sfDir))
+      graft.streaming.StreamOps
+        .runAppendToCompletion(closed, s"stream_scd2_${streamRunId.incrementAndGet()}")
+        .orderBy("user_id", "valid_from_us", "state")
     },
 
     // lag-1 autocorrelation of the per-type daily event-count series — the

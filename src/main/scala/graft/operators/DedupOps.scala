@@ -36,6 +36,8 @@ object DedupOps {
   val ShingleLen = 8
   val MaxDf = 30
   val JaccardThreshold = 0.8
+  /** sorted-neighborhood comparison window (each doc vs its w-1 successors) */
+  val SnmWindow = 6
   val NumPerms = 32
   val NumBands = 16 // × 2 rows per band
 
@@ -319,6 +321,62 @@ object DedupOps {
         .select(col("a"), col("b"),
           bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int").as("dist"))
         .filter(col("dist") <= 3)
+        .orderBy("a", "b")
+    },
+
+    // Sorted-neighborhood near-dup (Hernández/Stolfo SIGMOD'95 blocking):
+    // global sort on a normalized text prefix, then compare each doc only
+    // to its SnmWindow-1 sort successors — a THIRD blocking family next to
+    // the df-capped shingle join and MinHash banding, the one record-
+    // linkage uses when similarity lives in a sortable key. The global
+    // numbering is TwoPhaseRank (range-partition + broadcast offsets — no
+    // single-partition window), the neighborhood expansion is an
+    // offset-explode EQUI-join on rank (each pair exists exactly once, no
+    // distinct), and verification re-attaches the memoized shingle arrays.
+    // The oracle replays the same window with a literal row_number +
+    // rank-distance range join.
+    GraftQuery("dedup_snm",
+      s"""WITH $ShinglesCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+         |keyed AS (SELECT doc_id,
+         |            substr(regexp_replace(text, '[^a-z0-9]', '', 'g'), 1, 32) AS k
+         |          FROM documents),
+         |ranked AS (SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS rn
+         |           FROM keyed),
+         |pairs AS (SELECT r1.doc_id AS pa, r2.doc_id AS pb FROM ranked r1
+         |          JOIN ranked r2 ON r2.rn - r1.rn BETWEEN 1 AND ${SnmWindow - 1}),
+         |inter AS (SELECT p.pa, p.pb, count(*) AS i FROM pairs p
+         |          JOIN shf s1 ON s1.doc_id = p.pa
+         |          JOIN shf s2 ON s2.doc_id = p.pb AND s2.h = s1.h
+         |          GROUP BY p.pa, p.pb),
+         |j AS (SELECT least(pa, pb) AS a, greatest(pa, pb) AS b,
+         |        CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jacc
+         |      FROM inter JOIN sizes sa ON sa.doc_id = inter.pa
+         |                 JOIN sizes sb ON sb.doc_id = inter.pb)
+         |SELECT a, b, jacc FROM j WHERE jacc >= $JaccardThreshold
+         |ORDER BY a, b""".stripMargin) { (spark, sfDir) =>
+      val s = docShingles(spark, sfDir)
+      val keyed = Tables.documents(spark, sfDir).select(col("doc_id"),
+        substring(regexp_replace(col("text"), "[^a-z0-9]", ""), 1, 32).as("k"))
+      val ranked = TwoPhaseRank.rowNumber(keyed, "rn", -1, col("k"), col("doc_id"))
+        .select("doc_id", "rn")
+      val right = ranked.select(col("doc_id").as("pb"), col("rn").as("rnb"))
+      val pairs = ranked.select(col("doc_id").as("pa"), col("rn"))
+        .withColumn("rnb",
+          explode(array((1 until SnmWindow).map(o => col("rn") + o): _*)))
+        .join(right, Seq("rnb"))
+        .select("pa", "pb")
+      pairs
+        .join(s.select(col("doc_id").as("pa"), col("sh").as("sha"), col("n").as("na")),
+          Seq("pa"))
+        .join(s.select(col("doc_id").as("pb"), col("sh").as("shb"), col("n").as("nb")),
+          Seq("pb"))
+        .select(least(col("pa"), col("pb")).as("a"),
+          greatest(col("pa"), col("pb")).as("b"),
+          (size(array_intersect(col("sha"), col("shb"))).cast("double")
+            / (col("na") + col("nb")
+              - size(array_intersect(col("sha"), col("shb"))))).as("jacc"))
+        .filter(col("jacc") >= JaccardThreshold)
         .orderBy("a", "b")
     }
   )

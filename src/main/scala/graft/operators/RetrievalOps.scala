@@ -27,6 +27,8 @@ object RetrievalOps {
   private val Bx100 = 75 // b = 0.75
   private val QueryTerms = 5
   private val TopK = 20
+  private val IndexTerms = 50
+  private val PostingsPerTerm = 5
 
   val queries: Seq[GraftQuery] = Seq(
 
@@ -83,5 +85,46 @@ object RetrievalOps {
             .cast("long").as("c"))
         .groupBy("doc_id").agg(sum("c").as("score_micro"))
         .orderBy(col("score_micro").desc, col("doc_id")).limit(TopK)
+    },
+
+    // inverted-index build for the IndexTerms highest-df tokens: per term,
+    // document frequency + the PostingsPerTerm strongest postings
+    // ("doc:tf", tf-descending) serialized as one string — the index-shard
+    // artifact a retrieval service materializes. The per-term strongest-
+    // postings stage is the declarative row_number()<=k idiom, so with
+    // GraftExtensions installed it runs on the bounded-heap TopKPerKeyExec
+    // (sort-free map side) — this query is the operator's in-pipeline
+    // consumer, not just a demo. Postings order inside the string is total
+    // (tf desc, doc_id), so the aggregation is deterministic.
+    GraftQuery("text_inverted_index",
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+         |             FROM documents),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tok GROUP BY doc_id, tok),
+         |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+         |sel AS (SELECT tok, df FROM dfreq ORDER BY df DESC, tok LIMIT $IndexTerms),
+         |top AS (SELECT tf.tok, sel.df, tf.doc_id, tf.tf,
+         |          row_number() OVER (PARTITION BY tf.tok
+         |            ORDER BY tf.tf DESC, tf.doc_id) AS rn
+         |        FROM tf JOIN sel ON sel.tok = tf.tok)
+         |SELECT tok, df,
+         |  string_agg(doc_id || ':' || tf, ',' ORDER BY rn) AS postings
+         |FROM top WHERE rn <= $PostingsPerTerm
+         |GROUP BY tok, df ORDER BY tok""".stripMargin) { (spark, sfDir) =>
+      val tok = Tables.documents(spark, sfDir).select(col("doc_id"),
+        explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("tok"))
+      val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val sel = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("tok")).limit(IndexTerms)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("tok").orderBy(col("tf").desc, col("doc_id"))
+      tf.join(broadcast(sel), Seq("tok"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= PostingsPerTerm)
+        .withColumn("s", concat_ws(":", col("doc_id"), col("tf")))
+        .groupBy("tok", "df")
+        .agg(expr("array_join(transform(array_sort(" +
+          "collect_list(struct(rn, s))), x -> x.s), ',')").as("postings"))
+        .orderBy("tok")
     })
 }

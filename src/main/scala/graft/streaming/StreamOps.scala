@@ -151,6 +151,48 @@ object StreamOps {
       .toDF("user_id", "t_view", "t_click", "t_purchase")
   }
 
+  /** state for scd2Intervals: the entity's open interval (current state
+    * string + its start micros) */
+  final case class Scd2St(state: String, since: Long)
+
+  /** Streaming twin of the batch `cdc_scd2` operator's CLOSED intervals:
+    * per-entity SCD2 history maintained incrementally. Each microbatch
+    * folds its (event-time-sorted, batch tiebreak (us, type, id)) rows
+    * into the entity's open interval; a state change EMITS the closed
+    * interval — append-mode, each interval exactly once — and the open
+    * interval lives in the group state until the next change closes it.
+    * With batches arriving in event-time order the fold is exactly the
+    * batch collapse; parity is pinned by the registered `stream_scd2`
+    * query (same oracle as cdc_scd2 minus the open tail) and the
+    * StreamingSpec single- vs multi-microbatch assertion. State per
+    * entity is O(1) — one (string, long) — the bounded-state shape that
+    * holds on an unbounded stream. */
+  def scd2Intervals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id").as("uid"), col("event_type").as("etype"),
+        col("event_id").as("eid"), expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+      .as[(Long, String, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Scd2St, (Long, String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, String, Long, Long)], state: GroupState[Scd2St]) =>
+          var st = state.getOption.orNull
+          val closed = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+          rows.toArray.sortBy { case (_, et, eid, us) => (us, et, eid) }.foreach {
+            case (_, et, _, us) =>
+              if (st == null) st = Scd2St(et, us)
+              else if (st.state != et) {
+                closed += ((uid, st.state, st.since, us))
+                st = Scd2St(et, us)
+              }
+          }
+          if (st != null) state.update(st)
+          closed.iterator
+      }
+      .toDF("user_id", "state", "valid_from_us", "valid_to_us")
+  }
+
   /** the documents table as a bounded stream (file source over the same
     * parquet the batch operators read) */
   def docStream(spark: SparkSession, sfDir: String): DataFrame =

@@ -306,4 +306,47 @@ class StreamingSpec extends AnyFunSuite with CacheDrained {
       s"funnel mismatch on users $diff: batch=${diff.map(want.get)}, stream=${diff.map(got.get)}"
     })
   }
+
+  test("streaming SCD2 closed intervals fold incrementally across microbatches") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    // same two-time-ordered-microbatch harness as the funnel test; the
+    // interesting case is an interval OPENED in batch 0 and CLOSED in
+    // batch 1 — state must carry the open interval across the batch seam
+    val dir = java.nio.file.Files.createTempDirectory("scd2_batches").toString
+    val ev = graft.Tables.events(spark, TestSpark.Sf)
+      .withColumn("us", expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+    val cut = ev.selectExpr("percentile(us, 0.5)").first().getDouble(0).toLong
+    def dump(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      df.select(col("event_id"), (col("us") * 1000).as("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.parquet(s"$dir/$name")
+    dump(ev.filter(col("us") <= cut), "b0")
+    dump(ev.filter(col("us") > cut), "b1")
+    val flat = java.nio.file.Files.createTempDirectory("scd2_flat").toString
+    Seq("b0", "b1").zipWithIndex.foreach { case (b, i) =>
+      val src = new java.io.File(s"$dir/$b").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$flat/part-$b.parquet")
+      java.nio.file.Files.copy(src.toPath, dst.toPath)
+      dst.setLastModified(System.currentTimeMillis() - 60000 + i * 30000)
+    }
+    val stream = StreamOps.scd2Intervals(spark,
+      StreamOps.eventStreamFromDir(spark, flat)
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)")))
+    val got = StreamOps.runAppendToCompletion(stream, "scd2_multi_test")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val want = SparkEntry.queries("cdc_scd2")(spark, TestSpark.Sf)
+      .filter(col("valid_to_us").isNotNull)
+      .select("user_id", "state", "valid_from_us", "valid_to_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // closed intervals that straddle the seam prove cross-batch state carry
+    val straddling = want.count(iv => iv._3 <= cut && iv._4 > cut)
+    assert(straddling > 0, "test split produced no seam-straddling interval")
+    assert(want.nonEmpty && got == want,
+      s"multi-batch SCD2 diverged: ${(want diff got).take(3)} missing, " +
+        s"${(got diff want).take(3)} extra")
+  }
 }
