@@ -200,6 +200,41 @@ object ExtraAggOps {
         .select("a", "b").orderBy("a", "b")
     },
 
+    // the LARGE theta/interval join join_theta's comment points at: price-
+    // similarity blocking (numeric record linkage) with NO equi key —
+    // every anchor order joined to all orders within ±$50. Naively that is
+    // a BroadcastNestedLoopJoin (quadratic scan work at scale); the engine
+    // BINS the value axis at interval width, explodes each anchor interval
+    // into its ≤2 covering bins, equi-joins on bin, and re-applies the
+    // exact BETWEEN as a residual — the standard banded range-join
+    // rewrite. Work is Σ per-bin (anchors × facts), bounded by the value
+    // distribution instead of |A|·|F|; the plan is a plain shuffled equi
+    // join that scales like any other. The oracle runs the literal
+    // BETWEEN join.
+    GraftQuery("join_interval_binned",
+      """WITH o AS (SELECT o_orderkey AS k,
+        |             CAST(floor(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+        |a AS (SELECT k AS ak, c AS ac FROM o WHERE k % 100 = 0)
+        |SELECT a.ak, CAST(count(*) AS BIGINT) AS n_cands
+        |FROM a JOIN o ON o.c BETWEEN a.ac - 5000 AND a.ac + 5000 AND o.k <> a.ak
+        |GROUP BY a.ak ORDER BY a.ak""".stripMargin) { (spark, sfDir) =>
+      val tol = 5000L
+      val binW = 10000L // >= interval width => each interval covers <= 2 bins
+      val o = orders(spark, sfDir).select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("c"))
+      val anchors = o.filter(col("k") % 100 === 0)
+        .select(col("k").as("ak"), col("c").as("ac"))
+        .withColumn("bin",
+          explode(sequence(expr(s"(ac - $tol) DIV $binW"), expr(s"(ac + $tol) DIV $binW"))))
+      val facts = o.withColumn("bin", expr(s"c DIV $binW"))
+      anchors.join(facts,
+          anchors("bin") === facts("bin")
+            && col("c").between(col("ac") - tol, col("ac") + tol)
+            && col("k") =!= col("ak"))
+        .groupBy("ak").agg(count(lit(1)).as("n_cands"))
+        .orderBy("ak")
+    },
+
     // order-sensitive argmin/argmax aggregates with a composed unique
     // ordering key (ties on price alone would be engine-ambiguous)
     GraftQuery("agg_minby_maxby",

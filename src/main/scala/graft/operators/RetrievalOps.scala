@@ -64,13 +64,20 @@ object RetrievalOps {
       val docs = Tables.documents(spark, sfDir)
       val tok = docs.select(col("doc_id"),
         explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("tok"))
+      // ONE tokenize+explode pass: tf is the only aggregation that sees the
+      // raw token stream; dl (Σtf per doc), df (tf rows per term) and the
+      // token total all derive from the much smaller tf frame — without
+      // this, the explode runs once per derived statistic and dominates
+      // the decade ratio
       val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val dfreq = tok.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(tf)
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       // two bounded driver scalars (corpus size, token total) — the same
       // pattern as the TF-IDF query's n
       val n = docs.count()
-      val toks = tok.count()
+      val toks = tf.agg(sum("tf")).first().getLong(0)
       val q = dfreq.orderBy(col("df").desc, col("tok")).limit(QueryTerms)
       val k1 = K1x10 / 10.0
       val b = Bx100 / 100.0
@@ -113,7 +120,11 @@ object RetrievalOps {
          |GROUP BY tok, df ORDER BY tok""".stripMargin) { (spark, sfDir) =>
       val tok = Tables.documents(spark, sfDir).select(col("doc_id"),
         explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("tok"))
+      // tf backs both the term selection and the postings scan — persist so
+      // the tokenize+explode pass runs once
       val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(tf)
       val sel = tf.groupBy("tok").agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("tok")).limit(IndexTerms)
       val w = org.apache.spark.sql.expressions.Window

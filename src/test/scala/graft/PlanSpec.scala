@@ -378,6 +378,19 @@ class PlanSpec extends AnyFunSuite with CacheDrained {
       s"upsert merge reintroduced a per-key sort:\n$p")
   }
 
+  test("binned interval join plans as an equi join, never a nested loop") {
+    val df = SparkEntry.queries("join_interval_binned")(TestSpark.spark, TestSpark.Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the whole point of the bin rewrite: the no-equi-key BETWEEN join must
+    // ride a hash/sort equi join on the bin column with the BETWEEN as a
+    // residual, not a quadratic BroadcastNestedLoopJoin
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"binned interval join degenerated to all-pairs:\n$p")
+    assert(p.contains("Join") && p.contains("bin"),
+      s"expected an equi join keyed on the bin column:\n$p")
+  }
+
   test("pagerank rounds keep an O(1) plan (checkpointed lineage, no plan growth)") {
     val df = SparkEntry.queries("graph_pagerank")(TestSpark.spark, TestSpark.Sf)
     df.collect()
