@@ -62,5 +62,27 @@ object TopKOps {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .orderBy(col("l_suppkey"), col("rn"))
+    },
+
+    // STREAMING top-k-per-key, registered and oracled: the O(k)-state
+    // flatMapGroupsWithState twin of the batch heap operator — per user,
+    // top-3 event values under the (value desc, event_id) total order,
+    // drained AvailableNow and hash-compared against the batch window
+    // replay. Cross-microbatch incremental parity is the StreamingSpec
+    // foreachBatch assertion; this entry pins the single-drain result.
+    GraftQuery("stream_topk",
+      """WITH r AS (SELECT user_id, event_id, value,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY value DESC, event_id) AS rnk
+        |      FROM events WHERE value IS NOT NULL)
+        |SELECT user_id, rnk, event_id, value FROM r WHERE rnk <= 3
+        |ORDER BY user_id, rnk""".stripMargin) { (spark, sfDir) =>
+      val top = graft.streaming.StreamOps.topKPerKey(spark,
+        graft.streaming.StreamOps.eventStream(spark, sfDir), 3)
+      graft.streaming.StreamOps
+        .runAppendToCompletion(top, s"stream_topk_${streamRunId.incrementAndGet()}")
+        .orderBy("user_id", "rnk")
     })
+
+  private val streamRunId = new java.util.concurrent.atomic.AtomicLong()
 }

@@ -268,6 +268,39 @@ object StreamOps {
       .select(col("l_id"), col("r_id"))
   }
 
+  /** state for topKPerKey: the key's current top-k as (value, id) pairs,
+    * sorted (value desc, id asc), length ≤ k — O(k) per key forever */
+  final case class TopKSt(items: Seq[(Double, Long)])
+
+  /** Streaming top-k-per-key — the incremental twin of the batch
+    * bounded-heap operator (graft.plans.TopKPerKeyExec): per user, the k
+    * highest event values with (value desc, event_id) total order. The
+    * group state IS the answer — a ≤k-element sorted list merged with each
+    * microbatch's rows, the same bounded-retention invariant the batch
+    * heap enforces per partition. Emission is upsert-shaped: every batch
+    * that touches a key re-emits that key's current (rank, event_id,
+    * value) rows; with one AvailableNow batch (the registered
+    * `stream_topk` query) that is exactly one row per (key, rank), and the
+    * multi-batch spec disambiguates via foreachBatch batch ids. */
+  def topKPerKey(spark: SparkSession, events: DataFrame, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val typed = events.filter(col("value").isNotNull)
+      .select(col("user_id").as("uid"), col("value"), col("event_id").as("eid"))
+      .as[(Long, Double, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[TopKSt, (Long, Int, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double, Long)], state: GroupState[TopKSt]) =>
+          val prev = state.getOption.map(_.items).getOrElse(Seq.empty)
+          val merged = (prev ++ rows.map { case (_, v, id) => (v, id) })
+            .sortBy { case (v, id) => (-v, id) }
+            .take(k)
+          state.update(TopKSt(merged))
+          merged.iterator.zipWithIndex.map { case ((v, id), i) => (uid, i + 1, id, v) }
+      }
+      .toDF("user_id", "rnk", "event_id", "value")
+  }
+
   /** foreachBatch sink: per-microbatch parquet append keyed by batch id —
     * the streaming analogue of the partitioned filelist sink (op 14), and
     * the standard escape hatch for sinks Structured Streaming lacks. */

@@ -349,4 +349,51 @@ class StreamingSpec extends AnyFunSuite with CacheDrained {
       s"multi-batch SCD2 diverged: ${(want diff got).take(3)} missing, " +
         s"${(got diff want).take(3)} extra")
   }
+
+  test("streaming top-k upserts across microbatches; final state == batch window") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("topk_batches").toString
+    val ev = graft.Tables.events(spark, TestSpark.Sf)
+      .withColumn("us", expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+    val cut = ev.selectExpr("percentile(us, 0.5)").first().getDouble(0).toLong
+    def dump(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      df.select(col("event_id"), (col("us") * 1000).as("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.parquet(s"$dir/$name")
+    dump(ev.filter(col("us") <= cut), "b0")
+    dump(ev.filter(col("us") > cut), "b1")
+    val flat = java.nio.file.Files.createTempDirectory("topk_flat").toString
+    Seq("b0", "b1").zipWithIndex.foreach { case (b, i) =>
+      val src = new java.io.File(s"$dir/$b").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$flat/part-$b.parquet")
+      java.nio.file.Files.copy(src.toPath, dst.toPath)
+      dst.setLastModified(System.currentTimeMillis() - 60000 + i * 30000)
+    }
+    // foreachBatch sink tags each emission with its batch id — the upsert
+    // consumer keeps, per user, the rows of the LAST batch that touched it
+    val out = java.nio.file.Files.createTempDirectory("topk_emit").toString + "/rows"
+    StreamOps.foreachBatchToParquet(
+      StreamOps.topKPerKey(spark, StreamOps.eventStreamFromDir(spark, flat), 3), out)
+    val emitted = spark.read.parquet(out)
+    assert(emitted.select("batch_id").distinct().count() >= 2,
+      "expected emissions from more than one microbatch")
+    val wLast = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val got = emitted
+      .withColumn("mb", max("batch_id").over(wLast))
+      .filter(col("batch_id") === col("mb"))
+      .select("user_id", "rnk", "event_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("value").desc, col("event_id"))
+    val want = graft.Tables.events(spark, TestSpark.Sf)
+      .filter(col("value").isNotNull)
+      .withColumn("rnk", row_number().over(wB)).filter(col("rnk") <= 3)
+      .select("user_id", "rnk", "event_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(want.nonEmpty && got == want,
+      s"incremental top-k diverged: ${(want diff got).take(3)} missing, " +
+        s"${(got diff want).take(3)} extra")
+  }
 }

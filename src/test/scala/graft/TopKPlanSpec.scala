@@ -102,6 +102,23 @@ class TopKPlanSpec extends AnyFunSuite with CacheDrained {
       Map("a" -> 3L, "b" -> 3L))
   }
 
+  test("a single hot key does not break the bounded heap (skew safety)") {
+    // one key with 200k rows + 100 cold keys: the sort path would sort the
+    // hot partition in full; the heap retains exactly k rows per key per
+    // partition regardless of skew, so this must stay fast and exact
+    val hot = spark.range(200000).selectExpr("'hot' AS k", "id AS v", "id")
+    val cold = spark.range(1000).selectExpr(
+      "concat('c', id % 100) AS k", "id + 1000000 AS v", "id + 1000000 AS id")
+    val df = hot.unionByName(cold)
+    val w = Window.partitionBy("k").orderBy(col("v").desc, col("id"))
+    val top = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+    assert(executed(top).contains("TopKPerKey"))
+    val rows = top.select("k", "v").as[(String, Long)].collect()
+    assert(rows.count(_._1 == "hot") == 2)
+    assert(rows.filter(_._1 == "hot").map(_._2).sorted.toSeq == Seq(199998L, 199999L))
+    assert(rows.length == 2 + 100 * 2)
+  }
+
   test("extra filter conjuncts survive the rewrite") {
     val df = Seq(("a", 1, 1), ("a", 2, 2), ("a", 3, 3), ("b", 9, 4))
       .toDF("k", "v", "id")
