@@ -265,6 +265,49 @@ object DedupOps {
         .orderBy("doc_id")
     },
 
+    // canonical-document selection — the step an actual dedup pass runs
+    // AFTER clustering: per near-dup cluster keep the best member (longest
+    // text, doc_id tiebreak — the standard keep-longest heuristic) and
+    // report how many rows the cluster drops. The keeper argmax rides
+    // max_by on a composite integer key (length·1e9 − doc_id) so both
+    // engines pick the identical winner without per-cluster sorts; the
+    // cluster assignment reuses the same label propagation / recursive-CTE
+    // pair as dedup_clusters.
+    GraftQuery("dedup_keep_best",
+      s"""WITH RECURSIVE $ShinglesCte,
+         |$PairCte,
+         |pairs AS (SELECT inter.ida AS a, inter.idb AS b FROM inter
+         |          JOIN sizes sa ON sa.doc_id = inter.ida
+         |          JOIN sizes sb ON sb.doc_id = inter.idb
+         |          WHERE CAST(inter.i AS DOUBLE) / (sa.n + sb.n - inter.i) >= $JaccardThreshold),
+         |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT a AS src, b AS dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a),
+         |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster
+         |       FROM reach GROUP BY src)
+         |SELECT cl.cluster,
+         |  max_by(cl.doc_id,
+         |    CAST(length(d.text) AS BIGINT) * 1000000000 - cl.doc_id) AS keep_doc,
+         |  CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(count(*) - 1 AS BIGINT) AS n_dropped
+         |FROM cl JOIN documents d ON d.doc_id = cl.doc_id
+         |GROUP BY cl.cluster ORDER BY cl.cluster""".stripMargin) { (spark, sfDir) =>
+      val pairs = jaccardPairs(docShingles(spark, sfDir))
+        .filter(col("jacc") >= JaccardThreshold)
+        .select("a", "b")
+      val cl = GraphOps.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("cluster"))
+      val keepKey = length(col("text")).cast("long") * 1000000000L - col("doc_id")
+      cl.join(Tables.documents(spark, sfDir), Seq("doc_id"))
+        .groupBy("cluster")
+        .agg(max_by(col("doc_id"), keepKey).as("keep_doc"),
+          count(lit(1)).as("n_members"),
+          (count(lit(1)) - 1).as("n_dropped"))
+        .orderBy("cluster")
+    },
+
     // shingle containment C(A,B) = |A∩B| / |A| — the asymmetric companion
     // to Jaccard that catches SUB-document duplication (a doc pasted inside
     // a larger one scores low Jaccard but containment ≈ 1). Same df-capped

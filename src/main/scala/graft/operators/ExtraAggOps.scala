@@ -235,6 +235,31 @@ object ExtraAggOps {
         .orderBy("ak")
     },
 
+    // incremental aggregate maintenance — the algebra that makes
+    // incremental ETL valid at scale: a materialized per-status state
+    // (count, cents) built from the base partition merges with the delta
+    // batch's partial aggregate by SUMMING the partials, never rescanning
+    // the base. The oracle aggregates base ∪ delta directly, so hash
+    // equality IS the proof that merge(agg(base), agg(delta)) ==
+    // agg(base ∪ delta) for these aggregates — exact integer cents, the
+    // associative/commutative form partial aggregation requires.
+    GraftQuery("agg_incremental",
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
+      (spark, sfDir) =>
+      val cents = floor(col("o_totalprice") * 100).cast("long")
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum(cents).as("cents"))
+      val base = partial(orders(spark, sfDir).filter(col("o_orderkey") % 10 =!= 0))
+      val delta = partial(orders(spark, sfDir).filter(col("o_orderkey") % 10 === 0))
+      base.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(sum("n").as("n"), sum("cents").as("cents"))
+        .orderBy("o_orderstatus")
+    },
+
     // order-sensitive argmin/argmax aggregates with a composed unique
     // ordering key (ties on price alone would be engine-ambiguous)
     GraftQuery("agg_minby_maxby",

@@ -119,6 +119,22 @@ class TopKPlanSpec extends AnyFunSuite with CacheDrained {
     assert(rows.length == 2 + 100 * 2)
   }
 
+  test("heap top-k result is independent of input partitioning") {
+    val base = Tables.orders(spark, TestSpark.Sf)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    def run(parts: Int) = {
+      val df = base.repartition(parts)
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= 4)
+      assert(executed(df).contains("TopKPerKey"))
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet
+    }
+    // partial heaps see different row subsets per layout; the merged final
+    // answer must not
+    assert(run(1) == run(13))
+  }
+
   test("extra filter conjuncts survive the rewrite") {
     val df = Seq(("a", 1, 1), ("a", 2, 2), ("a", 3, 3), ("b", 9, 4))
       .toDF("k", "v", "id")
