@@ -229,6 +229,71 @@ object CopyExecutor {
       .toDF()
   }
 
+  final case class CompactResult(path: String, status: String, detail: String)
+
+  /** Small-files compaction groups — the executable form of the
+    * `layout_compact_plan` query: per (directory, group) the member file
+    * names IN NAME ORDER plus the group byte total. Same window cumsum
+    * grouping (offset DIV target), so the two stay consistent by
+    * construction. */
+  def compactionGroups(invFiles: DataFrame, targetBytes: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("parent_directory").orderBy("name")
+      .rowsBetween(Long.MinValue, 0)
+    invFiles
+      .select(col("parent_directory"), col("name"), col("length"))
+      .withColumn("cum_before", sum("length").over(w) - col("length"))
+      .groupBy(col("parent_directory"),
+        expr(s"cum_before DIV $targetBytes").as("grp_id"))
+      .agg(sort_array(collect_list(col("name"))).as("names"),
+        sum("length").as("grp_bytes"))
+  }
+
+  /** Execute a compaction plan: each group's files are concatenated in
+    * name order into `<dir>/.compact-<grp>` through the same
+    * create/append/flush verb trio the copy engine uses, then checked
+    * against the planned byte total — a landed size that disagrees with
+    * the plan quarantines the group (`mismatch`) instead of silently
+    * shipping a torn artifact; per-file read failures quarantine as
+    * `failed`. Groups are independent and byte-bounded by the planner, so
+    * the fan-out is partition-parallel with bounded task memory — the
+    * executor half the layout tier's planner queries feed at 100 TB. */
+  def compactExecute(
+      spark: SparkSession,
+      groups: DataFrame,
+      ops: FileOps,
+      parallelism: Int = 8): DataFrame = {
+    import spark.implicits._
+    groups
+      .select(col("parent_directory"), col("grp_id"), col("names"), col("grp_bytes"))
+      .repartition(parallelism)
+      .as[(String, Long, Seq[String], Long)]
+      .mapPartitions { it =>
+        it.map { case (dir, grp, names, planned) =>
+          val out = s"$dir/.compact-$grp"
+          try {
+            ops.createFile(out)
+            var off = 0L
+            names.foreach { n =>
+              val data = ops.read(n)
+              ops.append(out, off, data)
+              off += data.length
+            }
+            ops.flush(out, off)
+            if (off == planned)
+              CompactResult(out, "ok", s"files=${names.size} bytes=$off")
+            else
+              CompactResult(out, "mismatch",
+                s"landed $off bytes, plan said $planned")
+          } catch {
+            case e: Exception =>
+              CompactResult(out, "failed", String.valueOf(e.getMessage))
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Op 13 end-to-end: apply an identity remap (the inv_remap_owners
     * query's output: name, new_owner, new_grp, changed) as in-place
     * metadata updates, the identity-mapper.py:82-99 pipeline. Per changed

@@ -440,4 +440,43 @@ class CopyExecutorSpec extends AnyFunSuite with CacheDrained {
     assert(!unitDirs.exists(_.getName == "unit=0"))
     val _ = PackingOps.Capacity
   }
+
+  test("compaction executor concatenates groups byte-identically; torn plan quarantines") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-compact").toString
+    val ops = new HadoopFileOps(s"file://$tmp")
+    // two dirs of small files with deterministic distinct payloads
+    val files = for (d <- Seq("/a", "/b"); i <- 0 until 7)
+      yield (s"$d/f$i", d, (i + 1) * 100)
+    files.foreach { case (name, _, len) =>
+      ops.mkdirs(name.split("/").dropRight(1).mkString("/"))
+      ops.write(name, Array.tabulate[Byte](len)(j => ((j + len) % 251).toByte))
+    }
+    val invf = files.toDF("name", "parent_directory", "length")
+      .withColumn("length", org.apache.spark.sql.functions.col("length")
+        .cast("long"))
+    val groups = CopyExecutor.compactionGroups(invf, targetBytes = 900L)
+    val res = CopyExecutor.compactExecute(spark, groups, ops, parallelism = 2)
+    val statuses = res.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(statuses.values.forall(_ == "ok"), s"unexpected statuses: $statuses")
+    // every group artifact is the in-name-order concatenation of its members
+    groups.collect().foreach { r =>
+      val dir = r.getString(0)
+      val grp = r.getLong(1)
+      val names = r.getSeq[String](2)
+      val expected = names.toArray.flatMap(n => ops.read(n))
+      val got = ops.read(s"$dir/.compact-$grp")
+      assert(java.util.Arrays.equals(got, expected),
+        s"group $dir/$grp not byte-identical")
+    }
+    // a plan whose byte total lies (torn source after planning) must
+    // quarantine as mismatch, not ship silently
+    val torn = groups.limit(1)
+      .withColumn("grp_id", org.apache.spark.sql.functions.col("grp_id") + 100)
+      .withColumn("grp_bytes", org.apache.spark.sql.functions.col("grp_bytes") + 1)
+    val tornRes = CopyExecutor.compactExecute(spark, torn, ops, parallelism = 1)
+      .collect()
+    assert(tornRes.length == 1 && tornRes.head.getString(1) == "mismatch")
+  }
 }
