@@ -42,6 +42,31 @@ object Sources {
   def readFilelist(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path).select(col("value").as("path"))
 
+  /** op 7 hardened for schema drift: PERMISSIVE ndjson parse that routes
+    * malformed records into a quarantine frame instead of failing the job
+    * — the per-item error-tolerance posture (op 34) applied at the
+    * ingestion edge, where a 100 TB feed WILL contain torn lines. Returns
+    * (parsed rows, quarantined raw lines). The parsed frame is cached and
+    * CacheTracker-tracked: Spark refuses a filter that references only the
+    * internal corrupt-record column on a lazy frame (it would have to
+    * re-parse with a different required schema), so materializing once is
+    * both the correctness requirement and the cheap plan. */
+  def readJsonQuarantine(spark: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    val corrupt = "_corrupt_record"
+    val raw = spark.read
+      .schema(schema.add(StructField(corrupt, StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .json(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.CacheTracker.track(raw)
+    val good = raw.filter(col(corrupt).isNull).drop(corrupt)
+    val quarantined = raw.filter(col(corrupt).isNotNull)
+      .select(col(corrupt).as("raw_line"))
+    (good, quarantined)
+  }
+
   /** op 19: a distcp `-filters` file (README.md:94-99) — one exclusion
     * regex per line, blank lines and `#` comments skipped — compiled into
     * a single keep-predicate Column for `pathCol`. Read on the driver

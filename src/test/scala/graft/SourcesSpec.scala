@@ -164,4 +164,28 @@ class SourcesSpec extends AnyFunSuite {
       assert(du(s"$tmp/d$d") == 60) // 10+20+30
     }
   }
+
+  test("json quarantine ingestion: torn lines route to quarantine, good rows parse") {
+    val spark = TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonq")
+    val f = dir.resolve("feed.jsonl")
+    java.nio.file.Files.writeString(f,
+      """{"id": 1, "name": "alpha"}
+        |{"id": 2, "name": "beta"}
+        |{"id": 3, "name": TORN
+        |not json at all
+        |{"id": 4, "name": "delta"}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType)))
+    val (good, bad) = Sources.readJsonQuarantine(spark, f.toString, schema)
+    val ids = good.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 4L), s"good rows wrong: $ids")
+    val lines = bad.collect().map(_.getString(0))
+    assert(lines.length == 2, s"expected 2 quarantined lines, got ${lines.toSeq}")
+    assert(lines.exists(_.contains("TORN")) && lines.exists(_.contains("not json")))
+  }
 }
