@@ -60,12 +60,18 @@ object BpeOps {
             .otherwise(concat(acc, lit(Sep), t)))),
       Sep)
 
-  /** adjacent-pair counts (overlapping occurrences, standard BPE) */
+  /** adjacent-pair counts (overlapping occurrences, standard BPE).
+    * The size >= 2 guard matters once merges land: a fully-merged word is
+    * a single token, and Spark's sequence(1, 0) is the DESCENDING [1, 0]
+    * (not empty like DuckDB's generate_series) — without the guard the
+    * pair lambda indexes past the array and kills the round at the first
+    * corpus whose small words merge to completion (seen at sf1). */
   private def pairCounts(words: DataFrame): DataFrame =
     words
       .select(col("cnt"), explode(expr(
-        """transform(sequence(1, size(toks) - 1),
-          |  i -> named_struct('l', element_at(toks, i), 'r', element_at(toks, i + 1)))"""
+        """filter(transform(sequence(1, size(toks)),
+          |  i -> named_struct('l', element_at(toks, i), 'r', try_element_at(toks, i + 1))),
+          |  p -> p.r IS NOT NULL)"""
           .stripMargin)).as("p"))
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum("cnt").cast("long").as("c"))

@@ -8,10 +8,18 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
   * EnsureRequirements inserts the hash exchange between them (final
   * declares ClusteredDistribution). */
 object TopKStrategy extends SparkStrategy {
+  /** partial-phase memory-valve override (keys before a flush); mainly a
+    * test hook — the default is sized for production */
+  val MaxPartialKeysConf = "spark.graft.topk.maxPartialKeys"
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(part, order, k, child) =>
-      val partialExec = TopKPerKeyExec(part, order, k, partial = true, planLater(child))
-      TopKPerKeyExec(part, order, k, partial = false, partialExec) :: Nil
+      val maxKeys = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString(MaxPartialKeysConf, TopKPerKeyExec.DefaultMaxPartialKeys.toString)
+        .toInt
+      val partialExec =
+        TopKPerKeyExec(part, order, k, partial = true, planLater(child), maxKeys)
+      TopKPerKeyExec(part, order, k, partial = false, partialExec, maxKeys) :: Nil
     case _ => Nil
   }
 }

@@ -119,6 +119,26 @@ class TopKPlanSpec extends AnyFunSuite with CacheDrained {
     assert(rows.length == 2 + 100 * 2)
   }
 
+  test("partial memory valve: forced flushing changes nothing in the answer") {
+    // threshold 3 keys on a 100-key input: every partial partition flushes
+    // repeatedly; the final phase must still produce the exact top-k
+    spark.conf.set(graft.plans.TopKStrategy.MaxPartialKeysConf, "3")
+    try {
+      val df = spark.range(100000).selectExpr(
+        "concat('k', id % 100) AS k", "id AS v", "id")
+      val w = Window.partitionBy("k").orderBy(col("v").desc, col("id"))
+      val top = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+      assert(executed(top).contains("TopKPerKey"))
+      val got = top.select("k", "v").as[(String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      // per key: the two largest ids congruent to that key mod 100
+      (0 until 100).foreach { kk =>
+        val top2 = (0L until 100000L).filter(_ % 100 == kk).sorted.takeRight(2)
+        assert(got(s"k$kk") == top2, s"key k$kk wrong under forced flushing")
+      }
+    } finally spark.conf.unset(graft.plans.TopKStrategy.MaxPartialKeysConf)
+  }
+
   test("heap top-k result is independent of input partitioning") {
     val base = Tables.orders(spark, TestSpark.Sf)
       .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
