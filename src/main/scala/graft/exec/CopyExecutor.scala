@@ -229,6 +229,43 @@ object CopyExecutor {
       .toDF()
   }
 
+  /** Verify-and-repair: the re-run loop a real migration closes after the
+    * BOM check finds damage (reference README.md:150-152 verification +
+    * distcp-to-databox.sh:20-26 idempotent re-submission, composed).
+    * Runs [[verifyCopy]], narrows the inventory to the directories whose
+    * manifests disagree (plus the missing directories themselves), and
+    * re-runs [[copyInventory]] in preflight mode over ONLY that slice —
+    * intact files inside a damaged directory are probed and `skipped`,
+    * torn ones (wrong length / absent) are re-copied — then re-verifies.
+    *
+    * Returns (repairResults, verifyAfter). A directory the repair cannot
+    * fix by copying — e.g. an EXTRA foreign file inflating the
+    * destination count — stays `mismatch` in verifyAfter rather than
+    * being deleted: the engine never removes data it did not write.
+    *
+    * Scale shape: the damaged-directory set is a broadcast semi-join
+    * against the inventory (damage after a mostly-successful copy is
+    * sparse by assumption — and when it is not, AQE degrades the
+    * semi-join to a shuffle join and the repair is simply a re-copy). */
+  def repairCopy(
+      spark: SparkSession,
+      inventory: DataFrame,
+      ops: FileOps,
+      parallelism: Int = 8,
+      source: Option[FileOps] = None,
+      blockSize: Long = BlockSize): (DataFrame, DataFrame) = {
+    val bad = verifyCopy(spark, inventory, ops, parallelism)
+      .filter(col("status") =!= "ok")
+      .select(col("dir"))
+    val badFiles = inventory.filter(!col("is_folder"))
+      .join(broadcast(bad), inventory("parent_directory") === bad("dir"), "left_semi")
+    val badDirs = inventory.filter(col("is_folder"))
+      .join(broadcast(bad), inventory("name") === bad("dir"), "left_semi")
+    val results = copyInventory(spark, badDirs.unionByName(badFiles), ops,
+      parallelism, source, blockSize, preflight = true)
+    (results, verifyCopy(spark, inventory, ops, parallelism))
+  }
+
   final case class CompactResult(path: String, status: String, detail: String)
 
   /** Small-files compaction groups — the executable form of the

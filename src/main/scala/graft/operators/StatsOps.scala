@@ -1,0 +1,260 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.Tables
+
+/** Statistical-model tier: distributed PCA by power iteration over the
+  * embedding corpus, market-basket association rules, and robust
+  * (median/MAD) outlier screening — the model-fitting shapes a training-
+  * data pipeline runs beside its dedup/similarity stages (no counterpart
+  * in the reference; north-star extensions).
+  *
+  * All arithmetic is exact-integer on 1e6-quantized components (the
+  * SimilarityOps convention), so every step is a pure function of the
+  * data — engine- and partitioning-independent — and the DuckDB oracle
+  * replays the identical iterations as unrolled CTEs (the
+  * graph_pagerank / k-means pattern).
+  */
+object StatsOps {
+
+  private val Dim = 64
+  private val PcaIters = 6
+  private val QScale = 1000000L
+
+  /** Exact integer floor division for possibly-negative numerators.
+    * BOTH engines' integer division truncates toward zero (Spark DIV, and
+    * — measured, despite flooring on doubles — DuckDB's integer `//`), so
+    * each side first subtracts the non-negative remainder to make the
+    * numerator an exact multiple, where truncation equals floor. */
+  private def fdivSql(a: String, b: String): String =
+    s"(($a) - pmod(($a), $b)) DIV ($b)"
+
+  /** the DuckDB spelling: pmod(a, b) = ((a % b) + b) % b */
+  private def duckFdivSql(a: String, b: String): String =
+    s"(($a) - (((($a) % ($b)) + ($b)) % ($b))) // ($b)"
+
+  // ---- distributed PCA: top principal component by power iteration ----
+  //
+  // x_q       = floor(x · 1e6)                 (per-component quantization)
+  // m_i       = floor(Σ_v x_q(v,i) / n)        (integer mean)
+  // c(v,i)    = x_q(v,i) − m_i                 (centered component)
+  // w_0       = (1e6, …, 1e6)
+  // d_t(v)    = floor(Σ_i c(v,i)·w_{t−1}(i) / D)   with D = 1e6·(n/1e4 + 1)
+  // s_t(i)    = Σ_v d_t(v)·c(v,i)
+  // w_t(i)    = floor(s_t(i) / (max_j|s_t(j)|/1e6 + 1))   (renormalize)
+  //
+  // Each iteration is ONE distributed aggregation over the centered
+  // frame — d_t is a per-row expression against the broadcast-literal
+  // w_{t−1} (64 longs), s_t is 64 sums in a single hash agg, and only 64
+  // longs ever reach the driver. The Gram matrix is never materialized:
+  // this is the canonical data-side power iteration, O(iters) scans and
+  // no shuffle wider than a 1-row aggregate, so the shape is unchanged at
+  // 100 TB. Overflow is bounded by construction: |c| ≤ 2e6, |w| ≤ 2e6 ⇒
+  // |dot| ≤ 64·4e12 ≈ 2.6e14; D grows stepwise with n so that
+  // |s| ≤ (n/1e4+1)·1e4 · (2.6e14/((n/1e4+1)·1e6)) · 2e6 ≈ 5.2e18 < 2^63
+  // at any corpus size.
+  //
+  // The iteration count is fixed (an oracle-able pure function), not
+  // convergence-tested: on a narrow eigengap the returned direction is
+  // simply the 6-step Krylov iterate — identical in both engines.
+
+  /** memoized per (session, sfDir): (n, mean, w_final) — the fitted model
+    * is a corpus snapshot like the k-means codebook (192 longs) */
+  private val pcaCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Long, Array[Long], Array[Long])]
+
+  /** (vec_id, cx: array<bigint>) centered quantized embeddings */
+  private def centeredFrame(spark: SparkSession, sfDir: String,
+      mean: Array[Long]): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        expr(s"""zip_with(
+                |  transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT)),
+                |  array(${mean.mkString("L,")}L),
+                |  (x, m) -> x - m)""".stripMargin).as("cx"))
+
+  def pcaModel(spark: SparkSession, sfDir: String): (Long, Array[Long], Array[Long]) =
+    pcaCache.getOrElseUpdate((spark, sfDir), {
+      val q = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"),
+          expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT))").as("xq"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(q)
+      // one scan: n + the 64 component sums
+      val mRow = q.agg(count(lit(1)).as("n"),
+        (0 until Dim).map(i => sum(expr(s"element_at(xq, ${i + 1})")).as(s"s$i")): _*)
+        .collect()(0)
+      val n = mRow.getLong(0)
+      val mean = Array.tabulate(Dim)(i => Math.floorDiv(mRow.getLong(i + 1), n))
+      val d = QScale * (n / 10000L + 1)
+      val cx = q.select(col("vec_id"),
+        expr(s"zip_with(xq, array(${mean.mkString("L,")}L), (x, m) -> x - m)").as("cx"))
+      var w = Array.fill(Dim)(QScale)
+      for (_ <- 1 to PcaIters) {
+        val dot = s"aggregate(zip_with(cx, array(${w.mkString("L,")}L), (x, y) -> x * y), CAST(0 AS BIGINT), (a, e) -> a + e)"
+        val sRow = cx
+          .withColumn("dq", expr(fdivSql(dot, d.toString)))
+          .agg(sum(expr("element_at(cx, 1) * dq")).as("s0"),
+            (1 until Dim).map(i => sum(expr(s"element_at(cx, ${i + 1}) * dq")).as(s"s$i")): _*)
+          .collect()(0)
+        val s = Array.tabulate(Dim)(i => sRow.getLong(i))
+        val denom = s.map(math.abs).max / QScale + 1
+        w = s.map(v => Math.floorDiv(v, denom))
+      }
+      (n, mean, w)
+    })
+
+  /** shared oracle CTE chain ending in w$PcaIters(i, w); `cc`, `dd` stay
+    * in scope for the projection tail */
+  private def pcaOracleCtes: String = {
+    // each CTE must reference its predecessor exactly ONCE: DuckDB inlines
+    // CTEs, so a round that mentions s$t twice (the sum and a scalar-
+    // subquery max) doubles the expanded plan per round — 2^iters copies
+    // of the whole chain. The renormalizer is therefore a window max over
+    // the same single s$t reference.
+    val rounds = (1 to PcaIters).map { t =>
+      s"""d$t AS (SELECT vec_id, CAST(${duckFdivSql("SUM(cx * w)", "(SELECT dv FROM dd)")} AS BIGINT) AS dq
+         |  FROM cc JOIN w${t - 1} USING (i) GROUP BY vec_id),
+         |s$t AS (SELECT i, CAST(SUM(cx * dq) AS BIGINT) AS s
+         |  FROM cc JOIN d$t USING (vec_id) GROUP BY i),
+         |w$t AS (SELECT i, CAST(${duckFdivSql("s", s"MAX(ABS(s)) OVER () // $QScale + 1")} AS BIGINT) AS w
+         |  FROM s$t)""".stripMargin
+    }.mkString(",\n")
+    s"""comps AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * $QScale) AS BIGINT) AS xq
+       |  FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS i) ii),
+       |nn AS (SELECT count(*) AS n FROM embeddings),
+       |dd AS (SELECT $QScale * (n // 10000 + 1) AS dv FROM nn),
+       |mm AS (SELECT i, CAST(${duckFdivSql("SUM(xq)", "(SELECT n FROM nn)")} AS BIGINT) AS m
+       |  FROM comps GROUP BY i),
+       |cc AS (SELECT c.vec_id, c.i, c.xq - m.m AS cx
+       |  FROM comps c JOIN mm m ON m.i = c.i),
+       |w0 AS (SELECT CAST(unnest(generate_series(0, ${Dim - 1})) AS BIGINT) AS i,
+       |    CAST($QScale AS BIGINT) AS w),
+       |$rounds""".stripMargin
+  }
+
+  private val MinSupport = 2L
+  private val Ppm = 1000000L
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // top principal direction of the embedding corpus (integer power
+    // iteration; 64 rows — the fitted component vector itself is the
+    // oracled result, so quantization, centering, every iterate and the
+    // renormalization rule are all hash-visible)
+    GraftQuery("sim_pca_power",
+      s"""WITH $pcaOracleCtes
+         |SELECT i, w FROM w$PcaIters ORDER BY i""".stripMargin,
+      bench = true) { (spark, sfDir) =>
+      import spark.implicits._
+      val (_, _, w) = pcaModel(spark, sfDir)
+      (0 until Dim).map(i => (i.toLong, w(i))).toDF("i", "w").orderBy("i")
+    },
+
+    // per-vector projection onto the fitted component — the 1-D embedding
+    // a curriculum/visualization stage consumes; one scan of the corpus
+    // against the broadcast-literal model
+    GraftQuery("sim_pca_project",
+      s"""WITH $pcaOracleCtes
+         |SELECT vec_id, CAST(${duckFdivSql("SUM(cx * w)", "(SELECT dv FROM dd)")} AS BIGINT) AS proj
+         |FROM cc JOIN w$PcaIters USING (i)
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (spark, sfDir) =>
+      val (n, mean, w) = pcaModel(spark, sfDir)
+      val d = QScale * (n / 10000L + 1)
+      val dot = s"aggregate(zip_with(cx, array(${w.mkString("L,")}L), (x, y) -> x * y), CAST(0 AS BIGINT), (a, e) -> a + e)"
+      centeredFrame(spark, sfDir, mean)
+        .select(col("vec_id"), expr(fdivSql(dot, d.toString)).as("proj"))
+        .orderBy("vec_id")
+    },
+
+    // market-basket association rules over order baskets: for part pairs
+    // co-purchased in ≥ MinSupport orders, confidence(u→v) and lift in
+    // integer ppm, top-20 by lift. The pair build is the triangles edge
+    // derivation (self-join co-partitioned on l_orderkey, fan-out bounded
+    // by basket size — never |parts|²); item counts and the basket total
+    // are broadcast dimensions. All ratios are non-negative, so Spark's
+    // truncating DIV and DuckDB's flooring // agree (the q22 rule).
+    GraftQuery("mine_assoc_rules",
+      s"""WITH bask AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |nb AS (SELECT count(DISTINCT l_orderkey) AS n FROM bask),
+         |item AS (SELECT l_partkey AS it, count(*) AS c FROM bask GROUP BY 1),
+         |pr AS (SELECT b1.l_partkey AS u, b2.l_partkey AS v, count(*) AS cuv
+         |       FROM bask b1 JOIN bask b2
+         |         ON b1.l_orderkey = b2.l_orderkey AND b1.l_partkey < b2.l_partkey
+         |       GROUP BY 1, 2 HAVING count(*) >= $MinSupport)
+         |SELECT u, v, CAST(cuv AS BIGINT) AS support,
+         |       CAST(cuv * $Ppm // iu.c AS BIGINT) AS conf_ppm,
+         |       CAST(cuv * (SELECT n FROM nb) * $Ppm // (iu.c * iv.c) AS BIGINT) AS lift_ppm
+         |FROM pr JOIN item iu ON iu.it = u JOIN item iv ON iv.it = v
+         |ORDER BY lift_ppm DESC, u, v LIMIT 20""".stripMargin,
+      bench = true) { (spark, sfDir) =>
+      val bask = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val nb = bask.agg(countDistinct("l_orderkey").as("n"))
+      val item = bask.groupBy(col("l_partkey").as("it")).agg(count(lit(1)).as("c"))
+      val pr = bask.as("b1").join(bask.as("b2"),
+          col("b1.l_orderkey") === col("b2.l_orderkey") &&
+            col("b1.l_partkey") < col("b2.l_partkey"))
+        .groupBy(col("b1.l_partkey").as("u"), col("b2.l_partkey").as("v"))
+        .agg(count(lit(1)).as("cuv"))
+        .filter(col("cuv") >= MinSupport)
+      pr
+        .join(broadcast(item.select(col("it").as("u_it"), col("c").as("cu"))),
+          col("u") === col("u_it"))
+        .join(broadcast(item.select(col("it").as("v_it"), col("c").as("cv"))),
+          col("v") === col("v_it"))
+        .crossJoin(broadcast(nb))
+        .select(col("u"), col("v"), col("cuv").as("support"),
+          expr(s"cuv * $Ppm DIV cu").as("conf_ppm"),
+          expr(s"cuv * n * $Ppm DIV (cu * cv)").as("lift_ppm"))
+        .orderBy(col("lift_ppm").desc, col("u"), col("v"))
+        .limit(20)
+    },
+
+    // robust outlier screen per event type: exact median and MAD (median
+    // absolute deviation) on integer cents, outliers = |x − med| > 3·MAD.
+    // Doubled/quadrupled units keep every comparison integer-exact — the
+    // interpolated median of integers is a half-integer, so med×2 and
+    // MAD×4 are exact in both engines, and the outlier test
+    // |x−med| > 3·MAD becomes 4·|2x−med×2| > 3·(MAD×4). Two co-partitioned
+    // passes over events (medians are not algebraic — a 100 TB run swaps
+    // in percentile_approx at the same shape); the per-type models
+    // broadcast back. Unlike the z-score screen (events_anomaly), the
+    // median/MAD fence is insensitive to the outliers it hunts.
+    GraftQuery("events_mad_outliers",
+      """WITH e AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |med AS (SELECT event_type, CAST(2 * quantile_cont(cents, 0.5) AS BIGINT) AS med_x2
+        |        FROM e GROUP BY 1),
+        |d AS (SELECT e.event_type, ABS(2 * cents - med_x2) AS dev2, med_x2
+        |      FROM e JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad_x4
+        |        FROM d GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n,
+        |       CAST(max(d.med_x2) AS BIGINT) AS med_x2,
+        |       CAST(max(mad.mad_x4) AS BIGINT) AS mad_x4,
+        |       CAST(sum(CASE WHEN 4 * dev2 > 3 * mad_x4 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN mad USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin) { (spark, sfDir) =>
+      val e = Tables.events(spark, sfDir)
+        .select(col("event_type"), floor(col("value") * 100).cast("long").as("cents"))
+      val med = e.groupBy("event_type")
+        .agg(expr("CAST(2 * percentile(cents, 0.5D) AS BIGINT)").as("med_x2"))
+      val d = e.join(broadcast(med), "event_type")
+        .withColumn("dev2", abs(lit(2) * col("cents") - col("med_x2")))
+      val mad = d.groupBy("event_type")
+        .agg(expr("CAST(2 * percentile(dev2, 0.5D) AS BIGINT)").as("mad_x4"))
+      d.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          max("med_x2").as("med_x2"),
+          max("mad_x4").as("mad_x4"),
+          sum(when(lit(4) * col("dev2") > lit(3) * col("mad_x4"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy("event_type")
+    }
+  )
+}

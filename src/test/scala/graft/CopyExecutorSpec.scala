@@ -348,6 +348,47 @@ class CopyExecutorSpec extends AnyFunSuite with CacheDrained {
     assert(verified.filter(col("status") =!= "ok").count() == 0)
   }
 
+  test("repairCopy re-copies only the damaged directories' torn files and re-verifies clean") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    val srcRoot = Files.createTempDirectory("graft-repair-src").toString
+    val dstRoot = Files.createTempDirectory("graft-repair-dst").toString
+    val srcOps = new HadoopFileOps(s"file://$srcRoot")
+    val dstOps = new HadoopFileOps(s"file://$dstRoot")
+    val inv = RefFixtures.inventory(spark, TestSpark.Sf)
+      .filter(col("name").startsWith("/data/part=1/") or
+        col("name").startsWith("/data/part=2/") or
+        col("name").isin("/data/part=1", "/data/part=2"))
+      .withColumn("length",
+        org.apache.spark.sql.functions.when(col("is_folder"), 0L)
+          .otherwise(col("length") % 2048 + 1))
+    inv.filter(!col("is_folder")).select("name", "length").collect()
+      .foreach(r => srcOps.write(r.getString(0), new Array[Byte](r.getLong(1).toInt)))
+    CopyExecutor.copyInventory(spark, inv, dstOps, parallelism = 2, source = Some(srcOps))
+
+    // tear one file in part=1 (wrong length); part=2 stays pristine
+    val victim = inv.filter(!col("is_folder") && col("parent_directory") === "/data/part=1")
+      .select("name").first().getString(0)
+    dstOps.write(victim, new Array[Byte](1))
+
+    val (repaired, after) = CopyExecutor.repairCopy(spark, inv, dstOps,
+      parallelism = 2, source = Some(srcOps))
+    val byName = repaired.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // repair scope is the damaged directory only — pristine part=2 files
+    // never even reach the preflight probe
+    assert(byName.keySet.forall(n => !n.startsWith("/data/part=2/")),
+      s"pristine directory touched: ${byName.keySet}")
+    assert(byName(victim) == "ok", s"torn file not re-copied: $byName")
+    byName.collect { case (n, s) if n != victim && !n.endsWith("part=1") =>
+      assert(s == "skipped", s"intact sibling $n re-copied: $s")
+    }
+    assert(dstOps.length(victim) ==
+      inv.filter(col("name") === victim).select("length").first().getLong(0))
+    assert(after.filter(col("status") =!= "ok").count() == 0,
+      s"post-repair verify not clean: ${after.collect().mkString(", ")}")
+  }
+
   test("copyUnitsAsync preflight skips already-copied paths (idempotent -async re-run)") {
     val spark = TestSpark.spark
     val tmp = Files.createTempDirectory("graft-async-pf").toString

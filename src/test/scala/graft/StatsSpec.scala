@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the statistical-model tier (StatsOps): the PCA power
+  * iteration against a plain-Scala third implementation, association-rule
+  * algebra, and the median/MAD fence. (Cross-engine equality is the
+  * DuckDB oracle's job; these pin the semantics a hash can't explain.) */
+class StatsSpec extends AnyFunSuite with CacheDrained {
+
+  private val Q = 1000000L
+
+  /** plain-Scala replay of the quantize→center→iterate pipeline */
+  private def referencePca(emb: Array[(Long, Array[Float])], iters: Int)
+      : (Array[Long], Map[Long, Long]) = {
+    val n = emb.length.toLong
+    val xq = emb.map { case (id, v) => id -> v.map(x => math.floor(x.toDouble * Q).toLong) }
+    val d = Q * (n / 10000L + 1)
+    val dim = xq.head._2.length
+    val mean = Array.tabulate(dim)(i => Math.floorDiv(xq.map(_._2(i)).sum, n))
+    val cx = xq.map { case (id, v) => id -> v.zip(mean).map { case (x, m) => x - m } }
+    var w = Array.fill(dim)(Q)
+    for (_ <- 1 to iters) {
+      val dq = cx.map { case (id, c) =>
+        id -> Math.floorDiv(c.zip(w).map { case (x, y) => x * y }.sum, d)
+      }.toMap
+      val s = Array.tabulate(dim)(i => cx.map { case (id, c) => dq(id) * c(i) }.sum)
+      val denom = s.map(math.abs).max / Q + 1
+      w = s.map(v => Math.floorDiv(v, denom))
+    }
+    val proj = cx.map { case (id, c) =>
+      id -> Math.floorDiv(c.zip(w).map { case (x, y) => x * y }.sum, d)
+    }.toMap
+    (w, proj)
+  }
+
+  test("sim_pca_power/project equal a plain-Scala replay, and the fitted " +
+    "direction captures at least the average per-axis variance") {
+    val spark = TestSpark.spark
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val (wRef, projRef) = referencePca(emb, 6)
+
+    val w = SparkEntry.queries("sim_pca_power")(spark, TestSpark.Sf)
+      .orderBy("i").collect().map(_.getLong(1))
+    assert(w.toSeq == wRef.toSeq)
+    // renormalization bound: the largest component lands near the scale
+    val maxAbs = w.map(math.abs).max
+    assert(maxAbs >= Q / 2 && maxAbs <= 2 * Q, s"renorm out of range: $maxAbs")
+
+    val proj = SparkEntry.queries("sim_pca_project")(spark, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(proj == projRef)
+
+    // quality: variance of the projection along w (unit-normalized) must
+    // be at least the mean per-axis variance — the direction the power
+    // iteration amplifies cannot be worse than an average coordinate axis
+    val wNorm = math.sqrt(w.map(x => x.toDouble * x).sum)
+    val dirVar = {
+      val p = emb.map { case (_, v) =>
+        v.zip(w).map { case (x, wi) => x * wi / wNorm }.sum.toDouble
+      }
+      val m = p.sum / p.length
+      p.map(x => (x - m) * (x - m)).sum / p.length
+    }
+    val axisVar = (0 until 64).map { i =>
+      val xs = emb.map(_._2(i).toDouble)
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / xs.length
+    }
+    assert(dirVar >= axisVar.sum / 64,
+      f"fitted direction variance $dirVar%.6f below mean axis variance ${axisVar.sum / 64}%.6f")
+  }
+
+  test("mine_assoc_rules: supports recompute brute-force; ratio algebra holds") {
+    val spark = TestSpark.spark
+    val rows = SparkEntry.queries("mine_assoc_rules")(spark, TestSpark.Sf).collect()
+    assert(rows.length == 20)
+    val baskets = Tables.lineitem(spark, TestSpark.Sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val byOrder = baskets.groupBy(_._1).map { case (_, xs) => xs.map(_._2).toSet }
+    val itemCount = baskets.groupBy(_._2).map { case (k, xs) => k -> xs.length.toLong }
+    val nOrders = byOrder.size.toLong
+    rows.foreach { r =>
+      val (u, v, sup, conf, lift) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(u < v, s"pair not canonical: $u,$v")
+      val brute = byOrder.count(b => b.contains(u) && b.contains(v)).toLong
+      assert(sup == brute, s"support($u,$v)=$sup, brute=$brute")
+      assert(sup >= 2 && conf == sup * 1000000L / itemCount(u))
+      assert(lift == sup * nOrders * 1000000L / (itemCount(u) * itemCount(v)))
+    }
+  }
+
+  test("events_mad_outliers: median/MAD recompute exactly; fence is one-sided robust") {
+    val spark = TestSpark.spark
+    val rows = SparkEntry.queries("events_mad_outliers")(spark, TestSpark.Sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.nonEmpty)
+    val cents = Tables.events(spark, TestSpark.Sf)
+      .select(col("event_type"), floor(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sorted }
+    def med2(xs: Array[Long]): Long =
+      if (xs.length % 2 == 1) 2 * xs(xs.length / 2)
+      else xs(xs.length / 2 - 1) + xs(xs.length / 2)
+    cents.foreach { case (t, xs) =>
+      val (n, m2, mad4, out) = rows(t)
+      assert(n == xs.length)
+      assert(m2 == med2(xs), s"median mismatch for $t")
+      val dev2 = xs.map(x => math.abs(2 * x - m2)).sorted
+      assert(mad4 == med2(dev2), s"MAD mismatch for $t")
+      val brute = xs.count(x => 4 * math.abs(2 * x - m2) > 3 * mad4).toLong
+      assert(out == brute, s"outlier count mismatch for $t")
+      assert(out < n, s"fence flagged everything for $t")
+    }
+  }
+}
