@@ -16,7 +16,7 @@ object EventOps {
 
   private val TumbleSec = 300L
   private val SlideSec = 60L
-  private[operators] val GapUs = 1800000000L // 30 min in micros
+  private[graft] val GapUs = 1800000000L // 30 min in micros
 
   val queries: Seq[GraftQuery] = Seq(
 
@@ -310,6 +310,41 @@ object EventOps {
         .select(col("event_type"), col("z.ds").as("day"),
           col("z.xs").as("n"), col("z.es").as("ewma"))
         .orderBy("event_type", "day")
+    },
+
+    // Sequential-pattern mining: the top-20 session-bounded event-type
+    // trigram paths (a>b>c where consecutive gaps stay inside the session
+    // window) — the higher-order companion of events_transitions' pair
+    // counts, the path-frequency signal behind funnel discovery. One
+    // user-keyed window pass builds the trigrams (two lags of type and
+    // time), then a hash count and a TakeOrdered top-20 with a full
+    // deterministic tiebreak; no per-user collection, no global sort.
+    GraftQuery("events_top_paths",
+      s"""WITH eb AS (SELECT user_id, event_type, event_id,
+         |        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         |l AS (SELECT event_type AS c,
+         |        lag(event_type, 1) OVER w AS b, lag(event_type, 2) OVER w AS a,
+         |        us, lag(us, 1) OVER w AS us1, lag(us, 2) OVER w AS us2
+         |      FROM eb
+         |      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_type, event_id))
+         |SELECT a || '>' || b || '>' || c AS path, CAST(count(*) AS BIGINT) AS n
+         |FROM l
+         |WHERE a IS NOT NULL AND us - us1 < $GapUs AND us1 - us2 < $GapUs
+         |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin) { (spark, sfDir) =>
+      val w = Window.partitionBy("user_id").orderBy("us", "event_type", "event_id")
+      Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+        .withColumn("b", lag("event_type", 1).over(w))
+        .withColumn("a", lag("event_type", 2).over(w))
+        .withColumn("us1", lag("us", 1).over(w))
+        .withColumn("us2", lag("us", 2).over(w))
+        .filter(col("a").isNotNull &&
+          col("us") - col("us1") < GapUs && col("us1") - col("us2") < GapUs)
+        .select(concat_ws(">", col("a"), col("b"), col("event_type")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(20)
     }
   )
 }

@@ -70,6 +70,51 @@ object GraphOps {
     labels.select(col("id"), col("lbl").as("cluster"))
   }
 
+  /** Synchronous label-propagation community detection over an undirected
+    * canonical (u, v) pair list — the modularity-free community algorithm
+    * (Raghavan et al. 2007) a corpus pipeline runs to bucket a co-
+    * occurrence graph before per-community sampling. Deterministic
+    * variant: a FIXED number of synchronous rounds (an oracle-able pure
+    * function — classic LPA's random order/asynchrony is irreproducible),
+    * each node adopting the label with the highest neighbor count, ties
+    * to the SMALLEST label. Initial label = own id; isolated nodes don't
+    * occur (every node comes from an edge).
+    *
+    * Scale shape: each round is one co-partitioned join of the label
+    * frame against the bidirectional edge list plus three hash
+    * aggregations (gather counts, per-node max, min-label tiebreak) — no
+    * sorts, no windows; rounds localCheckpoint with eager release exactly
+    * like [[pageRank]]. Returns (node, community) after `rounds`. */
+  def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bi = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(edges.select(col("v").as("src"), col("u").as("dst")))
+      .persist(mad)
+    bi.count()
+    var labels = bi.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      // gather is consumed twice (its own max + the tiebreak join):
+      // persist for the round, release before the next
+      val gathered = bi.join(labels, col("node") === col("src"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+        .persist(mad)
+      val mc = gathered.groupBy("dst").agg(max("c").as("mc"))
+      val next = gathered.join(mc, Seq("dst"))
+        .filter(col("c") === col("mc"))
+        .groupBy("dst").agg(min("lbl").as("lbl"))
+        .select(col("dst").as("node"), col("lbl"))
+        .localCheckpoint()
+      gathered.unpersist(blocking = false)
+      graft.CacheTracker.checkpointRdds(labels).foreach(_.unpersist(false))
+      labels = next
+    }
+    bi.unpersist(blocking = false)
+    graft.CacheTracker.trackCheckpointed(labels)
+    labels.select(col("node"), col("lbl").as("community"))
+  }
+
   /** Integer-exact PageRank over a weighted digraph (src, dst, n) — the
     * crawl-prioritization / domain-authority ranking a web-corpus pipeline
     * runs before sampling. Fixed `iters` rounds of the power iteration with

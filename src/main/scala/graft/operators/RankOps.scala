@@ -19,6 +19,9 @@ object RankOps {
   private val Iters = 10
   private val Scale = 1000000000L
   private val BfsDepth = 4
+  // must initialize before `queries` (the oracle CTE chain interpolates it
+  // at object-init time — a forward val reads as 0 and the chain vanishes)
+  private val LpaRounds = 4
 
   /** the r1..rIters power-iteration rounds as unrolled DuckDB CTEs —
     * aggregation is not allowed in a recursive CTE term, so the fixed
@@ -140,7 +143,45 @@ object RankOps {
       graft.CacheTracker.track(ue)
       val src = ue.agg(min(col("u"))).first().getLong(0)
       GraphOps.bfsLevels(ue, src, BfsDepth).orderBy("level", "node")
+    },
+
+    // Label-propagation community detection over the same co-purchase
+    // graph — the community-bucketing step before per-community sampling
+    // or taxonomy review. Deterministic synchronous LPA (fixed rounds,
+    // argmax by neighbor-label count with min-label tiebreak —
+    // GraphOps.labelPropagation); the oracle unrolls the rounds as CTEs,
+    // resolving the same argmax with one row_number window per round so
+    // every CTE references its predecessor exactly once (the DuckDB
+    // CTE-inlining rule the PCA oracle documents).
+    GraftQuery("graph_communities",
+      s"""WITH ue AS (SELECT l1.l_partkey AS u, l2.l_partkey AS v
+         |            FROM lineitem l1 JOIN lineitem l2
+         |              ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+         |            GROUP BY 1, 2),
+         |be AS (SELECT u AS src, v AS dst FROM ue UNION ALL SELECT v, u FROM ue),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM be),
+         |$lpaRoundsSql
+         |SELECT node, lbl AS community FROM l$LpaRounds ORDER BY node""".stripMargin) {
+      (spark, sfDir) =>
+      val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
+      val ue = li.as("l1").join(li.as("l2"),
+          col("l1.l_orderkey") === col("l2.l_orderkey") &&
+            col("l1.l_partkey") < col("l2.l_partkey"))
+        .select(col("l1.l_partkey").as("u"), col("l2.l_partkey").as("v"))
+        .distinct()
+      GraphOps.labelPropagation(ue, LpaRounds).orderBy("node")
     })
+
+  /** LPA rounds as chained CTEs: gather per-(node, label) neighbor counts,
+    * then per-node argmax (count desc, label asc) via one window */
+  private def lpaRoundsSql: String =
+    (1 to LpaRounds).map { t =>
+      s"""g$t AS (SELECT e.dst AS node, l.lbl, count(*) AS c
+         |  FROM be e JOIN l${t - 1} l ON l.node = e.src GROUP BY 1, 2),
+         |l$t AS (SELECT node, lbl FROM (
+         |    SELECT node, lbl, row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+         |    FROM g$t) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
 
   /** frontier rounds 1..BfsDepth as chained CTEs: l_d = distinct neighbors
     * of l_{d-1} minus everything visited; v_d = v_{d-1} ∪ l_d */

@@ -35,6 +35,11 @@ object SketchOps {
   private[graft] val BloomBits = 4096
   private[graft] val BloomK = 4
 
+  /** equi-width histogram sketch bins per key (constant-memory quantiles).
+    * NOTE: must initialize BEFORE `queries` — the oracle SQL strings
+    * interpolate it at object-init time, and a forward val reads as 0. */
+  private[graft] val HistBins = 256L
+
   /** the j-th bloom bit of the pre-hashed key column `h`, as DuckDB SQL */
   private def bloomBitSql(j: Int): String =
     s"(((${permA(5 + j)} * (h % $P) + ${permB(5 + j)}) % $P) % $BloomBits)"
@@ -309,11 +314,105 @@ object SketchOps {
       graft.streaming.StreamOps
         .runToCompletion(regs, s"stream_hll_${streamRunId.incrementAndGet()}")
         .orderBy("bucket")
+    },
+
+    // Deterministic equi-width histogram sketch — the sketch family's
+    // quantile member, and the 100 TB substitute for the exact medians
+    // the MAD fence computes (exact percentile buffers every value;
+    // HistBins counters per key are constant memory at any scale, the
+    // same state story as count-min/HLL/bloom). Two exact hash
+    // aggregations: the per-type (lo, hi, n) bin spec, then per-(type,
+    // bin) counts; quantile q reports the LOWER EDGE of the bin whose
+    // cumulative count first reaches ceil(q·n) (cum·den ≥ num·n in
+    // integers — no float ranks), so estimates are integer-exact and
+    // off by at most one bin width. The window cumsum runs over ≤
+    // HistBins rows per type.
+    GraftQuery("events_hist_quantiles", histOracleSql) { (spark, sfDir) =>
+      val e = eventCents(Tables.events(spark, sfDir))
+      val spec = histSpec(e)
+      histQuantiles(histBins(e, spec), spec)
+    },
+
+    // STREAMING histogram maintenance, registered and oracled: bin specs
+    // are a batch-computed corpus model (the stream-static pattern —
+    // retraining the bin layout is a batch snapshot, exactly like the
+    // k-means codebook behind stream_kmeans_assign); each arriving event
+    // increments its (type, bin) counter, so the running aggregation
+    // state IS the histogram — ≤ HistBins rows per type forever, no
+    // watermark because the state cannot grow. Binning and the quantile
+    // fold are shared expression-for-expression with the batch query, so
+    // the incremental histogram cannot drift from the oracled one.
+    GraftQuery("stream_hist_quantiles", histOracleSql) { (spark, sfDir) =>
+      val spec = histSpec(eventCents(Tables.events(spark, sfDir)))
+      val bins = histBins(
+        eventCents(graft.streaming.StreamOps.eventStream(spark, sfDir)), spec)
+      val drained = graft.streaming.StreamOps
+        .runToCompletion(bins, s"stream_hist_${streamRunId.incrementAndGet()}")
+      histQuantiles(drained, spec)
     })
 
   /** memory-sink names must be fresh per invocation (RunOne re-runs a
     * query three times in one session) */
   private val streamRunId = new java.util.concurrent.atomic.AtomicLong()
+
+  // ---- deterministic equi-width histogram sketch (quantiles) ----
+
+  /** (event_type, cents) — works on batch AND streaming event frames */
+  private[graft] def eventCents(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
+      floor(col("value") * 100).cast("long").as("cents"))
+
+  /** per-type bin layout (lo, n, width): width = (hi−lo) DIV B + 1 keeps
+    * every bin index inside [0, B−1] for any range, including hi == lo */
+  private[graft] def histSpec(e: DataFrame): DataFrame =
+    e.groupBy("event_type")
+      .agg(min("cents").as("lo"), max("cents").as("hi"), count(lit(1)).as("n"))
+      .select(col("event_type"), col("lo"), col("n"),
+        expr(s"(hi - lo) DIV $HistBins + 1").as("width"))
+
+  /** per-(type, bin) counts against a broadcast bin layout — one running
+    * hash aggregation, bounded by HistBins rows per type; cents − lo ≥ 0
+    * so truncating DIV is floor */
+  private[graft] def histBins(e: DataFrame, spec: DataFrame): DataFrame =
+    e.join(broadcast(spec.select("event_type", "lo", "width")), "event_type")
+      .select(col("event_type"), expr("(cents - lo) DIV width").as("bin"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("cnt"))
+
+  /** fold bin counts into p50/p95/p99 lower-edge estimates (shared by the
+    * batch query and the streaming drain, so the two cannot diverge) */
+  private[graft] def histQuantiles(bins: DataFrame, spec: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("bin")
+    bins.withColumn("cum", sum("cnt").over(w))
+      .join(broadcast(spec), "event_type")
+      .groupBy("event_type")
+      .agg(max("n").as("n"), max("width").as("width"), max("lo").as("lo"),
+        min(when(col("cum") * 2 >= col("n"), col("bin"))).as("b50"),
+        min(when(col("cum") * 20 >= col("n") * 19, col("bin"))).as("b95"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("bin"))).as("b99"))
+      .select(col("event_type"), col("n"), col("width"),
+        (col("lo") + col("b50") * col("width")).as("p50_est"),
+        (col("lo") + col("b95") * col("width")).as("p95_est"),
+        (col("lo") + col("b99") * col("width")).as("p99_est"))
+      .orderBy("event_type")
+  }
+
+  /** one oracle for both the batch and streaming histogram queries */
+  private def histOracleSql: String =
+    s"""WITH e AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+       |spec AS (SELECT event_type, min(cents) AS lo, count(*) AS n,
+       |           (max(cents) - min(cents)) // $HistBins + 1 AS width
+       |         FROM e GROUP BY 1),
+       |b AS (SELECT e.event_type, (cents - lo) // width AS bin, count(*) AS cnt
+       |      FROM e JOIN spec USING (event_type) GROUP BY 1, 2),
+       |c AS (SELECT event_type, bin,
+       |        SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum FROM b)
+       |SELECT s.event_type, s.n, CAST(s.width AS BIGINT) AS width,
+       |  CAST(s.lo + min(CASE WHEN cum * 2 >= s.n THEN bin END) * s.width AS BIGINT) AS p50_est,
+       |  CAST(s.lo + min(CASE WHEN cum * 20 >= s.n * 19 THEN bin END) * s.width AS BIGINT) AS p95_est,
+       |  CAST(s.lo + min(CASE WHEN cum * 100 >= s.n * 99 THEN bin END) * s.width AS BIGINT) AS p99_est
+       |FROM c JOIN spec s USING (event_type)
+       |GROUP BY s.event_type, s.n, s.width, s.lo ORDER BY s.event_type""".stripMargin
 
   /** batch HLL estimate body (shared so the query list stays readable) */
   private def hllEstimate(spark: org.apache.spark.sql.SparkSession,

@@ -25,6 +25,48 @@ class GraphOpsSpec extends AnyFunSuite with CacheDrained {
     assert(got.size == 19)
   }
 
+  test("labelPropagation: two dense cliques joined by one bridge split into two communities") {
+    // K5 on 0..4 and K5 on 10..14, bridged by (4, 10): every node's
+    // neighbors are dominated by its own clique, so 4 rounds settle each
+    // clique on its min label and the bridge cannot flip either side
+    def clique(base: Long) = for {
+      i <- 0 until 5; j <- i + 1 until 5
+    } yield (base + i, base + j)
+    val pairs = (clique(0) ++ clique(10) :+ (4L, 10L)).toDF("u", "v")
+    val got = GraphOps.labelPropagation(pairs, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 10)
+    val left = (0L to 4L).map(got).toSet
+    val right = (10L to 14L).map(got).toSet
+    assert(left.size == 1 && right.size == 1 && left != right,
+      s"cliques not separated: $got")
+  }
+
+  test("labelPropagation: communities never cross connected components, " +
+    "and the result is partition-independent") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    val li = Tables.lineitem(spark, TestSpark.Sf).select("l_orderkey", "l_partkey")
+    val ue = li.as("l1").join(li.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.l_partkey") < col("l2.l_partkey"))
+      .select(col("l1.l_partkey").as("u"), col("l2.l_partkey").as("v"))
+      .distinct()
+    val comm = GraphOps.labelPropagation(ue, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    val comp = GraphOps.connectedComponents(
+        ue.select(col("u").as("a"), col("v").as("b")))
+      .as[(Long, Long)].collect().toMap
+    // every pair sharing a community shares a component
+    comm.groupBy(_._2).values.foreach { members =>
+      assert(members.keys.map(comp).toSet.size == 1,
+        "a community spans connected components")
+    }
+    val rep = GraphOps.labelPropagation(ue.repartition(13), rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(rep == comm, "result depends on input partitioning")
+  }
+
   test("checkpoint blocks do not accumulate with round count") {
     val sc = spark.sparkContext
     def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet

@@ -104,6 +104,55 @@ class RankSketchSpec extends AnyFunSuite with CacheDrained {
     }
   }
 
+  test("events_hist_quantiles: each estimate's bin contains the exact rank element; quantiles ordered") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.{col, floor}
+    val rows = SparkEntry.queries("events_hist_quantiles")(spark, TestSpark.Sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val cents = Tables.events(spark, TestSpark.Sf)
+      .select(col("event_type"), floor(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sorted }
+    cents.foreach { case (t, xs) =>
+      val (n, width, p50, p95, p99) = rows(t)
+      assert(n == xs.length)
+      assert(p50 <= p95 && p95 <= p99)
+      // the ceil(q·n)-th smallest element lies inside the reported bin
+      def rankEl(num: Long, den: Long): Long =
+        xs(((num * n + den - 1) / den - 1).toInt)
+      Seq((1L, 2L, p50), (19L, 20L, p95), (99L, 100L, p99)).foreach {
+        case (num, den, est) =>
+          val x = rankEl(num, den)
+          assert(est <= x && x < est + width,
+            s"$t q=$num/$den: element $x outside bin [$est, ${est + width})")
+      }
+    }
+  }
+
+  test("events_top_paths: counts equal a driver replay of the session trigrams") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.{col, expr}
+    val got = SparkEntry.queries("events_top_paths")(spark, TestSpark.Sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val ev = Tables.events(spark, TestSpark.Sf)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val gap = graft.operators.EventOps.GapUs
+    val brute = ev.groupBy(_._1).values.flatMap { g =>
+      val s = g.sortBy(e => (e._4, e._2, e._3)).toSeq
+      s.sliding(3).collect {
+        case Seq(a, b, c) if c._4 - b._4 < gap && b._4 - a._4 < gap =>
+          s"${a._2}>${b._2}>${c._2}"
+      }
+    }.toSeq.groupBy(s => s).map { case (k, v) => k -> v.size.toLong }
+    got.foreach { case (p, n) => assert(brute(p) == n, s"path $p: $n vs ${brute(p)}") }
+    // top-20 really is the top of the full distribution
+    val floor20 = got.map(_._2).min
+    assert(brute.values.count(_ > floor20) <= got.size)
+  }
+
   test("text_quality_model: keep is exactly the threshold predicate and splits") {
     val rows = SparkEntry.queries("text_quality_model")(spark, TestSpark.Sf)
       .as[(Long, Long, Boolean)].collect()
