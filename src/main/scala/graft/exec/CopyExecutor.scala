@@ -185,7 +185,9 @@ object CopyExecutor {
     * status: `ok`, `mismatch`, or `missing` (destination directory
     * absent). Engine sidecars (.acl/.meta) and unit markers (_copied) are
     * excluded from the destination count — they are bookkeeping, not
-    * payload.
+    * payload. Directories with no direct files (empty, or holding only
+    * subdirectories) are verified too, as 0-count/0-byte manifests, so a
+    * missing empty directory is caught and re-landed by [[repairCopy]].
     *
     * Scale shape: the source side is one hash aggregation over the
     * inventory (no sort, no name list ever materialized); the destination
@@ -198,13 +200,24 @@ object CopyExecutor {
       ops: FileOps,
       parallelism: Int = 8): DataFrame = {
     import spark.implicits._
-    val src = inventory.filter(!col("is_folder"))
+    val filed = inventory.filter(!col("is_folder"))
       .groupBy(col("parent_directory").as("dir"))
       .agg(
         count(lit(1)).as("src_files"),
         sum("length").as("src_bytes"),
         sum(conv(substring(md5(col("name").cast("binary")), 1, 8), 16, 10)
           .cast("long")).as("src_names_sum"))
+    // a directory with no direct files (empty, or holding only
+    // subdirectories) produces no group above — union it in as a 0/0/0
+    // manifest so its absence at the destination is still `missing` and
+    // repairCopy re-lands it (anti-join on the file-bearing dir set; both
+    // sides are inventory aggregates, shuffled on dir)
+    val zeroFileDirs = inventory.filter(col("is_folder"))
+      .select(col("name").as("dir"))
+      .join(filed.select("dir"), Seq("dir"), "left_anti")
+      .select(col("dir"), lit(0L).as("src_files"), lit(0L).as("src_bytes"),
+        lit(0L).as("src_names_sum"))
+    val src = filed.unionByName(zeroFileDirs)
     src.repartition(parallelism)
       .as[(String, Long, Long, Long)]
       .mapPartitions { it =>

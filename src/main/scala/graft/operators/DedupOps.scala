@@ -41,6 +41,21 @@ object DedupOps {
   val NumPerms = 32
   val NumBands = 16 // × 2 rows per band
 
+  /** Byte-gated broadcast bound for the component frame in
+    * train_split_safe (the SimilarityOps.BroadcastMaxVectors pattern):
+    * (doc_id, cluster) is two longs + row overhead ≈ 48 B, so a 32 MB
+    * budget admits ~700k clustered docs. At 100 TB even a few-% dup rate
+    * is billions of rows — far past any broadcast threshold — so an
+    * unconditional hint would be a driver OOM; past the bound the hint is
+    * dropped and AQE plans the join. */
+  val CompBroadcastBudgetBytes: Long = 32L << 20
+  val CompBytesPerRow: Long = 48
+  val BroadcastMaxComponents: Long = CompBroadcastBudgetBytes / CompBytesPerRow
+
+  /** broadcast-hint `df` only while `rows` fits the component byte budget */
+  private[graft] def gatedBroadcastComp(df: DataFrame, rows: Long): DataFrame =
+    if (rows <= BroadcastMaxComponents) broadcast(df) else df
+
   /** memoized per-document df-filtered shingle sets — (doc_id, sh, n) with
     * sh a sorted distinct array<long> — shared by the Jaccard, MinHash and
     * clustering operators, so it is computed once per (session, sfDir) and
@@ -198,9 +213,13 @@ object DedupOps {
     // (the eval-leakage failure mode a naive per-doc hash split has).
     // Composition of the cluster labels with text_split_assign's
     // deterministic bucketing; singleton docs are their own rep. The
-    // component frame is tiny next to the corpus (only docs in dup
-    // pairs), so its left join broadcasts and the corpus side never
-    // shuffles — the shape that holds when 100 TB has a few-% dup rate.
+    // component frame holds only docs in dup pairs, so at demo scale its
+    // left join broadcasts and the corpus side never shuffles — but the
+    // hint is BYTE-GATED (gatedBroadcastComp): a few-% dup rate of a
+    // 100 TB corpus is billions of rows, past any broadcast threshold,
+    // so past BroadcastMaxComponents the hint is dropped and AQE picks
+    // the join. The gate's count is O(1)-cheap: connectedComponents
+    // returns a checkpoint-materialized frame.
     GraftQuery("train_split_safe",
       s"""WITH RECURSIVE $ShinglesCte,
          |$PairCte,
@@ -228,7 +247,7 @@ object DedupOps {
       val comp = GraphOps.connectedComponents(pairs)
         .select(col("id").as("doc_id"), col("cluster"))
       Tables.documents(spark, sfDir).select("doc_id")
-        .join(broadcast(comp), Seq("doc_id"), "left")
+        .join(gatedBroadcastComp(comp, comp.count()), Seq("doc_id"), "left")
         .withColumn("rep", coalesce(col("cluster"), col("doc_id")))
         .withColumn("bucket", col("rep") % 100 * 61 % 100)
         .select(col("doc_id"), col("rep"),

@@ -107,6 +107,13 @@ object RankOps {
             col("l1.l_partkey") < col("l2.l_partkey"))
         .select(col("l1.l_partkey").as("u"), col("l2.l_partkey").as("v"))
         .distinct()
+        // the self-join + distinct is the heaviest subtree of the query,
+        // and orientByDegree consumes it three times (two degree-agg union
+        // branches + the join probe) with different pruned columns, so
+        // exchange reuse cannot kick in — persist once, release after the
+        // query's action (the graph_bfs_levels pattern)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(ue)
       GraphOps.triangles(ue)
         .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("n_triangles"))
@@ -169,6 +176,10 @@ object RankOps {
             col("l1.l_partkey") < col("l2.l_partkey"))
         .select(col("l1.l_partkey").as("u"), col("l2.l_partkey").as("v"))
         .distinct()
+        // label propagation probes the edge list every round — one-shot
+        // build, persisted for the rounds, released after the action
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(ue)
       GraphOps.labelPropagation(ue, LpaRounds).orderBy("node")
     })
 

@@ -178,6 +178,12 @@ object StatsOps {
     // by basket size — never |parts|²); item counts and the basket total
     // are broadcast dimensions. All ratios are non-negative, so Spark's
     // truncating DIV and DuckDB's flooring // agree (the q22 rule).
+    // Overflow bound: lift is derived from the already-reduced confidence
+    // — (cuv·Ppm DIV cu)·n DIV cv, identical order in both engines — so
+    // the largest intermediate is conf_ppm·n ≤ 1e6·n, int64-safe to
+    // n ≈ 9.2e12 baskets; the naive cuv·n·Ppm form wraps (silently in
+    // Spark, loudly in DuckDB) once cuv·n passes ~9.2e12, which a popular
+    // pair on a 100 TB basket corpus reaches.
     GraftQuery("mine_assoc_rules",
       s"""WITH bask AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          |nb AS (SELECT count(DISTINCT l_orderkey) AS n FROM bask),
@@ -188,7 +194,7 @@ object StatsOps {
          |       GROUP BY 1, 2 HAVING count(*) >= $MinSupport)
          |SELECT u, v, CAST(cuv AS BIGINT) AS support,
          |       CAST(cuv * $Ppm // iu.c AS BIGINT) AS conf_ppm,
-         |       CAST(cuv * (SELECT n FROM nb) * $Ppm // (iu.c * iv.c) AS BIGINT) AS lift_ppm
+         |       CAST((cuv * $Ppm // iu.c) * (SELECT n FROM nb) // iv.c AS BIGINT) AS lift_ppm
          |FROM pr JOIN item iu ON iu.it = u JOIN item iv ON iv.it = v
          |ORDER BY lift_ppm DESC, u, v LIMIT 20""".stripMargin,
       bench = true) { (spark, sfDir) =>
@@ -210,7 +216,7 @@ object StatsOps {
         .crossJoin(broadcast(nb))
         .select(col("u"), col("v"), col("cuv").as("support"),
           expr(s"cuv * $Ppm DIV cu").as("conf_ppm"),
-          expr(s"cuv * n * $Ppm DIV (cu * cv)").as("lift_ppm"))
+          expr(s"(cuv * $Ppm DIV cu) * n DIV cv").as("lift_ppm"))
         .orderBy(col("lift_ppm").desc, col("u"), col("v"))
         .limit(20)
     },
@@ -220,7 +226,8 @@ object StatsOps {
     // Doubled/quadrupled units keep every comparison integer-exact — the
     // interpolated median of integers is a half-integer, so med×2 and
     // MAD×4 are exact in both engines, and the outlier test
-    // |x−med| > 3·MAD becomes 4·|2x−med×2| > 3·(MAD×4). Two co-partitioned
+    // |x−med| > 3·MAD becomes 2·|2x−med×2| > 3·(MAD×4) (dev2 = 2|x−med|,
+    // so 2·dev2 = 4|x−med| and 3·mad_x4 = 12·MAD). Two co-partitioned
     // passes over events (medians are not algebraic — a 100 TB run swaps
     // in percentile_approx at the same shape); the per-type models
     // broadcast back. Unlike the z-score screen (events_anomaly), the
@@ -236,7 +243,7 @@ object StatsOps {
         |SELECT d.event_type, count(*) AS n,
         |       CAST(max(d.med_x2) AS BIGINT) AS med_x2,
         |       CAST(max(mad.mad_x4) AS BIGINT) AS mad_x4,
-        |       CAST(sum(CASE WHEN 4 * dev2 > 3 * mad_x4 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |       CAST(sum(CASE WHEN 2 * dev2 > 3 * mad_x4 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM d JOIN mad USING (event_type)
         |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin) { (spark, sfDir) =>
       val e = Tables.events(spark, sfDir)
@@ -252,7 +259,7 @@ object StatsOps {
         .agg(count(lit(1)).as("n"),
           max("med_x2").as("med_x2"),
           max("mad_x4").as("mad_x4"),
-          sum(when(lit(4) * col("dev2") > lit(3) * col("mad_x4"), 1L).otherwise(0L))
+          sum(when(lit(2) * col("dev2") > lit(3) * col("mad_x4"), 1L).otherwise(0L))
             .as("n_outliers"))
         .orderBy("event_type")
     }

@@ -294,6 +294,34 @@ class CopyExecutorSpec extends AnyFunSuite with CacheDrained {
     assert(dirty("/data/part=6") == "ok")
   }
 
+  test("verifyCopy covers zero-file directories; repairCopy re-lands a missing empty dir") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dstRoot = Files.createTempDirectory("graft-bom-empty").toString
+    val dstOps = new HadoopFileOps(s"file://$dstRoot")
+    // one file-bearing dir + one EMPTY dir (folder row, no file rows) —
+    // the case a files-only manifest grouping would silently skip
+    val inv = Seq(
+      ("/d/full", "/d", true, "u", "g", "rwxr-xr-x", 0L),
+      ("/d/full/a.dat", "/d/full", false, "u", "g", "rw-r--r--", 16L),
+      ("/d/empty", "/d", true, "u", "g", "rwxr-xr-x", 0L))
+      .toDF("name", "parent_directory", "is_folder", "owner", "grp", "perms", "length")
+    CopyExecutor.copyInventory(spark, inv, dstOps, parallelism = 2)
+    val clean = CopyExecutor.verifyCopy(spark, inv, dstOps, parallelism = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(clean.contains("/d/empty"), "zero-file directory absent from manifest")
+    assert(clean("/d/empty") == "ok" && clean("/d/full") == "ok", s"$clean")
+    // lose the empty directory → verify flags it missing, repair re-lands it
+    Files.delete(java.nio.file.Paths.get(dstRoot, "d", "empty"))
+    val missing = CopyExecutor.verifyCopy(spark, inv, dstOps, parallelism = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(missing("/d/empty") == "missing", s"$missing")
+    val (_, after) = CopyExecutor.repairCopy(spark, inv, dstOps, parallelism = 2)
+    assert(after.filter(col("status") =!= "ok").count() == 0,
+      s"empty dir not re-landed: ${after.collect().mkString(", ")}")
+  }
+
   test("preflight re-run after partial failure copies only the missing files (idempotent re-run)") {
     val spark = TestSpark.spark
     import org.apache.spark.sql.functions.col

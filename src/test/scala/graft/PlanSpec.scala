@@ -19,6 +19,22 @@ class PlanSpec extends AnyFunSuite with CacheDrained {
     SparkEntry.queries(name)(TestSpark.spark, TestSpark.Sf)
       .queryExecution.executedPlan.toString
 
+  test("train_split_safe's component broadcast is byte-gated, not unconditional") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val comp = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster")
+    def hasHint(rows: Long): Boolean =
+      graft.operators.DedupOps.gatedBroadcastComp(comp, rows)
+        .queryExecution.analyzed.collectFirst {
+          case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+        }.isDefined
+    // demo-scale component frame keeps the hint; past the byte budget the
+    // hint disappears and AQE owns the join choice (the 100 TB shape: a
+    // few-% dup rate is billions of rows, never driver-broadcastable)
+    assert(hasHint(graft.operators.DedupOps.BroadcastMaxComponents))
+    assert(!hasHint(graft.operators.DedupOps.BroadcastMaxComponents + 1))
+  }
+
   test("identity/dimension joins are broadcast, not shuffled") {
     Seq("identity_join", "acl_map_entries", "inv_remap_owners", "tpch_q3", "tpch_q5")
       .foreach { q =>

@@ -91,7 +91,9 @@ class StatsSpec extends AnyFunSuite with CacheDrained {
       val brute = byOrder.count(b => b.contains(u) && b.contains(v)).toLong
       assert(sup == brute, s"support($u,$v)=$sup, brute=$brute")
       assert(sup >= 2 && conf == sup * 1000000L / itemCount(u))
-      assert(lift == sup * nOrders * 1000000L / (itemCount(u) * itemCount(v)))
+      // lift derives from the reduced confidence (overflow-safe order:
+      // (sup·Ppm / cu) · n / cv), matching both engines exactly
+      assert(lift == sup * 1000000L / itemCount(u) * nOrders / itemCount(v))
     }
   }
 
@@ -114,7 +116,8 @@ class StatsSpec extends AnyFunSuite with CacheDrained {
       assert(m2 == med2(xs), s"median mismatch for $t")
       val dev2 = xs.map(x => math.abs(2 * x - m2)).sorted
       assert(mad4 == med2(dev2), s"MAD mismatch for $t")
-      val brute = xs.count(x => 4 * math.abs(2 * x - m2) > 3 * mad4).toLong
+      // |x−med| > 3·MAD in scaled units: 2·dev2 > 3·mad_x4
+      val brute = xs.count(x => 2 * math.abs(2 * x - m2) > 3 * mad4).toLong
       assert(out == brute, s"outlier count mismatch for $t")
       assert(out < n, s"fence flagged everything for $t")
     }
