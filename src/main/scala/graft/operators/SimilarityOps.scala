@@ -158,6 +158,15 @@ object SimilarityOps {
     * stays n·nprobe/K — never n². */
   val IvfProbes = 6
 
+  /** Target inverted-list occupancy for the PRODUCTION-shape IVF
+    * (sim_ann_ivf_scaled): K = ⌈n / ScaledAnnOccupancy⌉ lists, so probing
+    * nprobe lists scans ~nprobe·occupancy candidates per query AT ANY
+    * corpus size — the flat-candidates-per-query property fixed-K IVF
+    * loses the moment the corpus grows (fixed K=10 over 10× the vectors
+    * means 10× the candidates per probe). 50 keeps the demo decades
+    * distinct: K=10 at n=500 (sf0.001/0.01), K=40 at n=2000 (sf0.1). */
+  val ScaledAnnOccupancy = 50
+
   /** demo-regime near-dup cosine threshold (testdata max cosine ≈ 0.51) */
   val NearDupThreshold = 0.4
 
@@ -690,6 +699,38 @@ object SimilarityOps {
     s"""$ivfCandOracleCtes,
        |${rerankOracleTail("cands")}""".stripMargin
 
+  /** DuckDB twin of the corpus-scaled IVF ([[ivfScaledTopK]]): K is
+    * computed FROM THE DATA (⌈n / occupancy⌉) and the sampled coarse
+    * quantizer is one md5-rank window — no per-centroid CTE unrolling, so
+    * the same static SQL is correct at every sf the driver runs. Ends in
+    * `r2(qid, nid, sim6, rnk)`. */
+  private def ivfScaledOracleCtes: String =
+    s"""comps AS MATERIALIZED (SELECT vec_id, i - 1 AS i,
+       |        CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+       |      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) ii),
+       |ksel AS (SELECT greatest(2, CAST(ceil(CAST(count(*) AS DOUBLE)
+       |        / $ScaledAnnOccupancy) AS BIGINT)) AS k FROM embeddings),
+       |csel AS (SELECT vec_id,
+       |        row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c
+       |      FROM embeddings),
+       |cc AS MATERIALIZED (SELECT csel.c, comps.i, comps.xq AS x
+       |      FROM csel JOIN comps ON comps.vec_id = csel.vec_id
+       |      WHERE csel.c < (SELECT k FROM ksel)),
+       |cn AS (SELECT c, CAST(sum(x * x) AS BIGINT) AS n2c FROM cc GROUP BY c),
+       |dps AS (SELECT comps.vec_id, cc.c, CAST(sum(comps.xq * cc.x) AS BIGINT) AS dp
+       |      FROM comps JOIN cc ON cc.i = comps.i GROUP BY comps.vec_id, cc.c),
+       |sranked AS MATERIALIZED (SELECT d.vec_id, d.c,
+       |        row_number() OVER (PARTITION BY d.vec_id
+       |                           ORDER BY cn.n2c - 2 * d.dp, d.c) AS r
+       |      FROM dps d JOIN cn ON cn.c = d.c),
+       |sassign AS (SELECT vec_id, c AS list FROM sranked WHERE r = 1),
+       |sprobes AS (SELECT vec_id AS qid, c AS list FROM sranked
+       |      WHERE r <= $IvfProbes AND vec_id < $NumQueries),
+       |scands AS (SELECT p.qid, a.vec_id AS nid
+       |      FROM sprobes p JOIN sassign a ON a.list = p.list
+       |      WHERE a.vec_id <> p.qid),
+       |${rerankOracleTail("scands")}""".stripMargin
+
   /** the 1e6-quantized integer component CTE the LSH chain hashes over —
     * same rows as the kmeans oracle's `comps`, so sim_ann_hybrid (which
     * already carries the kmeans CTEs) omits this and reuses that one */
@@ -762,6 +803,54 @@ object SimilarityOps {
   def ivfTopK(spark: SparkSession, sfDir: String,
       nprobe: Int = IvfProbes): DataFrame =
     rerankCands(spark, sfDir, ivfCandidates(spark, sfDir, nprobe))
+
+  /** Corpus-scaled coarse quantizer: the K = ⌈n / ScaledAnnOccupancy⌉
+    * md5-ranked sample vectors, quantized to the shared 1e-6 integer
+    * grid. A sampled (un-Lloyd'd) coarse quantizer is the standard IVF
+    * bootstrap (Jégou et al., "Product quantization for nearest neighbor
+    * search", PAMI 2011 trains k-means ON A SAMPLE; the sample itself is
+    * the zero-iteration cut of that) and — unlike the Lloyd'd fixed-K
+    * codebook — is expressible with a DATA-DEPENDENT K in one SQL window,
+    * which is what lets this production shape be a CORRECTNESS row
+    * rather than library surface. The md5 rank is a deterministic
+    * uniform shuffle, so list sizes concentrate at the occupancy target.
+    * Driver footprint: K×64 longs (~512 B per list) — the same
+    * collect-then-broadcast budget as the fixed codebook; at K beyond
+    * ~100k lists a production run would keep the centroids as a frame
+    * and assign via the join-shaped ranking instead. */
+  private def scaledCodebook(spark: SparkSession, sfDir: String): Array[Array[Long]] = {
+    val e = embeddings(spark, sfDir)
+    val k = math.max(2,
+      math.ceil(e.count().toDouble / ScaledAnnOccupancy).toInt)
+    // orderBy+limit plans as TakeOrderedAndProject — a per-partition
+    // top-K fold, never a global sort materialization
+    e.withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
+      .orderBy("h", "vec_id").limit(k)
+      .selectExpr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xq")
+      .collect().map(_.getSeq[Long](0).toArray)
+  }
+
+  /** Production-shape IVF top-k: K scales with the corpus, so candidates
+    * per query stay ~nprobe·occupancy at any n (the sim_ann_ivf_scaled
+    * pipeline body). Assignment is one CentroidArgmin codegen pass over
+    * the corpus; only the NumQueries query vectors pay the full K-way
+    * ranking for their probe lists. */
+  def ivfScaledTopK(spark: SparkSession, sfDir: String,
+      nprobe: Int = IvfProbes): DataFrame = {
+    val cents = scaledCodebook(spark, sfDir)
+    val assign = embeddings(spark, sfDir).select(col("vec_id"),
+      graft.functions.CentroidArgmin
+        .centroidArgmin(col("embedding"), cents).as("list"))
+    val probes = rankedFor(spark, sfDir, cents,
+        Some(embeddings(spark, sfDir).filter(col("vec_id") < NumQueries)))
+      .filter(col("r") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cluster").as("list"))
+    val cands = assign.join(broadcast(probes), Seq("list"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"))
+    rerankCands(spark, sfDir, cands)
+  }
 
   /** brute-force cosine top-k for qid < NumQueries; rounded to 6 dp before
     * ranking so Spark and DuckDB order identically. Norms are computed ONCE
@@ -925,6 +1014,21 @@ object SimilarityOps {
          |ORDER BY qid, rnk""".stripMargin,
       bench = true) { (spark, sfDir) =>
       ivfTopK(spark, sfDir).orderBy("qid", "rnk")
+    },
+
+    // PRODUCTION-shape IVF as a correctness row: K derives from the
+    // corpus (⌈n / ScaledAnnOccupancy⌉ lists, a sampled coarse quantizer)
+    // so candidates per query stay ~nprobe·occupancy at every sf — the
+    // flat-work-per-query property SCALING.md claims for the scaled path,
+    // now oracled instead of library-only. Same probe/re-rank tail as
+    // sim_ann_ivf; recall floor pinned in SimilaritySpec against the
+    // brute-force ground truth.
+    GraftQuery("sim_ann_ivf_scaled",
+      s"""WITH $ivfScaledOracleCtes
+         |SELECT qid, rnk, nid, sim6 FROM r2 WHERE rnk <= $TopK
+         |ORDER BY qid, rnk""".stripMargin,
+      bench = true) { (spark, sfDir) =>
+      ivfScaledTopK(spark, sfDir).orderBy("qid", "rnk")
     },
 
     // ANN quality evaluation as a first-class operator: per-query
