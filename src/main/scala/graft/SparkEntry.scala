@@ -17,7 +17,7 @@ object SparkEntry {
       TrainPrepOps.queries ++ RankOps.queries ++ SketchOps.queries ++
       LayoutOps.queries ++ CleanOps.queries ++ PqOps.queries ++
       BpeOps.queries ++ TopKOps.queries ++ CdcOps.queries ++
-      RetrievalOps.queries ++ StatsOps.queries
+      RetrievalOps.queries ++ StatsOps.queries ++ PipelineOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Distinct-identities pipeline (§7.2 step 1): scan → project → explode →

@@ -92,7 +92,7 @@ object DedupOps {
     * counts — the CTE twin of [[pairIntersections]], reused by the Jaccard,
     * containment and clustering oracles so the family's hottest join shape
     * exists exactly once per engine */
-  private val PairCte: String =
+  private[operators] val PairCte: String =
     s"""sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
        |          FROM shf a JOIN shf b ON a.h = b.h AND a.doc_id < b.doc_id
@@ -121,6 +121,14 @@ object DedupOps {
     a.join(b, Seq("h")).filter(col("a") < col("b"))
       .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("i"))
   }
+
+  /** the family's canonical near-dup pair list: Jaccard ≥ threshold over
+    * the cached df-filtered shingles — (a, b) edges, shared by the
+    * clustering/keep-best/split queries and the pipeline composition */
+  private[operators] def thresholdPairs(spark: SparkSession, sfDir: String): DataFrame =
+    jaccardPairs(docShingles(spark, sfDir))
+      .filter(col("jacc") >= JaccardThreshold)
+      .select("a", "b")
 
   /** all pairs with Jaccard similarity (unfiltered) */
   private def jaccardPairs(s: DataFrame): DataFrame =

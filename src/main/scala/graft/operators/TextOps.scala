@@ -33,6 +33,42 @@ object TextOps {
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
 
+  /** The corpus_clean quality+language gate as shared CTEs `t` (tokenized
+    * docs), `f` (per-doc keep_q / is_en verdicts) and `surv` (survivors) —
+    * one definition consumed by corpus_clean AND the end-to-end
+    * pipeline_corpus_prep composition, so the two can never drift. */
+  private[operators] def cleanCtesSql: String =
+    s"""t AS (SELECT doc_id, text,
+       |    regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
+       |f AS (SELECT doc_id, text,
+       |    (CAST(length(text) AS BIGINT) >= 100 AND CAST(len(toks) AS BIGINT) >= 20
+       |     AND (CASE WHEN len(toks) = 0 THEN 0.0
+       |          ELSE CAST(len(list_distinct(toks)) AS BIGINT) * 1.0 / CAST(len(toks) AS BIGINT) END) >= 0.2
+       |     AND (CASE WHEN len(toks) = 0 THEN 0.0
+       |          ELSE ${hitsSql("toks", StopEn)} * 1.0 / CAST(len(toks) AS BIGINT) END)
+       |         BETWEEN 0.01 AND 0.6) AS keep_q,
+       |    (${hitsSql("toks", StopEn)} >= ${hitsSql("toks", StopDe)}
+       |     AND ${hitsSql("toks", StopEn)} >= ${hitsSql("toks", StopFr)}) AS is_en
+       |  FROM t),
+       |surv AS (SELECT doc_id, text FROM f WHERE keep_q AND is_en)""".stripMargin
+
+  /** Spark twin of [[cleanCtesSql]]'s `f`: (doc_id, text, keep_q, is_en) */
+  private[operators] def cleanFlags(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = docs(spark, sfDir)
+      .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+    t.select(col("doc_id"), col("text"),
+      (length(col("text")).cast("long") >= 100 &&
+        size(col("toks")).cast("long") >= 20 &&
+        when(size(col("toks")) === 0, lit(0.0))
+          .otherwise(size(array_distinct(col("toks"))).cast("long") * lit(1.0)
+            / size(col("toks")).cast("long")) >= 0.2 &&
+        when(size(col("toks")) === 0, lit(0.0))
+          .otherwise(hits(col("toks"), StopEn) * lit(1.0) / size(col("toks")).cast("long"))
+          .between(0.01, 0.6)).as("keep_q"),
+      (hits(col("toks"), StopEn) >= hits(col("toks"), StopDe) &&
+        hits(col("toks"), StopEn) >= hits(col("toks"), StopFr)).as("is_en"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     // quality scoring: lengths, token stats, punctuation + stopword ratios
@@ -233,19 +269,7 @@ object TextOps {
     // final aggregation; each gate reuses the exact expressions of its
     // standalone operator so the composite can't drift from the parts.
     GraftQuery("corpus_clean",
-      s"""WITH t AS (SELECT doc_id, text,
-         |    regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
-         |f AS (SELECT doc_id, text,
-         |    (CAST(length(text) AS BIGINT) >= 100 AND CAST(len(toks) AS BIGINT) >= 20
-         |     AND (CASE WHEN len(toks) = 0 THEN 0.0
-         |          ELSE CAST(len(list_distinct(toks)) AS BIGINT) * 1.0 / CAST(len(toks) AS BIGINT) END) >= 0.2
-         |     AND (CASE WHEN len(toks) = 0 THEN 0.0
-         |          ELSE ${hitsSql("toks", StopEn)} * 1.0 / CAST(len(toks) AS BIGINT) END)
-         |         BETWEEN 0.01 AND 0.6) AS keep_q,
-         |    (${hitsSql("toks", StopEn)} >= ${hitsSql("toks", StopDe)}
-         |     AND ${hitsSql("toks", StopEn)} >= ${hitsSql("toks", StopFr)}) AS is_en
-         |  FROM t),
-         |surv AS (SELECT doc_id, text FROM f WHERE keep_q AND is_en),
+      s"""WITH $cleanCtesSql,
          |u AS (SELECT doc_id,
          |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS is_uniq
          |  FROM surv),
@@ -266,19 +290,7 @@ object TextOps {
          |  UNION ALL SELECT stage, CAST(count(*) AS BIGINT) FROM s GROUP BY stage)
          |ORDER BY stage""".stripMargin,
       bench = true) { (spark, sfDir) =>
-      val t = docs(spark, sfDir)
-        .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
-      val f = t.select(col("doc_id"), col("text"),
-        (length(col("text")).cast("long") >= 100 &&
-          size(col("toks")).cast("long") >= 20 &&
-          when(size(col("toks")) === 0, lit(0.0))
-            .otherwise(size(array_distinct(col("toks"))).cast("long") * lit(1.0)
-              / size(col("toks")).cast("long")) >= 0.2 &&
-          when(size(col("toks")) === 0, lit(0.0))
-            .otherwise(hits(col("toks"), StopEn) * lit(1.0) / size(col("toks")).cast("long"))
-            .between(0.01, 0.6)).as("keep_q"),
-        (hits(col("toks"), StopEn) >= hits(col("toks"), StopDe) &&
-          hits(col("toks"), StopEn) >= hits(col("toks"), StopFr)).as("is_en"))
+      val f = cleanFlags(spark, sfDir)
       // dedup runs over the documents that SURVIVED the earlier gates: a
       // surviving doc must never be dropped because a rejected duplicate
       // had a lower doc_id (dedup-after-filter semantics)

@@ -58,6 +58,27 @@ class PipelineSpec extends AnyFunSuite with CacheDrained {
     assert(mapped.forall(_.getString(1).split(",").length == 4))
   }
 
+  test("pipeline_corpus_prep: funnel is monotone and stages agree with the standalone operators") {
+    val spark = TestSpark.spark
+    val f = SparkEntry.queries("pipeline_corpus_prep")(spark, TestSpark.Sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // monotone funnel: each gate can only drop documents
+    assert(f("1_total") >= f("2_clean") && f("2_clean") >= f("3_dedup") &&
+      f("3_dedup") >= f("4_decontam"),
+      s"funnel not monotone: $f")
+    assert(f.values.forall(_ > 0), s"a stage went to zero: $f")
+    // the split partitions the decontaminated set exactly
+    assert(f("5_train") + f("6_val") + f("7_test") == f("4_decontam"),
+      s"split buckets do not partition the corpus: $f")
+    // stage 2 equals corpus_clean's english-gate count (shared gate, no drift)
+    val cc = SparkEntry.queries("corpus_clean")(spark, TestSpark.Sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(f("2_clean") == cc("3_english"),
+      s"clean gate drifted from corpus_clean: ${f("2_clean")} vs ${cc("3_english")}")
+    // packing emitted at least ceil(train_tokens / budget) sequences
+    assert(f("8_sequences") > 0 && f("8_sequences") <= f("5_train"))
+  }
+
   test("§3.3 copy-to-adls: inventory → dirs-then-files copy → chunk plan coverage") {
     val spark = TestSpark.spark
     val tmp = Files.createTempDirectory("graft-p33").toString
