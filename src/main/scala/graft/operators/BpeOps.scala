@@ -17,8 +17,10 @@ import graft.Tables
   * industrial BPE trainers scale, they train on word counts, not tokens).
   * Per round: one vocab-sized pair-count aggregation, a top-1 ordered agg
   * (1-row collect, bounded), and a per-word greedy re-merge projection.
-  * Rounds are chained through eager localCheckpoints (the [[GraphOps]]
-  * hygiene: ≤2 live checkpoint RDDs, lineage never deepens).
+  * Lineage is truncated through eager localCheckpoints every
+  * [[CheckpointEvery]] rounds (the [[GraphOps]] hygiene: ≤2 live
+  * checkpoint RDDs, plan depth bounded by the stride — ~1.2 jobs/round
+  * instead of 2, which is what holds 50 rounds to ~0.11 s/round).
   *
   * The greedy left-to-right merge is a fold: scanning tokens once,
   * merging when the accumulator's LAST token is `l` and the incoming
@@ -31,8 +33,18 @@ import graft.Tables
   */
 object BpeOps {
 
-  /** merge rounds learned (and unrolled in the oracle CTE chain) */
-  private[graft] val Rounds = 10
+  /** merge rounds learned (and unrolled in the oracle CTE chain) — a
+    * production-ish count, 5× the demo 10 of rounds ≤5, proving round
+    * scaling stays linear in rounds (SCALING.md §BPE steady state) */
+  private[graft] val Rounds = 50
+
+  /** Lineage-truncation stride: one eager localCheckpoint job every
+    * CheckpointEvery rounds instead of one per round. Rounds in between
+    * stack ≤ CheckpointEvery merge projections on the checkpointed plan —
+    * vocab-sized recompute, bounded expression depth — so the fixed
+    * per-round job overhead drops from 2 jobs/round (top-1 collect +
+    * checkpoint) to 1 + 1/CheckpointEvery. */
+  private val CheckpointEvery = 5
 
   /** doc-prefix length encoded by text_bpe_encode (bounds the per-doc fold) */
   private val EncodeChars = 120
@@ -80,7 +92,8 @@ object BpeOps {
 
   /** run the training loop; returns (learned merges, final word table) */
   private def train(spark: SparkSession, sfDir: String): (Seq[Merge], DataFrame) = {
-    var words = wordTable(spark, sfDir).localCheckpoint(true)
+    var checkpointed = wordTable(spark, sfDir).localCheckpoint(true)
+    var words = checkpointed
     val merges = Seq.newBuilder[Merge]
     for (round <- 1 to Rounds) {
       // deterministic top pair: count desc, then lexicographic (ASCII)
@@ -89,11 +102,16 @@ object BpeOps {
         .collect()(0) // bounded: exactly one row
       val (l, r, c) = (top.getString(0), top.getString(1), top.getLong(2))
       merges += Merge(round.toLong, l, r, c)
-      val next = words
-        .withColumn("toks", mergeCol(col("toks"), l, r))
-        .localCheckpoint(true)
-      words.unpersist(blocking = false)
-      words = next
+      words = words.withColumn("toks", mergeCol(col("toks"), l, r))
+      // truncate lineage on the stride (and at the end): in-between rounds
+      // replan ≤ CheckpointEvery stacked merge projections over the last
+      // checkpoint — vocab-sized, no corpus rescan, bounded plan depth
+      if (round % CheckpointEvery == 0 || round == Rounds) {
+        val next = words.localCheckpoint(true)
+        checkpointed.unpersist(blocking = false)
+        checkpointed = next
+        words = next
+      }
     }
     (merges.result(), words)
   }
@@ -117,16 +135,20 @@ object BpeOps {
         |        FROM documents)
         |  GROUP BY word
         |)""".stripMargin)
+    // w/p are MATERIALIZED: w_{k-1} is referenced twice (pair counts +
+    // merge application) and p_k twice (merge + the final union) — at 50
+    // unrolled rounds inlining would re-expand the whole prefix chain per
+    // reference (the DuckDB CTE-inlining rule the PCA oracle documents)
     for (k <- 1 to Rounds) {
       sb.append(s""",
-        |p$k AS (
+        |p$k AS MATERIALIZED (
         |  SELECT l, r, c FROM (
         |    SELECT toks[i] AS l, toks[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS c
         |    FROM w${k - 1}, unnest(generate_series(1, len(toks) - 1)) AS g(i)
         |    GROUP BY 1, 2)
         |  ORDER BY c DESC, l, r LIMIT 1
         |),
-        |w$k AS (
+        |w$k AS MATERIALIZED (
         |  SELECT word, cnt, ${mergeSql("toks", "p.l", "p.r")} AS toks
         |  FROM w${k - 1}, p$k p
         |)""".stripMargin)
