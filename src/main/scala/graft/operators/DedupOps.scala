@@ -335,6 +335,51 @@ object DedupOps {
         .orderBy("cluster")
     },
 
+    // Near-dup cluster-size histogram — the corpus-health report a dedup
+    // pass publishes: how many duplicate groups of each size exist, plus
+    // the singleton mass (docs in no pair). The histogram shape is what
+    // tells an operator whether duplication is pairwise noise (sizes
+    // concentrate at 2) or template explosions (a long tail of giant
+    // clusters — the boilerplate signature) and sizes the keep-best
+    // savings (Σ (size-1) docs drop). Rides the family's cached shingle
+    // frame + the shared component machinery; output is bounded by the
+    // largest cluster size, not the corpus.
+    GraftQuery("dedup_cluster_stats",
+      s"""WITH RECURSIVE $ShinglesCte,
+         |$PairCte,
+         |pairs AS (SELECT inter.ida AS a, inter.idb AS b FROM inter
+         |          JOIN sizes sa ON sa.doc_id = inter.ida
+         |          JOIN sizes sb ON sb.doc_id = inter.idb
+         |          WHERE CAST(inter.i AS DOUBLE) / (sa.n + sb.n - inter.i) >= $JaccardThreshold),
+         |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT a AS src, b AS dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a),
+         |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster
+         |       FROM reach GROUP BY src),
+         |cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz FROM cl GROUP BY cluster),
+         |h AS (SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters FROM cs GROUP BY sz),
+         |singles AS (SELECT CAST(1 AS BIGINT) AS sz,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM documents)
+         |      - (SELECT CAST(count(*) AS BIGINT) FROM cl) AS n_clusters)
+         |SELECT sz AS cluster_size, n_clusters FROM (
+         |  SELECT * FROM h UNION ALL SELECT * FROM singles WHERE n_clusters > 0)
+         |ORDER BY cluster_size""".stripMargin) { (spark, sfDir) =>
+      val cl = GraphOps.connectedComponents(thresholdPairs(spark, sfDir))
+      val h = cl.groupBy("cluster").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+      val nDocs = Tables.documents(spark, sfDir)
+        .agg(count(lit(1)).as("nd"))
+      val nClustered = cl.agg(count(lit(1)).as("nc"))
+      val singles = nDocs.crossJoin(nClustered)
+        .select(lit(1L).as("sz"), (col("nd") - col("nc")).as("n_clusters"))
+        .filter(col("n_clusters") > 0)
+      h.unionByName(singles)
+        .select(col("sz").as("cluster_size"), col("n_clusters"))
+        .orderBy("cluster_size")
+    },
+
     // shingle containment C(A,B) = |A∩B| / |A| — the asymmetric companion
     // to Jaccard that catches SUB-document duplication (a doc pasted inside
     // a larger one scores low Jaccard but containment ≈ 1). Same df-capped

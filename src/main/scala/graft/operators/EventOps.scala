@@ -17,6 +17,8 @@ object EventOps {
   private val TumbleSec = 300L
   private val SlideSec = 60L
   private[graft] val GapUs = 1800000000L // 30 min in micros
+  /** max capped-session duration (events_sessionize_capped): 2 h in µs */
+  private val CapUs = 7200000000L
 
   val queries: Seq[GraftQuery] = Seq(
 
@@ -237,6 +239,55 @@ object EventOps {
           row_number().over(Window.partitionBy("user_id").orderBy("start_us")).cast("long"))
         .select("user_id", "sid", "start_us", "end_us", "n")
         .orderBy("user_id", "sid")
+    },
+
+    // Duration-CAPPED sessionization: idle-gap sessions (30 min, as
+    // events_session) additionally chopped at a 2 h maximum duration —
+    // the real-world sessionizer shape (analytics stacks cap runaway
+    // sessions so a bot or a left-open tab cannot produce one unbounded
+    // session). Spark has no built-in for the cap, so this is the
+    // composition story: gap-session id via lag+cumsum, and the session
+    // START as a CARRY-FORWARD (running max of the session-opening
+    // timestamps) instead of a min over (user, gid) — the carry-forward
+    // keeps every window function on the same (user_id)×(us)
+    // partitioning+order, so all three ride ONE exchange+sort, where the
+    // min-per-session form would demand a second shuffle on (user, gid).
+    // The chop itself is a pure projection DIV. The calendar-chop is the
+    // deterministic relaxation of greedy re-segmentation (same relaxation
+    // pack_nextfit documents); the oracle keeps the min-per-session form,
+    // which is value-identical.
+    GraftQuery("events_sessionize_capped",
+      s"""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         |l AS (SELECT user_id, us,
+         |        lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev FROM e),
+         |f AS (SELECT user_id, us,
+         |        CASE WHEN prev IS NULL OR us - prev >= $GapUs THEN 1 ELSE 0 END AS new_s
+         |      FROM l),
+         |s AS (SELECT user_id, us,
+         |        CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS gid
+         |      FROM f),
+         |c AS (SELECT user_id, us, gid,
+         |        (us - min(us) OVER (PARTITION BY user_id, gid)) // $CapUs AS sub
+         |      FROM s)
+         |SELECT user_id, gid, CAST(sub AS BIGINT) AS sub,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       CAST(max(us) - min(us) AS BIGINT) AS dur_us
+         |FROM c GROUP BY user_id, gid, sub
+         |ORDER BY user_id, gid, sub""".stripMargin) { (spark, sfDir) =>
+      val wOrd = Window.partitionBy("user_id").orderBy("us")
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val s = Tables.events(spark, sfDir)
+        .select(col("user_id"), expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+        .withColumn("prev", lag("us", 1).over(wOrd))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("us") - col("prev") >= GapUs, 1L).otherwise(0L))
+        .withColumn("gid", sum("new_s").over(wCum))
+      s.withColumn("start", max(when(col("new_s") === 1L, col("us"))).over(wCum))
+        .withColumn("sub", expr(s"(us - start) DIV $CapUs"))
+        .groupBy("user_id", "gid", "sub")
+        .agg(count(lit(1)).as("n"), (max("us") - min("us")).as("dur_us"))
+        .orderBy("user_id", "gid", "sub")
     },
 
     // Time-series gap fill (resample to a daily grid): per-user daily event

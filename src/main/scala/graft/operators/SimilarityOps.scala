@@ -1307,6 +1307,49 @@ object SimilarityOps {
     // the miner inherits the production candidate machinery instead of a
     // brute-force pair scan; the τ cut applies BEFORE ranking in both
     // engines.
+    // SEMANTIC decontamination — the embedding-tier companion to the
+    // text-tier decontam_ngram/decontam_fuzzy chain: flag corpus vectors
+    // whose cosine against ANY held-out eval vector (the same % 50 = 7
+    // split convention) clears the near-dup bar. Catches rephrased /
+    // re-tokenized leaks that no n-gram or shingle match can see. Scale
+    // shape: benchmarks are small by nature, so the eval side broadcasts
+    // and the corpus pays |eval| codegen dot products per row in one map
+    // stage; the per-vector max collapses map-side (partial agg), so the
+    // only shuffle carries one row per corpus vector. Exact by
+    // construction (no LSH miss probability) — the property an eval-leak
+    // audit needs; the LSH/IVF machinery stays the right tool for
+    // corpus×corpus, not corpus×benchmark.
+    GraftQuery("decontam_semantic",
+      s"""WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 7),
+         |cx AS (SELECT c.vec_id,
+         |        round(list_sum(list_transform(generate_series(1, 64),
+         |            i -> CAST(c.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+         |          / (sqrt(list_sum(list_transform(generate_series(1, 64),
+         |               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))
+         |           * sqrt(list_sum(list_transform(generate_series(1, 64),
+         |               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+         |          , 6) AS sim6
+         |      FROM embeddings c, ev e WHERE c.vec_id % 50 <> 7),
+         |m AS (SELECT vec_id, max(sim6) AS max_sim6 FROM cx GROUP BY vec_id)
+         |SELECT vec_id, max_sim6, max_sim6 >= $NearDupThreshold AS contaminated
+         |FROM m ORDER BY vec_id""".stripMargin,
+      bench = true) { (spark, sfDir) =>
+      val e = embeddings(spark, sfDir)
+      val ev = e.filter(col("vec_id") % 50 === 7)
+        .select(toDouble(col("embedding")).as("ee"))
+        .withColumn("ne", norm(col("ee")))
+      val c = e.filter(col("vec_id") % 50 =!= 7)
+        .select(col("vec_id"), toDouble(col("embedding")).as("ce"))
+        .withColumn("nc", norm(col("ce")))
+      c.crossJoin(broadcast(ev))
+        .select(col("vec_id"),
+          round(dot(col("ce"), col("ee")) / (col("nc") * col("ne")), 6).as("sim6"))
+        .groupBy("vec_id").agg(max("sim6").as("max_sim6"))
+        .select(col("vec_id"), col("max_sim6"),
+          (col("max_sim6") >= NearDupThreshold).as("contaminated"))
+        .orderBy("vec_id")
+    },
+
     GraftQuery("sim_hard_negatives",
       s"""WITH $ivfOracleCtes,
          |$lshCandOracleCtes,

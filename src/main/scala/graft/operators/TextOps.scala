@@ -318,6 +318,48 @@ object TextOps {
       stages.unionByName(splits).orderBy("stage")
     },
 
+    // Per-(source, language) mixture report: the per-provenance quality
+    // funnel every multi-source corpus run publishes before fixing mixture
+    // weights — doc counts, clean-gate survivors, clean-token totals and
+    // each cell's ppm share of the clean token pool. One scan through the
+    // shared clean gate + one (source, lang) hash agg; the grand total is
+    // a broadcast scalar. Integer ppm: clean_tokens * 1e6 stays in int64
+    // while a (source, lang) cell holds < 9.2e12 tokens — beyond that a
+    // production run promotes the share column to DECIMAL(38)/HUGEINT
+    // (the documented overflow bound, per the integer-exact house rule).
+    GraftQuery("corpus_mix_report",
+      s"""WITH $cleanCtesSql,
+         |j AS (SELECT d.source, d.lang,
+         |        (f.keep_q AND f.is_en) AS clean,
+         |        CAST(len(t.toks) AS BIGINT) AS n_toks
+         |      FROM documents d JOIN f ON f.doc_id = d.doc_id
+         |      JOIN t ON t.doc_id = d.doc_id),
+         |g AS (SELECT source, lang,
+         |        CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(CASE WHEN clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+         |        CAST(sum(CASE WHEN clean THEN n_toks ELSE 0 END) AS BIGINT) AS clean_tokens
+         |      FROM j GROUP BY source, lang),
+         |tot AS (SELECT CAST(sum(clean_tokens) AS BIGINT) AS tt FROM g)
+         |SELECT source, lang, n_docs, n_clean, clean_tokens,
+         |       CAST(clean_tokens * 1000000 // (SELECT tt FROM tot) AS BIGINT) AS share_ppm
+         |FROM g ORDER BY source, lang""".stripMargin) { (spark, sfDir) =>
+      val d = docs(spark, sfDir).select(col("doc_id"), col("source"), col("lang"),
+        size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).cast("long").as("n_toks"))
+      val g = cleanFlags(spark, sfDir)
+        .select(col("doc_id"), (col("keep_q") && col("is_en")).as("clean"))
+        .join(d, Seq("doc_id"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("clean"), 1L).otherwise(0L)).as("n_clean"),
+          sum(when(col("clean"), col("n_toks")).otherwise(0L)).as("clean_tokens"))
+      val tot = g.agg(sum("clean_tokens").cast("long").as("tt"))
+      g.crossJoin(broadcast(tot))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_clean"),
+          col("clean_tokens"),
+          expr("clean_tokens * 1000000 DIV tt").as("share_ppm"))
+        .orderBy("source", "lang")
+    },
+
     // deterministic train/val/test assignment: Knuth-hash bucket of doc_id —
     // stable across runs/engines, no RNG (the reproducible corpus split).
     // (a*k) % 100 depends only on a % 100, so the bucket is computed as

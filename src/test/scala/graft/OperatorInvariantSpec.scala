@@ -1,10 +1,44 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Cross-operator invariants for the round-3 additions (each is also
   * hash-oracled; these pin the semantic relationships the oracle can't). */
 class OperatorInvariantSpec extends AnyFunSuite with CacheDrained {
+
+  test("capped sessionization: no sub-session exceeds the cap; chop actually fires on a long session") {
+    val spark = TestSpark.spark
+    // real data: every emitted sub-session obeys the 2 h cap, and the
+    // (user, gid) roll-up equals the uncapped sessionizer exactly
+    val capped = SparkEntry.queries("events_sessionize_capped")(spark, TestSpark.Sf)
+      .collect()
+    assert(capped.nonEmpty)
+    capped.foreach(r => assert(r.getLong(4) < 7200000000L,
+      s"sub-session ${r.toSeq.take(3)} exceeds the 2h cap: ${r.getLong(4)}"))
+    val rolled = capped.groupBy(r => (r.getLong(0), r.getLong(1)))
+      .view.mapValues(_.map(_.getLong(3)).sum).toMap
+    val plain = SparkEntry.queries("events_session")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(rolled == plain, "capped sub-sessions do not roll up to the gap sessions")
+    // synthetic long session (25 min strides for 5 h — one gap-session):
+    // replay the same two-window kernel and check the chop splits it
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy("user_id").orderBy("us")
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val subs = (0 until 12).map(i => (1L, i * 1500000000L)).toDF("user_id", "us")
+      .withColumn("prev", lag("us", 1).over(wOrd))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("us") - col("prev") >= 1800000000L, 1L).otherwise(0L))
+      .withColumn("gid", sum("new_s").over(wCum))
+      .withColumn("sub",
+        expr("(us - min(us) OVER (PARTITION BY user_id, gid)) DIV 7200000000"))
+      .select("gid", "sub").distinct().collect()
+    assert(subs.map(_.getLong(0)).distinct.length == 1, "stride opened a second gap-session")
+    assert(subs.map(_.getLong(1)).sorted.toSeq == Seq(0L, 1L, 2L),
+      s"5h single session should chop into 3 capped subs: ${subs.toSeq}")
+  }
 
   test("containment dominates Jaccard on every overlapping pair") {
     val spark = TestSpark.spark

@@ -35,6 +35,17 @@ class PlanSpec extends AnyFunSuite with CacheDrained {
     assert(!hasHint(graft.operators.DedupOps.BroadcastMaxComponents + 1))
   }
 
+  test("capped sessionization rides one window exchange (carry-forward start, no per-session shuffle)") {
+    val p = plan("events_sessionize_capped")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    // one exchange feeds all three window functions (lag, cumsum, running
+    // max — same user_id partitioning and us order) and one is the final
+    // group-by's partial-agg exchange; a min-over-(user,gid) session start
+    // would add a third
+    assert(exchanges <= 2, s"capped sessionizer grew a per-session shuffle:\n$p")
+    assert("Window".r.findAllIn(p).length >= 1)
+  }
+
   test("identity/dimension joins are broadcast, not shuffled") {
     Seq("identity_join", "acl_map_entries", "inv_remap_owners", "tpch_q3", "tpch_q5")
       .foreach { q =>
