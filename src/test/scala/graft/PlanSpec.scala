@@ -35,6 +35,44 @@ class PlanSpec extends AnyFunSuite with CacheDrained {
     assert(!hasHint(graft.operators.DedupOps.BroadcastMaxComponents + 1))
   }
 
+  test("graph triangles/communities build the co-purchase edge list once (persisted, not recomputed)") {
+    val spark = TestSpark.spark
+    Seq("graph_triangles", "graph_communities").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, TestSpark.Sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // the expensive subtree (lineitem self-join + distinct) must be
+      // consumed from the persisted edge frame: downstream branches read
+      // the cache, and LIVE lineitem parquet scans number at most two
+      // (the single self-join's two sides) instead of one per consuming
+      // branch — the r6 3x-recompute regression shape. Live scans are
+      // counted on the plan TREE (a cached InMemoryRelation prints its
+      // full lineage in toString but executes none of it).
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def liveScans(pl: SparkPlan): Int = pl match {
+        case a: AdaptiveSparkPlanExec => liveScans(a.executedPlan)
+        case qs: QueryStageExec => liveScans(qs.plan)
+        case f: FileSourceScanExec =>
+          if (f.relation.location.inputFiles.exists(_.contains("lineitem"))) 1 else 0
+        case other => other.children.map(liveScans).sum
+      }
+      val scans = liveScans(df.queryExecution.executedPlan)
+      if (q == "graph_triangles") {
+        // the final plan consumes the persisted edge frame directly
+        assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+          s"$q does not read the persisted edge list:\n${p.take(2000)}")
+        assert(scans <= 2, s"$q rebuilt the edge list ($scans live lineitem scans)")
+      } else {
+        // label propagation's output is the last round's localCheckpoint:
+        // truncated lineage means the final action re-scans NOTHING — the
+        // cached edge list was consumed inside the rounds
+        assert(scans == 0, s"$q final plan re-scans lineitem ($scans live scans)")
+      }
+      CacheTracker.releaseAll()
+    }
+  }
+
   test("capped sessionization rides one window exchange (carry-forward start, no per-session shuffle)") {
     val p = plan("events_sessionize_capped")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
