@@ -42,6 +42,36 @@ object RankOps {
 
   val queries: Seq[GraftQuery] = Seq(
 
+    // Degree-distribution histogram of the co-purchase graph — the probe
+    // a graph pipeline runs BEFORE choosing propagation parameters
+    // (orientation thresholds, round counts, skew salts): how many nodes
+    // of each degree exist. One aggregation pair on top of the shared
+    // edge build; output is bounded by the number of DISTINCT degrees
+    // (≪ nodes on any power-law-ish graph), so nothing corpus-sized
+    // leaves the cluster.
+    GraftQuery("graph_degree_stats",
+      """WITH ue AS (SELECT l1.l_partkey AS u, l2.l_partkey AS v
+        |            FROM lineitem l1 JOIN lineitem l2
+        |              ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        |            GROUP BY 1, 2),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        |    SELECT u AS node FROM ue UNION ALL SELECT v FROM ue) t
+        |  GROUP BY node)
+        |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin) { (spark, sfDir) =>
+      val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
+      val ue = li.as("l1").join(li.as("l2"),
+          col("l1.l_orderkey") === col("l2.l_orderkey") &&
+            col("l1.l_partkey") < col("l2.l_partkey"))
+        .select(col("l1.l_partkey").as("u"), col("l2.l_partkey").as("v"))
+        .distinct()
+      ue.select(col("u").as("node"))
+        .unionByName(ue.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")
+    },
+
     GraftQuery("graph_pagerank",
       s"""WITH eb AS (SELECT event_id, user_id, event_type,
          |        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

@@ -1132,6 +1132,60 @@ object SimilarityOps {
       kmeansAssign(spark, sfDir).orderBy("vec_id")
     },
 
+    // Simplified-silhouette clustering quality (the per-vector cohesion/
+    // separation audit run after every codebook move): a = squared
+    // distance to the OWN (nearest) centroid, b = to the runner-up,
+    // s = (b − a)/b in integer per-mille. All distances are exact integer
+    // arithmetic on the shared 1e-6 quantization (d² = ‖v‖² + ‖c‖² − 2·v·c),
+    // and the (d², c) ordering is the assignment tiebreak, so cluster
+    // here == sim_kmeans_clusters' assignment by construction. Per-mille,
+    // not ppm: d² < 64·(1e6)² ≈ 6.4e13, so ×1000 stays 100× inside int64
+    // while ×1e6 would overflow (the documented integer-exact bound).
+    // Scale shape: the n×K distance join is the oracled demo regime; a
+    // scaled-K run computes (a, b) in one codegen pass (the
+    // CentroidArgmin/MinDist family) exactly as the assignment does.
+    GraftQuery("sim_silhouette",
+      s"""WITH $kmeansOracleCtes,
+         |dd2 AS (SELECT d.vec_id, d.c, vn2.n2 + cn.n2c - 2 * d.dp AS d2
+         |        FROM djF d JOIN cnjF cn ON cn.c = d.c
+         |        JOIN vn2 ON vn2.vec_id = d.vec_id),
+         |rr AS (SELECT vec_id, c, d2,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+         |       FROM dd2),
+         |ab AS (SELECT vec_id,
+         |        CAST(max(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS cluster,
+         |        max(CASE WHEN rn = 1 THEN d2 END) AS a2,
+         |        max(CASE WHEN rn = 2 THEN d2 END) AS b2
+         |       FROM rr WHERE rn <= 2 GROUP BY vec_id)
+         |SELECT vec_id, cluster,
+         |       CAST((b2 - a2) * 1000 // (CASE WHEN b2 = 0 THEN 1 ELSE b2 END) AS BIGINT) AS s_permille
+         |FROM ab ORDER BY vec_id""".stripMargin) { (spark, sfDir) =>
+      import spark.implicits._
+      val cents = kmeansCodebook(spark, sfDir)
+      val centRows = cents.zipWithIndex.flatMap { case (cs, c) =>
+        cs.zipWithIndex.map { case (x, i) => (c, i, x) }
+      }.toSeq.toDF("c", "i", "x")
+      val n2c = cents.zipWithIndex.map { case (cs, c) => (c, cs.map(x => x * x).sum) }
+        .toSeq.toDF("c", "n2c")
+      val q = quantComps(embeddings(spark, sfDir))
+      val n2v = q.groupBy("vec_id").agg(sum(col("xq") * col("xq")).as("n2"))
+      val d2 = q.join(broadcast(centRows), Seq("i"))
+        .groupBy("vec_id", "c").agg(sum(col("xq") * col("x")).as("dp"))
+        .join(broadcast(n2c), Seq("c"))
+        .join(n2v, Seq("vec_id"))
+        .withColumn("d2", col("n2") + col("n2c") - lit(2) * col("dp"))
+      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("c"))
+      d2.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+        .groupBy("vec_id")
+        .agg(max(when(col("rn") === 1, col("c"))).cast("long").as("cluster"),
+          max(when(col("rn") === 1, col("d2"))).as("a2"),
+          max(when(col("rn") === 2, col("d2"))).as("b2"))
+        .select(col("vec_id"), col("cluster"),
+          expr("(b2 - a2) * 1000 DIV (CASE WHEN b2 = 0 THEN 1 ELSE b2 END)")
+            .as("s_permille"))
+        .orderBy("vec_id")
+    },
+
     // streaming index maintenance: newly arriving vectors classified
     // into their inverted list by the BATCH-trained codebook (the
     // memoized k-means model) — the continuous-ingestion half of the IVF

@@ -178,6 +178,44 @@ object TrainPrepOps {
         .orderBy("doc_id")
     },
 
+    // Packing efficiency accounting — the fill-rate audit run beside the
+    // packer: per emitted sequence, document count, token total and the
+    // integer-ppm fill of the context budget (plus the oversize row count
+    // the packer routed to seq 0). The per-(run) waste = 1e6 − fill_ppm
+    // summed over sequences is what decides whether the budget or the
+    // chopping policy moves. Same prefix-sum machinery as
+    // train_pack_sequences, one extra hash aggregation; fill_ppm ≤ 1e6 ·
+    // budget so the multiply is int64-safe at any corpus size.
+    GraftQuery("train_pack_stats",
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |w AS (SELECT doc_id, n_tokens,
+         |    CAST(sum(CASE WHEN n_tokens > $SeqBudget THEN 0 ELSE n_tokens END)
+         |      OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum
+         |  FROM t),
+         |pk AS (SELECT doc_id, n_tokens,
+         |    CASE WHEN n_tokens > $SeqBudget THEN CAST(0 AS BIGINT)
+         |         ELSE cum // $SeqBudget + 1 END AS seq
+         |  FROM w)
+         |SELECT seq, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+         |       CAST(CASE WHEN seq = 0 THEN 0
+         |            ELSE sum(n_tokens) * 1000000 // $SeqBudget END AS BIGINT) AS fill_ppm
+         |FROM pk GROUP BY seq ORDER BY seq""".stripMargin) { (spark, sfDir) =>
+      val sizes = docs(spark, sfDir)
+        .select(format_string("%019d", col("doc_id")).as("path"),
+          size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).cast("long").as("size"))
+      PackingOps.nextFitDist(spark, sizes, capacity = SeqBudget)
+        .groupBy(col("unit").as("seq"))
+        .agg(count(lit(1)).as("n_docs"), sum("size").as("seq_tokens"))
+        .select(col("seq"), col("n_docs"), col("seq_tokens"),
+          expr(s"CASE WHEN seq = 0 THEN CAST(0 AS BIGINT) ELSE seq_tokens * 1000000 DIV $SeqBudget END")
+            .as("fill_ppm"))
+        .orderBy("seq")
+    },
+
     // passage-level dedup (first-occurrence-wins): the corpus is chopped
     // into fixed 20-token passages; a passage instance survives iff it is
     // the globally FIRST occurrence of its content (order = (doc_id, pos)),
