@@ -241,6 +241,32 @@ object EventOps {
         .orderBy("user_id", "sid")
     },
 
+    // Daily trending event types — top-3 types per day by count, the
+    // canonical "what moved today" rollup. The rank-limit sits DOWNSTREAM
+    // of an aggregation (day × type counts), which is a different consumer
+    // shape for the bounded-heap top-k operator than the raw-row topk_heap
+    // queries: RewriteRankLimit fires on the declarative
+    // row_number() <= k filter regardless of the child, so the heap bound
+    // applies to the (small) aggregated frame — pinned in TopKPlanSpec.
+    GraftQuery("events_top_types_daily",
+      """WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |        event_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM events GROUP BY 1, 2)
+        |SELECT CAST(day AS BIGINT) AS day, event_type, n, rn FROM (
+        |  SELECT day, event_type, n,
+        |         row_number() OVER (PARTITION BY day ORDER BY n DESC, event_type) AS rn
+        |  FROM d) t
+        |WHERE rn <= 3 ORDER BY day, rn""".stripMargin) { (spark, sfDir) =>
+      val d = Tables.events(spark, sfDir)
+        .select(expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("day"),
+          col("event_type"))
+        .groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("day").orderBy(col("n").desc, col("event_type"))
+      d.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy("day", "rn")
+    },
+
     // Duration-CAPPED sessionization: idle-gap sessions (30 min, as
     // events_session) additionally chopped at a 2 h maximum duration —
     // the real-world sessionizer shape (analytics stacks cap runaway

@@ -33,6 +33,15 @@ class TopKPlanSpec extends AnyFunSuite with CacheDrained {
     assert(!mapSide.contains("Sort ["), s"map side still sorts:\n$p")
   }
 
+  test("rank-limit downstream of an aggregation also rides the heap (events_top_types_daily)") {
+    val df = SparkEntry.queries("events_top_types_daily")(spark, TestSpark.Sf)
+    val p = executed(df)
+    // the rewrite fires on the declarative filter shape even when the
+    // window's child is a hash aggregate, not a scan
+    assert(p.contains("TopKPerKey"), s"aggregated-input rewrite did not fire:\n$p")
+    assert(p.contains("HashAggregate"), s"count rollup missing:\n$p")
+  }
+
   test("heap result is row-identical to the unrewritten rank() window form") {
     // rank() never matches RewriteRankLimit; with a total ordering it
     // computes the same set, so it is the in-engine control
