@@ -335,6 +335,33 @@ object DedupOps {
         .orderBy("cluster")
     },
 
+    // Threshold-sensitivity sweep: overlapping-pair counts at Jaccard
+    // cut-offs 0.5..0.9 — the dial-setting evidence a dedup policy review
+    // asks for ("how many more pairs does lowering τ to 0.6 admit?").
+    // ONE pass over the family's cached pair intersections; the 5-way
+    // threshold fan-out explodes the (tiny) pair list, not the corpus,
+    // and collapses straight back into a 5-row aggregate. Double
+    // comparisons are safe: jacc is the IEEE quotient of exact integers
+    // in both engines, so >= on it cannot drift.
+    GraftQuery("dedup_jaccard_sweep",
+      s"""WITH $ShinglesCte,
+         |$PairCte,
+         |jp AS (SELECT CAST(inter.i AS DOUBLE) / (sa.n + sb.n - inter.i) AS jacc
+         |       FROM inter
+         |       JOIN sizes sa ON sa.doc_id = inter.ida
+         |       JOIN sizes sb ON sb.doc_id = inter.idb),
+         |taus AS (SELECT unnest([50, 60, 70, 80, 90]) AS tau_pct)
+         |SELECT CAST(tau_pct AS BIGINT) AS tau_pct, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM jp, taus WHERE jacc * 100 >= tau_pct
+         |GROUP BY tau_pct ORDER BY tau_pct""".stripMargin) { (spark, sfDir) =>
+      jaccardPairs(docShingles(spark, sfDir))
+        .select(col("jacc"),
+          explode(array(Seq(50, 60, 70, 80, 90).map(t => lit(t.toLong)): _*)).as("tau_pct"))
+        .filter(col("jacc") * 100 >= col("tau_pct"))
+        .groupBy("tau_pct").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("tau_pct")
+    },
+
     // Near-dup cluster-size histogram — the corpus-health report a dedup
     // pass publishes: how many duplicate groups of each size exist, plus
     // the singleton mass (docs in no pair). The histogram shape is what

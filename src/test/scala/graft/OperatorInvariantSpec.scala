@@ -56,6 +56,21 @@ class OperatorInvariantSpec extends AnyFunSuite with CacheDrained {
     }
   }
 
+  test("jaccard sweep is monotone in tau and agrees with dedup_jaccard at 0.8") {
+    val spark = TestSpark.spark
+    val sweep = SparkEntry.queries("dedup_jaccard_sweep")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sweep.keySet == Set(50L, 60L, 70L, 80L, 90L))
+    // raising the cut-off can only drop pairs
+    Seq(50L, 60L, 70L, 80L).foreach { t =>
+      assert(sweep(t) >= sweep(t + 10), s"sweep not monotone at tau=$t: $sweep")
+    }
+    // the tau=0.8 point IS the family's default threshold, so it must count
+    // exactly the dedup_jaccard pair list
+    val atDefault = SparkEntry.queries("dedup_jaccard")(spark, TestSpark.Sf).count()
+    assert(sweep(80L) == atDefault, s"sweep(80)=${sweep(80L)} != dedup_jaccard=$atDefault")
+  }
+
   test("multimodal near-dup buckets contain at least as many assets as exact groups") {
     val spark = TestSpark.spark
     val rows = SparkEntry.queries("multimodal_dedup")(spark, TestSpark.Sf).collect()
