@@ -158,6 +158,10 @@ object SimilarityOps {
     * stays n·nprobe/K — never n². */
   val IvfProbes = 6
 
+  /** probe-budget levels swept by sim_ann_nprobe_curve (max ≤ KmeansK) */
+  val NprobeLevels: Seq[Int] = Seq(1, 2, 4, 6, 8)
+  val NprobeMax: Int = NprobeLevels.max
+
   /** Target inverted-list occupancy for the PRODUCTION-shape IVF
     * (sim_ann_ivf_scaled): K = ⌈n / ScaledAnnOccupancy⌉ lists, so probing
     * nprobe lists scans ~nprobe·occupancy candidates per query AT ANY
@@ -1069,6 +1073,93 @@ object SimilarityOps {
         .select(col("qid"), col("n_hit"),
           expr(s"(n_hit * 100) DIV $TopK").as("recall_pct"))
         .orderBy("qid")
+    },
+
+    // The quality/cost dial as a correctness row: aggregate recall@TopK
+    // at nprobe ∈ {1,2,4,6,8} — the curve an index operator reads before
+    // picking a probe budget. ONE candidate pass at the max level with
+    // the PROBE RANK tagged (each neighbor lives in exactly one inverted
+    // list, so its rank in the query's probe order is unique): the level
+    // fan-out explodes the small candidate list, filters pr ≤ nprobe,
+    // and re-ranks per (query, level) — the corpus-side assignment and
+    // the scoring join are paid once, not once per level. Hit counts and
+    // the integer percent keep the evaluation fully oracled.
+    GraftQuery("sim_ann_nprobe_curve",
+      s"""WITH $kmeansOracleCtes,
+         |assign AS (SELECT vec_id, c AS list FROM ranked WHERE r = 1),
+         |probes AS (SELECT vec_id AS qid, c AS list, r AS pr FROM ranked
+         |      WHERE r <= $NprobeMax AND vec_id < $NumQueries),
+         |cands AS (SELECT p.qid, a.vec_id AS nid, p.pr
+         |      FROM probes p JOIN assign a ON a.list = p.list
+         |      WHERE a.vec_id <> p.qid),
+         |p2 AS (SELECT cands.qid, cands.nid, cands.pr,
+         |        round(list_sum(list_transform(generate_series(1, 64),
+         |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         |          / (sqrt(list_sum(list_transform(generate_series(1, 64),
+         |               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+         |           * sqrt(list_sum(list_transform(generate_series(1, 64),
+         |               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+         |          , 6) AS sim6
+         |      FROM cands
+         |      JOIN embeddings a ON a.vec_id = cands.qid
+         |      JOIN embeddings b ON b.vec_id = cands.nid),
+         |fan AS (SELECT qid, nid, pr, sim6,
+         |        unnest([${NprobeLevels.mkString(", ")}]) AS nprobe FROM p2),
+         |rk AS (SELECT qid, nid, nprobe,
+         |        row_number() OVER (PARTITION BY qid, nprobe
+         |                           ORDER BY sim6 DESC, nid) AS rnk
+         |      FROM fan WHERE pr <= nprobe),
+         |topk AS (SELECT nprobe, qid, nid FROM rk WHERE rnk <= $TopK),
+         |bq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |       WHERE vec_id < $NumQueries),
+         |bp AS (SELECT bq.qid, e.vec_id AS nid,
+         |        list_sum(list_transform(generate_series(1, len(e.embedding)),
+         |          i -> CAST(bq.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS dp,
+         |        sqrt(list_sum(list_transform(generate_series(1, len(bq.qe)),
+         |          i -> CAST(bq.qe[i] AS DOUBLE) * CAST(bq.qe[i] AS DOUBLE)))) AS nq,
+         |        sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+         |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) AS ne
+         |      FROM embeddings e, bq WHERE e.vec_id <> bq.qid),
+         |br AS (SELECT qid, nid,
+         |        row_number() OVER (PARTITION BY qid
+         |                           ORDER BY round(dp / (nq * ne), 6) DESC, nid) AS rnk
+         |      FROM bp),
+         |brute AS (SELECT qid, nid FROM br WHERE rnk <= $TopK)
+         |SELECT CAST(t.nprobe AS BIGINT) AS nprobe,
+         |       CAST(count(brute.nid) AS BIGINT) AS n_hit,
+         |       CAST((count(brute.nid) * 100) // ${NumQueries * TopK} AS BIGINT) AS recall_pct
+         |FROM topk t LEFT JOIN brute
+         |  ON brute.qid = t.qid AND brute.nid = t.nid
+         |GROUP BY t.nprobe ORDER BY nprobe""".stripMargin) { (spark, sfDir) =>
+      val probes = rankedFor(spark, sfDir, kmeansCodebook(spark, sfDir),
+          Some(embeddings(spark, sfDir).filter(col("vec_id") < NumQueries)))
+        .filter(col("r") <= NprobeMax)
+        .select(col("vec_id").as("qid"), col("cluster").as("list"), col("r").as("pr"))
+      val assign = kmeansAssign(spark, sfDir).withColumnRenamed("cluster", "list")
+      val cands = assign.join(broadcast(probes), Seq("list"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"), col("pr"))
+      val e = embeddings(spark, sfDir)
+      val q = e.select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qe"))
+        .withColumn("nq", norm(col("qe")))
+      val c = e.select(col("vec_id").as("nid"), toDouble(col("embedding")).as("ne"))
+        .withColumn("nn", norm(col("ne")))
+      val scored = cands.join(broadcast(q), Seq("qid")).join(c, Seq("nid"))
+        .select(col("qid"), col("nid"), col("pr"),
+          round(dot(col("qe"), col("ne")) / (col("nq") * col("nn")), 6).as("sim6"))
+      val fan = scored.select(col("qid"), col("nid"), col("pr"), col("sim6"),
+          explode(array(NprobeLevels.map(l => lit(l.toLong)): _*)).as("nprobe"))
+        .filter(col("pr") <= col("nprobe"))
+      val w = Window.partitionBy("qid", "nprobe").orderBy(col("sim6").desc, col("nid"))
+      val topk = fan.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK).select("nprobe", "qid", "nid")
+      val truth = bruteForce(spark, sfDir)
+        .select(col("qid"), col("nid"), lit(1).as("hit"))
+      topk.join(truth, Seq("qid", "nid"), "left_outer")
+        .groupBy("nprobe").agg(count(col("hit")).as("n_hit"))
+        .select(col("nprobe"), col("n_hit"),
+          expr(s"(n_hit * 100) DIV ${NumQueries * TopK}").as("recall_pct"))
+        .orderBy("nprobe")
     },
 
     // ranked ANN quality: nDCG@TopK of the IVF+re-rank list against the

@@ -152,6 +152,30 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("nprobe curve is monotone and its IvfProbes point equals sim_ann_recall's total") {
+    val spark = TestSpark.spark
+    val curve = SparkEntry.queries("sim_ann_nprobe_curve")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(curve.keySet == SimilarityOps.NprobeLevels.map(_.toLong).toSet)
+    // more probed lists = a candidate SUPERSET, and the exact re-rank of a
+    // superset can only move the top-k closer to the brute-force truth
+    // (any candidate that displaces one from the smaller set has higher
+    // exact similarity, i.e. is at least as likely a true neighbor — and
+    // the true top-k itself is fully contained once its lists are probed),
+    // so the aggregate hit count is non-decreasing in nprobe
+    val lv = SimilarityOps.NprobeLevels.map(_.toLong)
+    lv.init.zip(lv.tail).foreach { case (a, b) =>
+      assert(curve(a) <= curve(b), s"aggregate recall dropped $a -> $b: $curve")
+    }
+    // the IvfProbes point of the curve must agree exactly with the
+    // per-query evaluation row summed — same index, same truth
+    val perQuery = SparkEntry.queries("sim_ann_recall")(spark, TestSpark.Sf)
+      .collect().map(_.getLong(1)).sum
+    assert(curve(SimilarityOps.IvfProbes.toLong) == perQuery,
+      s"curve(${SimilarityOps.IvfProbes}) = ${curve(SimilarityOps.IvfProbes.toLong)}" +
+        s" != sum(sim_ann_recall.n_hit) = $perQuery")
+  }
+
   /** Scaled-K IVF recall: candidates per query are ~nprobe·occupancy by
     * construction, so on the near-orthogonal demo corpus recall tracks
     * the probed mass (nprobe·occupancy/n) — at the oracle sfs (n=500,
