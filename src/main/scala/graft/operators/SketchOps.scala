@@ -176,6 +176,83 @@ object SketchOps {
          |FROM r, e""".stripMargin) { (spark, sfDir) =>
       hllEstimate(spark, sfDir) },
 
+    // Sketch ALGEBRA as a correctness row: per-(event_type, day) HLL
+    // register files rolled up into per-type distinct-user estimates by
+    // register-wise max — the mergeability property that makes sketches
+    // the 100 TB answer to re-aggregation. A production pipeline
+    // materializes the daily sketches once (64 longs per type·day) and
+    // answers any coarser rollup (weekly, monthly, all-time, any type
+    // subset) WITHOUT rescanning the corpus; this query replays exactly
+    // that two-level path — daily max(rho), then max across days — and
+    // both engines land on the identical integer estimate because merge
+    // = max commutes and the estimator is the same dyadic-rational
+    // machinery as events_hll_distinct. RankSketchSpec pins merged
+    // registers == one-shot registers (the algebra itself).
+    GraftQuery("sketch_hll_merge",
+      s"""WITH k AS (SELECT event_type,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+         |    ${PortableHash.h8Sql("lpad(CAST(user_id AS VARCHAR), 8, '0')")} AS h
+         |  FROM events),
+         |v AS (SELECT event_type, day,
+         |    ((${permA(5)} * (h % $P) + ${permB(5)}) % $P) AS v FROM k),
+         |wr AS (SELECT event_type, day, v % 64 AS bucket,
+         |         CASE WHEN v // 64 = 0 THEN 26
+         |              ELSE 26 - length(bin(v // 64)) END AS rho FROM v),
+         |daily AS (SELECT event_type, day, bucket, max(rho) AS m
+         |          FROM wr GROUP BY event_type, day, bucket),
+         |merged AS (SELECT event_type, bucket, max(m) AS m
+         |           FROM daily GROUP BY event_type, bucket),
+         |nd AS (SELECT event_type, CAST(count(DISTINCT day) AS BIGINT) AS n_days
+         |       FROM daily GROUP BY event_type),
+         |s AS (SELECT event_type,
+         |        CAST(sum(CAST(1 AS BIGINT) << CAST(26 - m AS INT)) AS BIGINT)
+         |          + (64 - CAST(count(*) AS BIGINT)) * 67108864 AS s_scaled,
+         |        64 - CAST(count(*) AS BIGINT) AS vz
+         |      FROM merged GROUP BY event_type),
+         |r AS (SELECT event_type,
+         |        CAST(194888436023296 // (1000 * s_scaled) AS BIGINT) AS raw_est,
+         |        vz FROM s),
+         |e AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_n
+         |      FROM events GROUP BY event_type)
+         |SELECT r.event_type, nd.n_days,
+         |       CAST(CASE WHEN r.raw_est <= 160 AND r.vz > 0
+         |            THEN ([${LcTable.mkString(", ")}])[CAST(r.vz AS INT)]
+         |            ELSE r.raw_est END AS BIGINT) AS est_n,
+         |       e.exact_n
+         |FROM r JOIN nd USING (event_type) JOIN e USING (event_type)
+         |ORDER BY event_type""".stripMargin) { (spark, sfDir) =>
+      val ev = Tables.events(spark, sfDir)
+      val v = PortableHash.minhashPerm(
+        PortableHash.h8(lpad(col("user_id").cast("string"), 8, "0")), 5)
+      val wr = ev.select(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("day"),
+          v.as("v"))
+        .selectExpr("event_type", "day", "v % 64 AS bucket",
+          "CASE WHEN v DIV 64 = 0 THEN 26L ELSE 26 - length(bin(v DIV 64)) END AS rho")
+      val daily = dailyHllRegisters(wr)
+      val merged = daily.groupBy("event_type", "bucket").agg(max("m").as("m"))
+      val nd = daily.groupBy("event_type")
+        .agg(count_distinct(col("day")).cast("long").as("n_days"))
+      val est = merged.groupBy("event_type")
+        .agg(expr("CAST(sum(shiftleft(CAST(1 AS BIGINT), CAST(26 - m AS INT))) AS BIGINT)")
+            .as("s_present"),
+          count(lit(1)).as("n_present"))
+        .selectExpr("event_type",
+          "s_present + (64 - n_present) * 67108864L AS s_scaled",
+          "64 - n_present AS vz")
+        .selectExpr("event_type",
+          "CAST(194888436023296L DIV (1000 * s_scaled) AS BIGINT) AS raw_est", "vz")
+        .selectExpr("event_type",
+          s"""CAST(CASE WHEN raw_est <= 160 AND vz > 0
+             |     THEN element_at(array(${LcTable.mkString(", ")}), CAST(vz AS INT))
+             |     ELSE raw_est END AS BIGINT) AS est_n""".stripMargin)
+      val exact = ev.groupBy("event_type")
+        .agg(count_distinct(col("user_id")).cast("long").as("exact_n"))
+      est.join(nd, Seq("event_type")).join(exact, Seq("event_type"))
+        .select("event_type", "n_days", "est_n", "exact_n")
+        .orderBy("event_type")
+    },
+
     // STREAMING count-min sketch maintenance, registered and oracled: the
     // events flow through a real Structured Streaming query (file source →
     // per-row bucketing → running cell aggregation → AvailableNow drain
@@ -413,6 +490,12 @@ object SketchOps {
        |  CAST(s.lo + min(CASE WHEN cum * 100 >= s.n * 99 THEN bin END) * s.width AS BIGINT) AS p99_est
        |FROM c JOIN spec s USING (event_type)
        |GROUP BY s.event_type, s.n, s.width, s.lo ORDER BY s.event_type""".stripMargin
+
+  /** per-(event_type, day, bucket) register file from (event_type, day,
+    * bucket, rho) rows — the materialize-once daily sketch tier that
+    * sketch_hll_merge rolls up; exposed for the spec's algebra pin */
+  private[graft] def dailyHllRegisters(wr: DataFrame): DataFrame =
+    wr.groupBy("event_type", "day", "bucket").agg(max("rho").as("m"))
 
   /** batch HLL estimate body (shared so the query list stays readable) */
   private def hllEstimate(spark: org.apache.spark.sql.SparkSession,

@@ -439,6 +439,96 @@ object TextOps {
         .limit(50)
     },
 
+    // Collocation detection: the classic PMI inner ratio
+    // lift = c_ab·N / (c_a·c_b) (Church & Hanks 1990's association ratio
+    // before the log — log is monotone, so ranking by lift IS ranking by
+    // PMI) for bigrams with min support 5, as an exact integer ppm.
+    // Overflow bounds (the lesson the lift_ppm advice item taught):
+    // evaluation order ((c_ab·1e6 DIV c_a)·N DIV c_b) keeps every
+    // intermediate ≤ 1e6·N, so int64 is safe to N ≈ 9.2e12 corpus tokens
+    // (~40 TB of text); past that, drop the scale to per-mille. Unigram
+    // counts broadcast into the bigram aggregate — the corpus shuffles
+    // once for bigram counts, once for unigram counts, both hash aggs.
+    GraftQuery("text_pmi_bigrams",
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |tok AS (SELECT unnest(toks) AS w FROM t),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+        |b AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+        |        i -> [toks[i], toks[i + 1]])) AS bg
+        |  FROM t),
+        |bc AS (SELECT bg[1] AS wa, bg[2] AS wb, CAST(count(*) AS BIGINT) AS cab
+        |  FROM b GROUP BY bg[1], bg[2] HAVING count(*) >= 5)
+        |SELECT concat(wa, ' ', wb) AS bigram, cab,
+        |       ((cab * 1000000 // ua.c) * nt.n // ub.c) AS lift_ppm
+        |FROM bc JOIN uni ua ON ua.w = bc.wa
+        |        JOIN uni ub ON ub.w = bc.wb, nt
+        |ORDER BY lift_ppm DESC, bigram LIMIT 30""".stripMargin) { (spark, sfDir) =>
+      val t = docs(spark, sfDir)
+        .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+      val tok = t.select(explode(col("toks")).as("w"))
+      val uni = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      val nt = tok.agg(count(lit(1)).as("n"))
+      val bc = t.select(explode(expr(
+          "CASE WHEN size(toks) >= 2 THEN " +
+            "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), " +
+            "(a, b) -> struct(a AS wa, b AS wb)) ELSE " +
+            "CAST(array() AS array<struct<wa: string, wb: string>>) END")).as("bg"))
+        .select(col("bg.wa"), col("bg.wb"))
+        .groupBy("wa", "wb").agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 5)
+      bc.join(broadcast(uni.withColumnRenamed("w", "wa").withColumnRenamed("c", "ca")), Seq("wa"))
+        .join(broadcast(uni.withColumnRenamed("w", "wb").withColumnRenamed("c", "cb")), Seq("wb"))
+        .crossJoin(broadcast(nt))
+        .select(concat(col("wa"), lit(" "), col("wb")).as("bigram"), col("cab"),
+          expr("(cab * 1000000 DIV ca) * n DIV cb").as("lift_ppm"))
+        .orderBy(col("lift_ppm").desc, col("bigram"))
+        .limit(30)
+    },
+
+    // Per-document novelty: the share of a document's DISTINCT token
+    // trigrams whose first corpus appearance (min doc_id — ingestion
+    // order) is this document. The curation signal for prioritizing
+    // fresh content when appending a crawl snapshot: boilerplate-heavy
+    // or near-duplicate docs score near 0, genuinely new text near 100.
+    // Two hash aggregations (trigram → first doc; doc → counts) and one
+    // equi-join on the trigram — linear in corpus size, no pairwise
+    // stage, so the shape survives 100 TB where pairwise novelty would
+    // not.
+    GraftQuery("text_novelty",
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |tri AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))) AS g
+        |  FROM t),
+        |fst AS (SELECT g, min(doc_id) AS first_doc FROM tri GROUP BY g)
+        |SELECT tri.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_tri,
+        |       CAST(sum(CASE WHEN fst.first_doc = tri.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |       CAST(sum(CASE WHEN fst.first_doc = tri.doc_id THEN 1 ELSE 0 END) * 100
+        |            // count(*) AS BIGINT) AS novelty_pct
+        |FROM tri JOIN fst USING (g)
+        |GROUP BY tri.doc_id ORDER BY tri.doc_id""".stripMargin) { (spark, sfDir) =>
+      val tri = docs(spark, sfDir)
+        .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+        .select(col("doc_id"), explode(expr(
+          "CASE WHEN size(toks) >= 3 THEN " +
+            "transform(sequence(0, size(toks) - 3), " +
+            "i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])) " +
+            "ELSE CAST(array() AS array<string>) END")).as("g"))
+        .distinct()
+      val first = tri.groupBy("g").agg(min("doc_id").as("first_doc"))
+      tri.join(first, Seq("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tri"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_tri"), col("n_novel"),
+          expr("n_novel * 100 DIV n_tri").as("novelty_pct"))
+        .orderBy("doc_id")
+    },
+
     // per-document rarity (surprisal proxy): Σ_tokens floor(T / tf(token)),
     // T = corpus token count — an inverse-frequency-weighted unigram score,
     // the monotone integer-exact stand-in for unigram-LM perplexity (a true

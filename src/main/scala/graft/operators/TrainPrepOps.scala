@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.GraftQuery
@@ -341,6 +342,70 @@ object TrainPrepOps {
         .select(col("source"), col("n_docs"), col("n_tokens"),
           expr("n_tokens * 1000000 div tot").as("w_prop_ppm"),
           expr("sq * 1000000 div tots").as("w_sqrt_ppm"))
+        .orderBy("source")
+    },
+
+    // Mixture MATERIALIZATION — the stage after train_mix_weights: given
+    // the sqrt-of-size target shares (ppm), pick the LARGEST epoch T that
+    // every source can serve without upsampling (T = min_s n_s·1e6/w_s),
+    // derive each source's keep count, and select exactly those documents
+    // deterministically (md5-rank within source — reproducible on any
+    // cluster/partitioning/engine). Output is the per-source audit row
+    // with a kept_sum checksum pinning the exact selection, so the result
+    // stays 1 row per source at any corpus size. Overflow bound:
+    // n_avail·1e6 caps int64 at ~9.2e12 docs per source — beyond any real
+    // corpus's doc count. Scale: two tiny aggregates (one row per source)
+    // broadcast back; the per-source rank window partitions by source —
+    // at extreme per-source cardinality swap in the hash-threshold cut
+    // (keep if md5 below the keep_n/n_avail quantile), the same selection
+    // shape as one scan. Sources whose ppm share floors to 0 are excluded
+    // from the epoch cap and keep nothing (both engines agree).
+    GraftQuery("train_mix_resample",
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_avail
+        |  FROM documents GROUP BY source),
+        |q AS (SELECT source, n_avail,
+        |        CAST(floor(sqrt(CAST(n_avail AS DOUBLE))) AS BIGINT) AS w FROM s),
+        |tw AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM q),
+        |p AS (SELECT source, n_avail, w * 1000000 // tot AS w_ppm FROM q, tw),
+        |cap AS (SELECT CAST(min(n_avail * 1000000 // w_ppm) AS BIGINT) AS t
+        |        FROM p WHERE w_ppm > 0),
+        |k AS (SELECT source, n_avail, w_ppm,
+        |        CAST(t * w_ppm // 1000000 AS BIGINT) AS keep_n FROM p, cap),
+        |r AS (SELECT source, doc_id,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |      FROM documents),
+        |sel AS (SELECT r.source, CAST(count(*) AS BIGINT) AS kept_n,
+        |          CAST(sum(r.doc_id) AS BIGINT) AS kept_sum
+        |        FROM r JOIN k ON k.source = r.source AND r.rnk <= k.keep_n
+        |        GROUP BY r.source)
+        |SELECT k.source, k.n_avail, k.w_ppm, k.keep_n,
+        |       CAST(coalesce(sel.kept_n, 0) AS BIGINT) AS kept_n,
+        |       CAST(coalesce(sel.kept_sum, 0) AS BIGINT) AS kept_sum
+        |FROM k LEFT JOIN sel ON sel.source = k.source
+        |ORDER BY k.source""".stripMargin) { (spark, sfDir) =>
+      val s = docs(spark, sfDir).groupBy("source").agg(count(lit(1)).as("n_avail"))
+        .withColumn("w", floor(sqrt(col("n_avail").cast("double"))).cast("long"))
+      val tw = s.agg(sum("w").as("tot"))
+      val p = s.crossJoin(broadcast(tw))
+        .select(col("source"), col("n_avail"), expr("w * 1000000 DIV tot").as("w_ppm"))
+      val cap = p.filter(col("w_ppm") > 0)
+        .agg(min(expr("n_avail * 1000000 DIV w_ppm")).as("t"))
+      val k = p.crossJoin(broadcast(cap))
+        .select(col("source"), col("n_avail"), col("w_ppm"),
+          expr("t * w_ppm DIV 1000000").as("keep_n"))
+      val r = docs(spark, sfDir)
+        .select(col("source"), col("doc_id"),
+          md5(col("doc_id").cast("string").cast("binary")).as("h"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("source").orderBy(col("h"), col("doc_id"))).cast("long"))
+      val sel = r.join(broadcast(k.select("source", "keep_n")), Seq("source"))
+        .filter(col("rnk") <= col("keep_n"))
+        .groupBy("source").agg(count(lit(1)).as("kept_n"), sum("doc_id").as("kept_sum"))
+      k.join(sel, Seq("source"), "left_outer")
+        .select(col("source"), col("n_avail"), col("w_ppm"), col("keep_n"),
+          coalesce(col("kept_n"), lit(0L)).as("kept_n"),
+          coalesce(col("kept_sum"), lit(0L)).as("kept_sum"))
         .orderBy("source")
     },
 

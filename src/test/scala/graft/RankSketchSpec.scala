@@ -83,6 +83,38 @@ class RankSketchSpec extends AnyFunSuite with CacheDrained {
     assert(est == 15L, s"estimate $est drifted from the deterministic sketch")
   }
 
+  test("sketch_hll_merge: day-merged registers equal one-shot registers (sketch algebra)") {
+    import org.apache.spark.sql.functions.{col, expr, lit, lpad, max}
+    val ev = graft.Tables.events(spark, TestSpark.Sf)
+    val v = graft.functions.PortableHash.minhashPerm(
+      graft.functions.PortableHash.h8(lpad(col("user_id").cast("string"), 8, "0")), 5)
+    val wr = ev.select(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("day"), v.as("v"))
+      .selectExpr("event_type", "day", "v % 64 AS bucket",
+        "CASE WHEN v DIV 64 = 0 THEN 26L ELSE 26 - length(bin(v DIV 64)) END AS rho")
+    // merge = register-wise max commutes with the daily grouping: rolling
+    // up the materialized per-day sketches must reproduce the registers a
+    // single pass over the raw rows would build
+    val mergedRegs = graft.operators.SketchOps.dailyHllRegisters(wr)
+      .groupBy("event_type", "bucket").agg(max("m").as("m"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val oneShot = wr.groupBy("event_type", "bucket").agg(max("rho").as("m"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(mergedRegs == oneShot, "day-merged register file drifted from one-shot")
+    assert(mergedRegs.nonEmpty)
+    // and the registered query's estimate column is consistent per type
+    val rows = SparkEntry.queries("sketch_hll_merge")(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDays, est, exact) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nDays >= 1 && est > 0 && exact > 0)
+      // m=64 HLL standard error is ~13%; allow a wide 3x band — this pins
+      // sanity (est tracks cardinality), not the estimator's variance
+      assert(est <= exact * 3 && est * 3 >= exact,
+        s"${r.getString(0)}: est $est implausibly far from exact $exact")
+    }
+  }
+
   test("events_bloom: no false negatives at any sf; word table stays bounded") {
     Seq(TestSpark.Sf, "/root/testdata/sf0.01").foreach { sf =>
       val rows = SparkEntry.queries("events_bloom")(spark, sf)

@@ -172,6 +172,31 @@ class TrainPrepSpec extends AnyFunSuite with CacheDrained {
     }
   }
 
+  test("train_mix_resample honors availability, hits target shares, and saturates the cap") {
+    val spark = TestSpark.spark
+    val rows = SparkEntry.queries("train_mix_resample")(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    // replay the epoch cap: T = min over served sources of n_avail·1e6/w
+    val t = rows.collect {
+      case r if r.getLong(2) > 0 => r.getLong(1) * 1000000L / r.getLong(2)
+    }.min
+    var anySaturated = false
+    rows.foreach { r =>
+      val (nAvail, wPpm, keepN, keptN) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(keepN <= nAvail, s"${r.getString(0)}: upsampled $keepN > $nAvail")
+      assert(keptN == keepN, s"${r.getString(0)}: selection count drifted from plan")
+      // keep_n must be exactly floor(T·w_ppm/1e6) — the replayed plan
+      if (wPpm > 0) {
+        assert(keepN == t * wPpm / 1000000L,
+          s"${r.getString(0)}: keep $keepN != floor(T*w) = ${t * wPpm / 1000000L}")
+      } else assert(keepN == 0)
+      if (keepN == nAvail) anySaturated = true
+    }
+    // T is the min over sources: the binding source keeps everything —
+    // the epoch cannot be grown without upsampling someone
+    assert(anySaturated, "no source saturated: the epoch cap is not maximal")
+  }
+
   test("train_shuffle_order is the md5 permutation, not the identity") {
     val rows = SparkEntry.queries("train_shuffle_order")(TestSpark.spark, TestSpark.Sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
