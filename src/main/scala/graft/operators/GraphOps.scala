@@ -236,6 +236,51 @@ object GraphOps {
     visited
   }
 
+  /** Distributed k-core decomposition (synchronized peeling — Matula &
+    * Beck 1983's algorithm in its bulk-parallel form): each round keeps
+    * the nodes whose degree WITHIN the current survivor set is ≥ k, until
+    * a fixpoint or `maxRounds`. Per round: two semi-joins (edge endpoints
+    * vs survivors) + one hash aggregation — no driver-side graph, state
+    * is one node column, lineage truncated per round via localCheckpoint
+    * (the bfsLevels hygiene). Survivors only shrink, so equal counts ⇒
+    * equal sets and the early exit is exact; post-fixpoint rounds are
+    * idempotent, which is what lets a fixed-round oracle replay an
+    * early-exiting engine. Returns (node, core_degree) — each surviving
+    * node with its degree inside the final core. */
+  def kCore(ue: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = ue.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(ue.select(col("v").as("a"), col("u").as("b")))
+      .persist(mad)
+    edges.count()
+    var surv = edges.select(col("a").as("node")).distinct().localCheckpoint()
+    var prev = surv.count()
+    var r = 0
+    var stable = prev == 0
+    while (r < maxRounds && !stable) {
+      val next = edges
+        .join(surv.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(surv.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .groupBy("a").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k)
+        .select(col("a").as("node"))
+        .localCheckpoint()
+      val n = next.count()
+      stable = n == prev
+      graft.CacheTracker.checkpointRdds(surv).foreach(_.unpersist(false))
+      surv = next
+      prev = n
+      r += 1
+    }
+    val out = edges
+      .join(surv.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+      .join(surv.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+      .groupBy(col("a").as("node")).agg(count(lit(1)).as("core_degree"))
+    graft.CacheTracker.track(edges)
+    graft.CacheTracker.trackCheckpointed(surv)
+    out
+  }
+
   def triangles(ue: DataFrame): DataFrame = {
     val oriented = orientByDegree(ue)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

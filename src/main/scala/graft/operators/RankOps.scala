@@ -23,6 +23,29 @@ object RankOps {
   // at object-init time — a forward val reads as 0 and the chain vanishes)
   private val LpaRounds = 4
 
+  // k-core over the WEIGHTED co-purchase graph (edges = part pairs sharing
+  // ≥ KCoreMinW orders — the unthresholded graph is too dense to peel:
+  // min degree 49 at sf0.001). K/rounds probed: the peel takes 9 rounds at
+  // sf0.01 (1892 → 1055 nodes) and ≤ 3 at the other sfs, so 14 unrolled
+  // oracle rounds hold a 5-round margin; the engine exits at the exact
+  // fixpoint regardless (post-fixpoint rounds are idempotent, so the
+  // fixed-round oracle and the early-exiting engine agree by construction).
+  private val KCoreK = 3
+  private val KCoreMinW = 2
+  private val KCoreRounds = 14
+
+  /** the unrolled peel rounds: d{i}/v{i} CTE pairs over `e` and v{i-1}.
+    * v{i} MUST be MATERIALIZED (DuckDB-only syntax — oracle never runs in
+    * Spark): each round references its predecessor twice, so un-pinned
+    * CTEs inline exponentially (2^rounds parquet scans → fd exhaustion) */
+  private def kcoreRoundsSql: String =
+    (1 to KCoreRounds).map { i =>
+      s"""d$i AS (SELECT e.a AS node, count(*) AS d FROM e
+         |  JOIN v${i - 1} s1 ON s1.node = e.a JOIN v${i - 1} s2 ON s2.node = e.b
+         |  GROUP BY e.a),
+         |v$i AS MATERIALIZED (SELECT node FROM d$i WHERE d >= $KCoreK)""".stripMargin
+    }.mkString(",\n")
+
   /** the r1..rIters power-iteration rounds as unrolled DuckDB CTEs —
     * aggregation is not allowed in a recursive CTE term, so the fixed
     * iteration count is replayed as a chain (same pattern as the k-means
@@ -211,6 +234,47 @@ object RankOps {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.CacheTracker.track(ue)
       GraphOps.labelPropagation(ue, LpaRounds).orderBy("node")
+    },
+
+    // k-core decomposition of the weighted co-purchase graph: the
+    // cohesive-subgraph extractor a graph pipeline runs to find the
+    // stable "backbone" (spam/noise nodes peel off; the K-core is the
+    // maximal subgraph where everyone keeps ≥ K in-core neighbors).
+    // Engine: GraphOps.kCore — synchronized peel, two semi-joins + one
+    // hash agg per round, localCheckpoint lineage hygiene, exact-fixpoint
+    // early exit. Oracle: the same peel unrolled as d/v CTE pairs; the
+    // engine's early exit and the oracle's fixed rounds agree because
+    // post-fixpoint rounds are idempotent. At 100 TB nodes/edges shuffle
+    // by endpoint each round — the state is one node column, never the
+    // corpus.
+    GraftQuery("graph_kcore",
+      s"""WITH ue AS (SELECT l1.l_partkey AS u, l2.l_partkey AS v
+         |            FROM lineitem l1 JOIN lineitem l2
+         |              ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+         |            GROUP BY 1, 2 HAVING count(*) >= $KCoreMinW),
+         |e AS MATERIALIZED (SELECT u AS a, v AS b FROM ue UNION ALL SELECT v, u FROM ue),
+         |v0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM e),
+         |$kcoreRoundsSql,
+         |df AS (SELECT e.a AS node, CAST(count(*) AS BIGINT) AS core_degree FROM e
+         |  JOIN v$KCoreRounds s1 ON s1.node = e.a
+         |  JOIN v$KCoreRounds s2 ON s2.node = e.b
+         |  GROUP BY e.a)
+         |SELECT node, core_degree FROM df ORDER BY node""".stripMargin,
+      bench = true) { (spark, sfDir) =>
+      val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
+      val ue = li.as("l1").join(li.as("l2"),
+          col("l1.l_orderkey") === col("l2.l_orderkey") &&
+            col("l1.l_partkey") < col("l2.l_partkey"))
+        .groupBy(col("l1.l_partkey").as("u"), col("l2.l_partkey").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= KCoreMinW)
+        .select("u", "v")
+        // the peel probes the edge list every round — one-shot build,
+        // persisted inside kCore (which re-persists the bidirectional
+        // form); this upstream frame is consumed once there
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(ue)
+      GraphOps.kCore(ue, KCoreK, KCoreRounds).orderBy("node")
     })
 
   /** LPA rounds as chained CTEs: gather per-(node, label) neighbor counts,

@@ -345,6 +345,53 @@ object TrainPrepOps {
         .orderBy("source")
     },
 
+    // Priority sampling (Duffield, Lund & Thorup, "Priority sampling for
+    // estimation of arbitrary subset sums", JACM 2007), deterministic and
+    // integer-exact: each document draws priority q = w·1e6 / (u+1) with
+    // w = n_chars and u a fixed PortableHash permutation (perm 10 —
+    // disjoint from the sketch tier's 1–9); the sample IS the top-k by q,
+    // and the (k+1)-th priority τ yields the unbiased subset-sum
+    // estimator ŵ = max(w, τ). The weighted sampler a pipeline uses to
+    // audit a corpus by reading k docs while still estimating total
+    // bytes/tokens of any subset. Scale: top-(k+1) plans as
+    // TakeOrderedAndProject — a per-partition heap fold, no global sort,
+    // no single-partition window over the corpus (the final rank runs on
+    // the 51 surviving rows). Overflow: w·1e6 caps int64 at ~9.2e12
+    // chars per document.
+    GraftQuery("sample_priority",
+      s"""WITH d AS (SELECT doc_id, n_chars AS w,
+         |    ${graft.functions.PortableHash.h8Sql("lpad(CAST(doc_id AS VARCHAR), 8, '0')")} AS h
+         |  FROM documents),
+         |q AS (SELECT doc_id, w,
+         |    (w * 1000000) // (((${graft.functions.PortableHash.permA(10)} * (h % ${graft.functions.PortableHash.P}) + ${graft.functions.PortableHash.permB(10)}) % ${graft.functions.PortableHash.P}) + 1) AS q
+         |  FROM d),
+         |r AS (SELECT doc_id, w, q,
+         |    CAST(row_number() OVER (ORDER BY q DESC, doc_id) AS BIGINT) AS rnk FROM q),
+         |tau AS (SELECT q AS t FROM r WHERE rnk = 51)
+         |SELECT rnk, doc_id, w, q, greatest(w, tau.t) AS w_hat
+         |FROM r, tau WHERE rnk <= 50 ORDER BY rnk""".stripMargin) { (spark, sfDir) =>
+      val u = graft.functions.PortableHash.minhashPerm(
+        graft.functions.PortableHash.h8(lpad(col("doc_id").cast("string"), 8, "0")), 10)
+      val q = docs(spark, sfDir)
+        .select(col("doc_id"), col("n_chars").as("w"), u.as("u"))
+        .select(col("doc_id"), col("w"), expr("(w * 1000000) DIV (u + 1)").as("q"))
+      // top-(k+1) by priority: TakeOrderedAndProject, then rank the tiny
+      // survivor frame (51 rows — the global window is trivial here)
+      // the rank filter below rewrites to the GLOBAL bounded-heap top-k
+      // (RewriteRankLimit fires on the unpartitioned window too — the
+      // constant partition key folds away and TopKPerKeyExec's empty-spec
+      // AllTuples path merges the per-partition heaps); TopKPlanSpec pins
+      // the shape
+      val top = q.orderBy(col("q").desc, col("doc_id")).limit(51)
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(lit(0)).orderBy(col("q").desc, col("doc_id"))).cast("long"))
+      val tau = top.filter(col("rnk") === 51L).select(col("q").as("t"))
+      top.filter(col("rnk") <= 50L).crossJoin(broadcast(tau))
+        .select(col("rnk"), col("doc_id"), col("w"), col("q"),
+          greatest(col("w"), col("t")).as("w_hat"))
+        .orderBy("rnk")
+    },
+
     // Mixture MATERIALIZATION — the stage after train_mix_weights: given
     // the sqrt-of-size target shares (ppm), pick the LARGEST epoch T that
     // every source can serve without upsampling (T = min_s n_s·1e6/w_s),

@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
@@ -50,6 +50,12 @@ final case class TopKPerKeyExec(
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
+    // empty spec = GLOBAL top-k (an unpartitioned rank limit): the final
+    // phase needs every partial heap in one place — AllTuples, not
+    // ClusteredDistribution(Nil) (which Spark rejects by requirement).
+    // The shuffle then moves ≤ k rows per map partition, so the global
+    // rank limit costs a TakeOrdered-shaped exchange, never a full sort.
+    else if (partitionSpec.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(partitionSpec) :: Nil
 
   override def outputPartitioning: Partitioning = child.outputPartitioning

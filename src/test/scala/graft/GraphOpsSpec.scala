@@ -25,6 +25,22 @@ class GraphOpsSpec extends AnyFunSuite with CacheDrained {
     assert(got.size == 19)
   }
 
+  test("kCore: clique survives, tail peels in cascade, core degrees are in-core") {
+    // K4 on 0..3 (3-core) with a path 3-10-11-12 hanging off: the path
+    // peels over THREE successive rounds (12 first — degree 1 — then 11,
+    // then 10), exercising the cascade, and the clique alone survives
+    val clique = for { i <- 0 until 4; j <- i + 1 until 4 } yield (i.toLong, j.toLong)
+    val tail = Seq((3L, 10L), (10L, 11L), (11L, 12L))
+    val got = GraphOps.kCore((clique ++ tail).toDF("u", "v"), k = 3, maxRounds = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L), s"core nodes: $got")
+    // degree INSIDE the core: node 3's tail edge must not count
+    got.foreach { case (n, d) => assert(d == 3L, s"node $n in-core degree $d != 3") }
+    // k above the max core: everything peels, result is empty not an error
+    val empty = GraphOps.kCore(clique.toDF("u", "v"), k = 4, maxRounds = 10).collect()
+    assert(empty.isEmpty)
+  }
+
   test("labelPropagation: two dense cliques joined by one bridge split into two communities") {
     // K5 on 0..4 and K5 on 10..14, bridged by (4, 10): every node's
     // neighbors are dominated by its own clique, so 4 rounds settle each

@@ -90,6 +90,27 @@ class TopKPlanSpec extends AnyFunSuite with CacheDrained {
     assert(got2 == Map("a" -> 1, "b" -> 5, "c" -> 7))
   }
 
+  test("GLOBAL rank limit (empty partition spec) rides the heap via AllTuples") {
+    // an unpartitioned row_number ≤ k — the global top-k shape. The
+    // rewrite fires with an empty clustering; the final phase must demand
+    // AllTuples (ClusteredDistribution(Nil) is rejected by Spark), so the
+    // plan is partial heaps (≤ k rows each) → single-partition exchange →
+    // final heap. Control: orderBy + limit of the same ordering.
+    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val global = Tables.orders(spark, TestSpark.Sf)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 7)
+      .orderBy("rn")
+    val p = executed(global)
+    assert(p.contains("TopKPerKey"), s"global rank-limit rewrite did not fire:\n$p")
+    val control = Tables.orders(spark, TestSpark.Sf)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc).limit(7)
+      .collect().toSeq
+    assert(global.select("o_orderkey", "o_totalprice").collect().toSeq == control)
+  }
+
   test("unsafe patterns stay on the built-in path") {
     val df = Seq(("a", 1, 1), ("a", 2, 2), ("b", 3, 3)).toDF("k", "v", "id")
     val w = Window.partitionBy("k").orderBy("v", "id")
