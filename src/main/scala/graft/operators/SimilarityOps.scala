@@ -935,6 +935,31 @@ object SimilarityOps {
       nearDupPairs(spark, sfDir).orderBy("a", "b")
     },
 
+    // Cosine-threshold sensitivity sweep — the embedding-side twin of
+    // dedup_jaccard_sweep: near-dup pair counts at τ·100 ∈ {30,35,40,45,50},
+    // the dial-setting evidence a semantic-dedup policy review reads
+    // ("how many more pairs does loosening τ to 0.35 admit?"). ONE
+    // LSH-verified pass at the LOOSEST level (0.3 — its derived shape's
+    // exact-verify output equals brute force, the family's pinned
+    // property); every tighter level is a subset of that pair list, so
+    // the 5-way fan-out explodes the tiny verified pairs, never the
+    // corpus, and collapses straight back into a ≤5-row aggregate.
+    // sim6 is the same 6-dp-rounded IEEE quotient in both engines, so
+    // sim6·100 ≥ τ cannot drift.
+    GraftQuery("sim_cos_threshold_sweep",
+      s"""WITH $BrutePairCte,
+         |taus AS (SELECT unnest([30, 35, 40, 45, 50]) AS tau_pct)
+         |SELECT CAST(tau_pct AS BIGINT) AS tau_pct, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM p, taus WHERE sim6 * 100 >= tau_pct
+         |GROUP BY tau_pct ORDER BY tau_pct""".stripMargin) { (spark, sfDir) =>
+      nearDupPairsAt(spark, sfDir, 0.3)
+        .select(col("sim6"),
+          explode(array(Seq(30, 35, 40, 45, 50).map(t => lit(t.toLong)): _*)).as("tau_pct"))
+        .filter(col("sim6") * 100 >= col("tau_pct"))
+        .groupBy("tau_pct").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("tau_pct")
+    },
+
     // the production-threshold variant — THE BENCHED NEAR-DUP SHAPE: same
     // operator, tau=0.8, LSH shape derived (23 tables × 4 bits —
     // p_match/table 0.40, same as the demo's, from a per-hyperplane p of

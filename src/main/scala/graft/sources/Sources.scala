@@ -67,6 +67,37 @@ object Sources {
     (good, quarantined)
   }
 
+  /** CSV twin of [[readJsonQuarantine]]: PERMISSIVE delimited-text parse
+    * with explicit schema (no inference pass — inference would cost a
+    * second full scan at 100 TB and can mis-type sparse columns), torn or
+    * arity-mismatched lines routed to the quarantine frame. Quoting,
+    * embedded delimiters and escaped quotes ride Spark's univocity
+    * parser; `header` strips one leading line per FILE (not per
+    * partition). Same materialize-once requirement as the JSON edge: the
+    * corrupt-record column only exists on the parsed frame. */
+  def readCsvQuarantine(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true, delimiter: String = ","): (DataFrame, DataFrame) = {
+    val corrupt = "_corrupt_record"
+    val raw = spark.read
+      .schema(schema.add(StructField(corrupt, StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .option("header", header.toString)
+      .option("sep", delimiter)
+      // RFC-4180 doubled-quote escaping ("" inside a quoted field) —
+      // Spark's default escape is backslash, which silently leaves the
+      // quotes in the value
+      .option("escape", "\"")
+      .option("enforceSchema", "true")
+      .csv(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.CacheTracker.track(raw)
+    val good = raw.filter(col(corrupt).isNull).drop(corrupt)
+    val quarantined = raw.filter(col(corrupt).isNotNull)
+      .select(col(corrupt).as("raw_line"))
+    (good, quarantined)
+  }
+
   /** op 19: a distcp `-filters` file (README.md:94-99) — one exclusion
     * regex per line, blank lines and `#` comments skipped — compiled into
     * a single keep-predicate Column for `pathCol`. Read on the driver

@@ -152,6 +152,21 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("cosine threshold sweep is monotone and agrees with sim_near_dup_pairs at 0.4") {
+    val spark = TestSpark.spark
+    val sweep = SparkEntry.queries("sim_cos_threshold_sweep")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // tightening the cut can only drop pairs (absent levels = zero pairs)
+    val lv = Seq(30L, 35L, 40L, 45L, 50L)
+    lv.init.zip(lv.tail).foreach { case (a, b) =>
+      assert(sweep.getOrElse(a, 0L) >= sweep.getOrElse(b, 0L),
+        s"sweep not monotone at tau=$a: $sweep")
+    }
+    val atDefault = SparkEntry.queries("sim_near_dup_pairs")(spark, TestSpark.Sf).count()
+    assert(sweep.getOrElse(40L, 0L) == atDefault,
+      s"sweep(40)=${sweep.getOrElse(40L, 0L)} != sim_near_dup_pairs=$atDefault")
+  }
+
   test("nprobe curve is monotone and its IvfProbes point equals sim_ann_recall's total") {
     val spark = TestSpark.spark
     val curve = SparkEntry.queries("sim_ann_nprobe_curve")(spark, TestSpark.Sf)

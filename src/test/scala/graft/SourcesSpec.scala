@@ -188,4 +188,33 @@ class SourcesSpec extends AnyFunSuite {
     assert(lines.length == 2, s"expected 2 quarantined lines, got ${lines.toSeq}")
     assert(lines.exists(_.contains("TORN")) && lines.exists(_.contains("not json")))
   }
+
+  test("csv quarantine ingestion: quoting honored, malformed rows route to quarantine") {
+    val spark = TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-csvq")
+    val f = dir.resolve("feed.csv")
+    // doubled CSV quotes collide with Scala triple-quote syntax — plain
+    // escaped literals per line instead
+    java.nio.file.Files.writeString(f, Seq(
+      "id,name,score",
+      "1,\"alpha, the first\",10",
+      "2,\"say \"\"hi\"\"\",20",
+      "3,unquoted,not_a_number",
+      "4,delta,40").mkString("", "\n", "\n"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.LongType)))
+    val (good, bad) = Sources.readCsvQuarantine(spark, f.toString, schema)
+    val rows = good.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // embedded delimiter and escaped quotes must survive the parse
+    assert(rows == Set((1L, "alpha, the first", 10L), (2L, "say \"hi\"", 20L),
+      (4L, "delta", 40L)), s"good rows wrong: $rows")
+    val lines = bad.collect().map(_.getString(0))
+    assert(lines.length == 1 && lines.head.contains("not_a_number"),
+      s"quarantine wrong: ${lines.toSeq}")
+  }
 }
