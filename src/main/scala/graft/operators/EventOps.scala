@@ -109,6 +109,56 @@ object EventOps {
         .orderBy("user_id")
     },
 
+    // CUSUM change-point detection (Page 1954) over per-type daily value
+    // totals — the SEQUENTIAL drift detector that complements the
+    // pointwise z-scan below: S_t = max(0, S_{t-1} + (x_t − ref)) alarms
+    // when cumulative positive drift exceeds 2·ref (two reference-days).
+    // The nonlinear recurrence is windowed-expressible via the identity
+    // S_t = P_t − min(0, min_{j≤t} P_j) with P the running deviation sum,
+    // so BOTH engines compute it as one running-sum + one running-min
+    // over the same (type, day) frame — no sequential driver scan, no
+    // recursion, and Spark fuses the two same-spec windows into one
+    // exchange+sort per type. Everything is exact integer micro-units
+    // (daily totals are non-negative here, so DIV and // agree on ref —
+    // OperatorInvariantSpec asserts the precondition and replays the
+    // recurrence).
+    GraftQuery("events_cusum",
+      """WITH e AS (SELECT event_type,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |        CAST(floor(value * 1000000) AS BIGINT) AS vu FROM events),
+        |d AS (SELECT event_type, day, CAST(sum(vu) AS BIGINT) AS x
+        |      FROM e GROUP BY event_type, day),
+        |r AS (SELECT event_type, CAST(sum(x) // count(*) AS BIGINT) AS ref
+        |      FROM d GROUP BY event_type),
+        |p AS (SELECT d.event_type, d.day, d.x, r.ref,
+        |        CAST(sum(d.x - r.ref) OVER (PARTITION BY d.event_type ORDER BY d.day
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pf
+        |      FROM d JOIN r USING (event_type)),
+        |m AS (SELECT event_type, day, x, ref, pf,
+        |        CAST(min(pf) OVER (PARTITION BY event_type ORDER BY day
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS mn
+        |      FROM p)
+        |SELECT event_type, CAST(day AS BIGINT) AS day, x,
+        |       pf - least(CAST(0 AS BIGINT), mn) AS cusum,
+        |       (pf - least(CAST(0 AS BIGINT), mn)) > 2 * ref AS alarm
+        |FROM m ORDER BY event_type, day""".stripMargin) { (spark, sfDir) =>
+      val d = Tables.events(spark, sfDir)
+        .select(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("day"),
+          expr("CAST(floor(value * 1000000) AS BIGINT)").as("vu"))
+        .groupBy("event_type", "day").agg(sum("vu").as("x"))
+      val r = d.groupBy("event_type").agg(expr("sum(x) DIV count(1)").as("ref"))
+      val wRun = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.join(broadcast(r), Seq("event_type"))
+        .withColumn("pf", sum(col("x") - col("ref")).over(wRun))
+        .withColumn("mn", min(col("pf")).over(wRun))
+        .select(col("event_type"), col("day"), col("x"),
+          (col("pf") - least(lit(0L), col("mn"))).as("cusum"),
+          ((col("pf") - least(lit(0L), col("mn"))) > col("ref") * 2).as("alarm"))
+        .orderBy("event_type", "day")
+    },
+
     // per-type outlier detection: top-5 |z-score| events per event type.
     // Moments accumulate as EXACT integer sums of value-cents (order-free,
     // engine-free); the mean/std/z float math then runs on identical exact

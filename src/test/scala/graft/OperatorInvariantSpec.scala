@@ -56,6 +56,27 @@ class OperatorInvariantSpec extends AnyFunSuite with CacheDrained {
     }
   }
 
+  test("events_cusum equals the sequential max(0, S+dev) recurrence replay") {
+    val spark = TestSpark.spark
+    val rows = SparkEntry.queries("events_cusum")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (tpe, days) =>
+      val sorted = days.sortBy(_._2)
+      val xs = sorted.map(_._3)
+      // integer-division precondition: non-negative totals so Spark DIV
+      // and DuckDB // agree on ref
+      assert(xs.sum >= 0, s"$tpe: negative total breaks the DIV/floor-div parity")
+      val ref = xs.sum / xs.length
+      var s = 0L
+      sorted.foreach { case (_, day, x, cusum, alarm) =>
+        s = math.max(0L, s + (x - ref))
+        assert(cusum == s, s"$tpe day $day: cusum $cusum != recurrence $s")
+        assert(alarm == (s > 2 * ref), s"$tpe day $day: alarm flag wrong")
+      }
+    }
+  }
+
   test("jaccard sweep is monotone in tau and agrees with dedup_jaccard at 0.8") {
     val spark = TestSpark.spark
     val sweep = SparkEntry.queries("dedup_jaccard_sweep")(spark, TestSpark.Sf)
