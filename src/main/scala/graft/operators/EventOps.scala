@@ -147,6 +147,10 @@ object EventOps {
           expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("day"),
           expr("CAST(floor(value * 1000000) AS BIGINT)").as("vu"))
         .groupBy("event_type", "day").agg(sum("vu").as("x"))
+        // bounded (types × days rows) and consumed twice (ref agg + the
+        // window input) — persist so the events scan runs once
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(d)
       val r = d.groupBy("event_type").agg(expr("sum(x) DIV count(1)").as("ref"))
       val wRun = Window.partitionBy("event_type").orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

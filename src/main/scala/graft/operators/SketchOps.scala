@@ -229,7 +229,12 @@ object SketchOps {
           v.as("v"))
         .selectExpr("event_type", "day", "v % 64 AS bucket",
           "CASE WHEN v DIV 64 = 0 THEN 26L ELSE 26 - length(bin(v DIV 64)) END AS rho")
+      // the daily register file is the query's ONLY corpus-derived frame
+      // and is bounded (types × days × 64 rows) — persist it so the merge
+      // and the n_days audit don't each rescan the events
       val daily = dailyHllRegisters(wr)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(daily)
       val merged = daily.groupBy("event_type", "bucket").agg(max("m").as("m"))
       val nd = daily.groupBy("event_type")
         .agg(count_distinct(col("day")).cast("long").as("n_days"))

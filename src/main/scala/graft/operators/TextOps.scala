@@ -469,7 +469,12 @@ object TextOps {
         .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
       val tok = t.select(explode(col("toks")).as("w"))
       val uni = tok.groupBy("w").agg(count(lit(1)).as("c"))
-      val nt = tok.agg(count(lit(1)).as("n"))
+        // consumed three times (two join sides + the token total below):
+        // persist the bounded vocab frame — and derive the corpus token
+        // count FROM it (Σc) instead of a second pass over the corpus
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(uni)
+      val nt = uni.agg(sum("c").as("n"))
       val bc = t.select(explode(expr(
           "CASE WHEN size(toks) >= 2 THEN " +
             "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), " +
@@ -519,6 +524,10 @@ object TextOps {
             "i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])) " +
             "ELSE CAST(array() AS array<string>) END")).as("g"))
         .distinct()
+        // consumed twice (first-seen agg + join probe): persist the
+        // deduped trigram frame so the tokenize+explode+distinct runs once
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(tri)
       val first = tri.groupBy("g").agg(min("doc_id").as("first_doc"))
       tri.join(first, Seq("g"))
         .groupBy("doc_id")
