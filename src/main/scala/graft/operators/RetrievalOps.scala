@@ -29,6 +29,7 @@ object RetrievalOps {
   private val TopK = 20
   private val IndexTerms = 50
   private val PostingsPerTerm = 5
+  private val AndTerms = 4
 
   val queries: Seq[GraftQuery] = Seq(
 
@@ -92,6 +93,42 @@ object RetrievalOps {
             .cast("long").as("c"))
         .groupBy("doc_id").agg(sum("c").as("score_micro"))
         .orderBy(col("score_micro").desc, col("doc_id")).limit(TopK)
+    },
+
+    // Conjunctive (AND) boolean retrieval — the index EXECUTION shape the
+    // build below feeds: the query is the AndTerms most SELECTIVE tokens
+    // (lowest df, the order a planner intersects posting lists in), the
+    // intersection is one broadcast join of the |Q|-row query frame into
+    // the tf postings + HAVING count(*) = |Q| (tf is unique per
+    // (doc, term), so the count IS the matched-term count), and the
+    // matches rank by summed tf through a TakeOrdered heap. At 100 TB the
+    // work is |postings of the rarest terms| — never a corpus scan per
+    // term, never pairwise.
+    GraftQuery("text_search_and",
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+         |             FROM documents),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tok GROUP BY doc_id, tok),
+         |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+         |q AS (SELECT tok FROM dfq ORDER BY df ASC, tok LIMIT $AndTerms),
+         |hit AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS sum_tf
+         |        FROM tf JOIN q USING (tok)
+         |        GROUP BY tf.doc_id HAVING count(*) = $AndTerms)
+         |SELECT doc_id, sum_tf FROM hit
+         |ORDER BY sum_tf DESC, doc_id LIMIT $TopK""".stripMargin) { (spark, sfDir) =>
+      val tok = Tables.documents(spark, sfDir).select(col("doc_id"),
+        explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("tok"))
+      val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(tf)
+      val q = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").asc, col("tok")).limit(AndTerms).select("tok")
+      tf.join(broadcast(q), Seq("tok"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"), sum("tf").as("sum_tf"))
+        .filter(col("n_terms") === AndTerms)
+        .select("doc_id", "sum_tf")
+        .orderBy(col("sum_tf").desc, col("doc_id")).limit(TopK)
     },
 
     // inverted-index build for the IndexTerms highest-df tokens: per term,

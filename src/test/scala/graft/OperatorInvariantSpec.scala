@@ -56,6 +56,24 @@ class OperatorInvariantSpec extends AnyFunSuite with CacheDrained {
     }
   }
 
+  test("text_search_and returns exactly the docs containing every query term") {
+    val spark = TestSpark.spark
+    val docs = Tables.documents(spark, TestSpark.Sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> "[a-z0-9]+".r.findAllIn(r.getString(1)).toSet).toMap
+    // replay the query derivation: the AndTerms lowest-df tokens
+    val df = scala.collection.mutable.Map.empty[String, Int]
+    docs.values.foreach(_.foreach(t => df(t) = df.getOrElse(t, 0) + 1))
+    val q = df.toSeq.sortBy { case (t, d) => (d, t) }.take(4).map(_._1).toSet
+    val expected = docs.collect { case (id, ts) if q.subsetOf(ts) => id }.toSet
+    val got = SparkEntry.queries("text_search_and")(spark, TestSpark.Sf)
+      .collect().map(_.getLong(0)).toSet
+    // the query returns top-20 by summed tf; at this sf the full match set
+    // is under the limit, so the sets must be equal
+    assert(expected.size <= 20, "fixture drift: match set exceeds TopK, weaken to subset")
+    assert(got == expected, s"AND semantics drifted: got $got expected $expected")
+  }
+
   test("events_cusum equals the sequential max(0, S+dev) recurrence replay") {
     val spark = TestSpark.spark
     val rows = SparkEntry.queries("events_cusum")(spark, TestSpark.Sf)
