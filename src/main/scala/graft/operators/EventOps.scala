@@ -20,6 +20,50 @@ object EventOps {
   /** max capped-session duration (events_sessionize_capped): 2 h in µs */
   private val CapUs = 7200000000L
 
+  /** shared CUSUM oracle chain ending in m(event_type, day, x, ref, pf, mn)
+    * — one definition for the batch query and its streaming twin (which
+    * differs only by excluding each type's open last day). Must initialize
+    * BEFORE `queries` (init-order interpolation). */
+  private[operators] val CusumCommonCtes: String =
+    """e AS (SELECT event_type,
+      |        epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |        CAST(floor(value * 1000000) AS BIGINT) AS vu FROM events),
+      |d AS (SELECT event_type, day, CAST(sum(vu) AS BIGINT) AS x
+      |      FROM e GROUP BY event_type, day),
+      |r AS (SELECT event_type, CAST(sum(x) // count(*) AS BIGINT) AS ref
+      |      FROM d GROUP BY event_type),
+      |p AS (SELECT d.event_type, d.day, d.x, r.ref,
+      |        CAST(sum(d.x - r.ref) OVER (PARTITION BY d.event_type ORDER BY d.day
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pf
+      |      FROM d JOIN r USING (event_type)),
+      |m AS (SELECT event_type, day, x, ref, pf,
+      |        CAST(min(pf) OVER (PARTITION BY event_type ORDER BY day
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS mn
+      |      FROM p)""".stripMargin
+
+  private[operators] val CusumBatchSql: String =
+    s"""WITH $CusumCommonCtes
+       |SELECT event_type, CAST(day AS BIGINT) AS day, x,
+       |       pf - least(CAST(0 AS BIGINT), mn) AS cusum,
+       |       (pf - least(CAST(0 AS BIGINT), mn)) > 2 * ref AS alarm
+       |FROM m ORDER BY event_type, day""".stripMargin
+
+  /** per-(type, day) exact micro-unit value totals — bounded (types × days
+    * rows) and consumed twice by the CUSUM pair, so persisted once */
+  private def dailyValueTotals(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    val d = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("day"),
+        expr("CAST(floor(value * 1000000) AS BIGINT)").as("vu"))
+      .groupBy("event_type", "day").agg(sum("vu").as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.CacheTracker.track(d)
+    d
+  }
+
+  private val streamRunId = new java.util.concurrent.atomic.AtomicLong(0L)
+
   val queries: Seq[GraftQuery] = Seq(
 
     // real-data JSON decode (op 30h on the events.props column)
@@ -122,35 +166,8 @@ object EventOps {
     // (daily totals are non-negative here, so DIV and // agree on ref —
     // OperatorInvariantSpec asserts the precondition and replays the
     // recurrence).
-    GraftQuery("events_cusum",
-      """WITH e AS (SELECT event_type,
-        |        epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
-        |        CAST(floor(value * 1000000) AS BIGINT) AS vu FROM events),
-        |d AS (SELECT event_type, day, CAST(sum(vu) AS BIGINT) AS x
-        |      FROM e GROUP BY event_type, day),
-        |r AS (SELECT event_type, CAST(sum(x) // count(*) AS BIGINT) AS ref
-        |      FROM d GROUP BY event_type),
-        |p AS (SELECT d.event_type, d.day, d.x, r.ref,
-        |        CAST(sum(d.x - r.ref) OVER (PARTITION BY d.event_type ORDER BY d.day
-        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pf
-        |      FROM d JOIN r USING (event_type)),
-        |m AS (SELECT event_type, day, x, ref, pf,
-        |        CAST(min(pf) OVER (PARTITION BY event_type ORDER BY day
-        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS mn
-        |      FROM p)
-        |SELECT event_type, CAST(day AS BIGINT) AS day, x,
-        |       pf - least(CAST(0 AS BIGINT), mn) AS cusum,
-        |       (pf - least(CAST(0 AS BIGINT), mn)) > 2 * ref AS alarm
-        |FROM m ORDER BY event_type, day""".stripMargin) { (spark, sfDir) =>
-      val d = Tables.events(spark, sfDir)
-        .select(col("event_type"),
-          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("day"),
-          expr("CAST(floor(value * 1000000) AS BIGINT)").as("vu"))
-        .groupBy("event_type", "day").agg(sum("vu").as("x"))
-        // bounded (types × days rows) and consumed twice (ref agg + the
-        // window input) — persist so the events scan runs once
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.CacheTracker.track(d)
+    GraftQuery("events_cusum", EventOps.CusumBatchSql) { (spark, sfDir) =>
+      val d = dailyValueTotals(spark, sfDir)
       val r = d.groupBy("event_type").agg(expr("sum(x) DIV count(1)").as("ref"))
       val wRun = Window.partitionBy("event_type").orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -160,6 +177,29 @@ object EventOps {
         .select(col("event_type"), col("day"), col("x"),
           (col("pf") - least(lit(0L), col("mn"))).as("cusum"),
           ((col("pf") - least(lit(0L), col("mn"))) > col("ref") * 2).as("alarm"))
+        .orderBy("event_type", "day")
+    },
+
+    // STREAMING CUSUM, registered and oracled: the closed-day rows the
+    // incremental flatMapGroupsWithState fold emits (StreamOps.cusumDaily,
+    // four longs of state per type, pre-calibrated ref stream-static
+    // joined) must hash-match the batch window form minus each type's
+    // open last day — the stream_scd2 convention applied to sequential
+    // drift detection.
+    GraftQuery("stream_cusum",
+      s"""WITH ${EventOps.CusumCommonCtes},
+         |mm AS (SELECT event_type, max(day) AS mx FROM d GROUP BY event_type)
+         |SELECT m.event_type, CAST(m.day AS BIGINT) AS day, m.x,
+         |       m.pf - least(CAST(0 AS BIGINT), m.mn) AS cusum,
+         |       (m.pf - least(CAST(0 AS BIGINT), m.mn)) > 2 * m.ref AS alarm
+         |FROM m JOIN mm USING (event_type) WHERE m.day < mm.mx
+         |ORDER BY m.event_type, m.day""".stripMargin) { (spark, sfDir) =>
+      val refs = dailyValueTotals(spark, sfDir)
+        .groupBy("event_type").agg(expr("sum(x) DIV count(1)").as("ref"))
+      val closed = graft.streaming.StreamOps.cusumDaily(spark,
+        graft.streaming.StreamOps.eventStream(spark, sfDir), refs)
+      graft.streaming.StreamOps
+        .runAppendToCompletion(closed, s"stream_cusum_${streamRunId.incrementAndGet()}")
         .orderBy("event_type", "day")
     },
 

@@ -301,6 +301,59 @@ object StreamOps {
       .toDF("user_id", "rnk", "event_id", "value")
   }
 
+  /** per-type CUSUM fold state: deviation prefix over CLOSED days (pf),
+    * its running min (mn; MaxValue = none closed yet), and the OPEN day
+    * with its accumulating micro-unit total — four longs, O(1) forever */
+  final case class CusumSt(pf: Long, mn: Long, day: Long, acc: Long)
+
+  /** Streaming twin of the batch `events_cusum`: per-type one-sided CUSUM
+    * over daily value totals, maintained incrementally against a
+    * PRE-CALIBRATED reference (`refs`, stream-static joined — the real
+    * deployment shape: calibrate ref offline, detect drift online). Each
+    * day CLOSES when a later day's first row arrives; closing emits the
+    * day's (total, cusum, alarm) row exactly once (append mode) via the
+    * recurrence S = max(0, S_prev + (x − ref)) — algebraically the same
+    * prefix-sum/running-min identity the batch twin windows over, so the
+    * closed rows hash-match the batch query minus each type's open last
+    * day. Requires day-ordered arrival per type across microbatches (the
+    * scd2 twin's documented contract; mod-time-ordered files satisfy it). */
+  def cusumDaily(spark: SparkSession, events: DataFrame,
+      refs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .join(broadcast(refs), Seq("event_type"))
+      .select(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("day"),
+        expr("CAST(floor(value * 1000000) AS BIGINT)").as("vu"),
+        col("ref"))
+      .as[(String, Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[CusumSt, (String, Long, Long, Long, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, rows: Iterator[(String, Long, Long, Long)], state: GroupState[CusumSt]) =>
+          var st = state.getOption.getOrElse(CusumSt(0L, Long.MaxValue, Long.MinValue, 0L))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Long, Long, Boolean)]
+          var ref = 0L
+          def closeDay(): Unit = {
+            val pf = st.pf + (st.acc - ref)
+            val mn = math.min(st.mn, pf)
+            val cus = pf - math.min(0L, mn)
+            out += ((tpe, st.day, st.acc, cus, cus > 2 * ref))
+            st = CusumSt(pf, mn, Long.MinValue, 0L)
+          }
+          rows.toArray.sortBy(_._2).foreach { case (_, day, vu, r) =>
+            ref = r
+            if (st.day == Long.MinValue) st = st.copy(day = day, acc = vu)
+            else if (day == st.day) st = st.copy(acc = st.acc + vu)
+            else { closeDay(); st = st.copy(day = day, acc = vu) }
+          }
+          state.update(st)
+          out.iterator
+      }
+      .toDF("event_type", "day", "x", "cusum", "alarm")
+  }
+
   /** foreachBatch sink: per-microbatch parquet append keyed by batch id —
     * the streaming analogue of the partitioned filelist sink (op 14), and
     * the standard escape hatch for sinks Structured Streaming lacks. */

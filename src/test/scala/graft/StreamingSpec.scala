@@ -350,6 +350,56 @@ class StreamingSpec extends AnyFunSuite with CacheDrained {
         s"${(got diff want).take(3)} extra")
   }
 
+  test("streaming CUSUM closed days fold incrementally across microbatches") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    // two time-ordered microbatches cut at the us median — the median
+    // falls INSIDE some day, so that day's total must accumulate across
+    // the batch seam before it closes in batch 1
+    val dir = java.nio.file.Files.createTempDirectory("cusum_batches").toString
+    val ev = graft.Tables.events(spark, TestSpark.Sf)
+      .withColumn("us", expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+    val cut = ev.selectExpr("percentile(us, 0.5)").first().getDouble(0).toLong
+    def dump(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      df.select(col("event_id"), (col("us") * 1000).as("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.parquet(s"$dir/$name")
+    dump(ev.filter(col("us") <= cut), "b0")
+    dump(ev.filter(col("us") > cut), "b1")
+    val flat = java.nio.file.Files.createTempDirectory("cusum_flat").toString
+    Seq("b0", "b1").zipWithIndex.foreach { case (b, i) =>
+      val src = new java.io.File(s"$dir/$b").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$flat/part-$b.parquet")
+      java.nio.file.Files.copy(src.toPath, dst.toPath)
+      dst.setLastModified(System.currentTimeMillis() - 60000 + i * 30000)
+    }
+    val refs = graft.Tables.events(spark, TestSpark.Sf)
+      .select(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("day"),
+        expr("CAST(floor(value * 1000000) AS BIGINT)").as("vu"))
+      .groupBy("event_type", "day").agg(sum("vu").as("x"))
+      .groupBy("event_type").agg(expr("sum(x) DIV count(1)").as("ref"))
+    // the seam day exists: the cut's day has rows on both sides
+    val cutDay = cut / 86400000000L
+    val stream = StreamOps.cusumDaily(spark,
+      StreamOps.eventStreamFromDir(spark, flat)
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)")), refs)
+    val got = StreamOps.runAppendToCompletion(stream, "cusum_multi_test")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toSet
+    val want = SparkEntry.queries("stream_cusum")(spark, TestSpark.Sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toSet
+    assert(want.exists(_._2 == cutDay),
+      "test split produced no seam-straddling closed day")
+    assert(want.nonEmpty && got == want,
+      s"multi-batch CUSUM diverged: ${(want diff got).take(3)} missing, " +
+        s"${(got diff want).take(3)} extra")
+  }
+
   test("streaming top-k upserts across microbatches; final state == batch window") {
     import org.apache.spark.sql.functions._
     val spark = TestSpark.spark
