@@ -95,18 +95,16 @@ object GraphOps {
       .select(col("node"), col("node").as("lbl"))
       .localCheckpoint()
     (1 to rounds).foreach { _ =>
-      // gather is consumed twice (its own max + the tiebreak join):
-      // persist for the round, release before the next
-      val gathered = bi.join(labels, col("node") === col("src"))
+      // argmax (count desc, label asc) in ONE aggregation: max over
+      // (c, −lbl) struct pairs — lexicographic struct ordering makes the
+      // tie resolve to the minimum label, replacing the former
+      // max + tiebreak-join form (3 shuffles + a per-round persist → 2
+      // hash aggs, the second partial-aggregated, nothing persisted)
+      val next = bi.join(labels, col("node") === col("src"))
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
-        .persist(mad)
-      val mc = gathered.groupBy("dst").agg(max("c").as("mc"))
-      val next = gathered.join(mc, Seq("dst"))
-        .filter(col("c") === col("mc"))
-        .groupBy("dst").agg(min("lbl").as("lbl"))
-        .select(col("dst").as("node"), col("lbl"))
+        .groupBy("dst").agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("dst").as("node"), (-col("m.nl")).as("lbl"))
         .localCheckpoint()
-      gathered.unpersist(blocking = false)
       graft.CacheTracker.checkpointRdds(labels).foreach(_.unpersist(false))
       labels = next
     }
