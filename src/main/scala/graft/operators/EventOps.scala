@@ -180,6 +180,37 @@ object EventOps {
         .orderBy("event_type", "day")
     },
 
+    // Seasonal-naive forecast evaluation: predict each day's per-type
+    // value total as the SAME WEEKDAY last week (x̂_d = x_{d−7}, the
+    // baseline every forecasting pipeline must beat) and report the
+    // integer MAE over the evaluable days. The d−7 alignment is a
+    // CALENDAR self-join on the bounded daily-totals frame — exact under
+    // gaps, unlike a 7-ROW lag over observed days — and the totals frame
+    // is the CUSUM pair's shared persisted intermediate, so the corpus
+    // is scanned once across the three queries.
+    GraftQuery("events_forecast_naive",
+      """WITH e AS (SELECT event_type,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |        CAST(floor(value * 1000000) AS BIGINT) AS vu FROM events),
+        |d AS (SELECT event_type, day, CAST(sum(vu) AS BIGINT) AS x
+        |      FROM e GROUP BY event_type, day),
+        |j AS (SELECT a.event_type, a.x, b.x AS fcst
+        |      FROM d a JOIN d b ON b.event_type = a.event_type AND b.day = a.day - 7)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+        |       CAST(sum(abs(x - fcst)) AS BIGINT) AS sae_micro,
+        |       CAST(sum(abs(x - fcst)) // count(*) AS BIGINT) AS mae_micro
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, sfDir) =>
+      val d = dailyValueTotals(spark, sfDir)
+      val b = d.select(col("event_type"), (col("day") + 7).as("day"), col("x").as("fcst"))
+      d.join(b, Seq("event_type", "day"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_eval"),
+          sum(abs(col("x") - col("fcst"))).as("sae_micro"))
+        .select(col("event_type"), col("n_eval"), col("sae_micro"),
+          expr("sae_micro DIV n_eval").as("mae_micro"))
+        .orderBy("event_type")
+    },
+
     // STREAMING CUSUM, registered and oracled: the closed-day rows the
     // incremental flatMapGroupsWithState fold emits (StreamOps.cusumDaily,
     // four longs of state per type, pre-calibrated ref stream-static

@@ -10,6 +10,16 @@ import graft.fixtures.RefFixtures._
   * pivot, null-safe equality, array-function suite. */
 object ExtraAggOps {
 
+  /** the exact SQL-NTILE(5) bucket from a 1-based global rank column and
+    * the `nn.n` population CTE, as engine-identical integer arithmetic:
+    * with q = n/5 and r = n%5, the first r buckets hold q+1 rows. Must
+    * initialize before `queries` (init-order interpolation). */
+  private def tileSql(rn: String): String =
+    s"""CASE WHEN $rn <= (nn.n % 5) * (nn.n // 5 + 1)
+       |     THEN ($rn + nn.n // 5) // (nn.n // 5 + 1)
+       |     ELSE (nn.n % 5) + ($rn - (nn.n % 5) * (nn.n // 5 + 1) + nn.n // 5 - 1)
+       |          // (nn.n // 5) END""".stripMargin.replace("\n", " ")
+
   val queries: Seq[GraftQuery] = Seq(
 
     // explicit GROUPING SETS (beyond rollup/cube)
@@ -357,6 +367,66 @@ object ExtraAggOps {
         .groupBy("event_type", "bucket")
         .agg(count(lit(1)).as("n"), min("v").as("lo_cents"), max("v").as("hi_cents"))
         .orderBy("event_type", "bucket")
+    },
+
+    // RFM customer segmentation (recency / frequency / monetary
+    // quintiles) — the classic lifecycle-marketing rollup, built on
+    // GLOBAL quintiles without a single-partition window: each metric's
+    // global rank is the TwoPhaseRank distributed prefix rank, and the
+    // NTILE(5) bucket is then PURE ARITHMETIC on (rank, n) — the exact
+    // SQL-NTILE split (first n%5 buckets get one extra row) — so both
+    // engines compute identical buckets from identical integer ranks
+    // (DuckDB replays the same formula from row_number, NOT its native
+    // ntile, keeping the math engine-identical). Quintile 1 = best
+    // (most recent / most orders / highest spend). Requires ≥5
+    // customers (q ≥ 1); all driver sfs hold thousands.
+    GraftQuery("orders_rfm",
+      s"""WITH o AS (SELECT o_custkey,
+         |        epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+         |        CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+         |ref AS (SELECT max(day) AS rd FROM o),
+         |c AS (SELECT o_custkey,
+         |        CAST((SELECT rd FROM ref) - max(day) AS BIGINT) AS r_days,
+         |        CAST(count(*) AS BIGINT) AS f,
+         |        CAST(sum(cents) AS BIGINT) AS m_cents
+         |      FROM o GROUP BY o_custkey),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+         |r AS (SELECT c.*,
+         |        row_number() OVER (ORDER BY r_days ASC, o_custkey) AS rn_r,
+         |        row_number() OVER (ORDER BY f DESC, o_custkey) AS rn_f,
+         |        row_number() OVER (ORDER BY m_cents DESC, o_custkey) AS rn_m
+         |      FROM c)
+         |SELECT o_custkey, r_days, f, m_cents,
+         |       ${tileSql("rn_r")} AS r_q, ${tileSql("rn_f")} AS f_q,
+         |       ${tileSql("rn_m")} AS m_q,
+         |       ${tileSql("rn_r")} * 100 + ${tileSql("rn_f")} * 10
+         |         + ${tileSql("rn_m")} AS rfm_code
+         |FROM r, nn ORDER BY o_custkey""".stripMargin) { (spark, sfDir) =>
+      val dayE = "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000"
+      val o = orders(spark, sfDir)
+      val refDay = o.agg(max(expr(dayE))).first().getLong(0)
+      val c = o.groupBy("o_custkey").agg(
+        (lit(refDay) - max(expr(dayE))).as("r_days"),
+        count(lit(1)).as("f"),
+        sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("m_cents"))
+      val n = c.count()
+      require(n >= 5, s"RFM quintiles need >= 5 customers, got $n")
+      def tile(rn: String): org.apache.spark.sql.Column = {
+        val q = n / 5; val r = n % 5
+        expr(s"CASE WHEN $rn <= ${r * (q + 1)} THEN ($rn + $q) DIV ${q + 1} " +
+          s"ELSE $r + ($rn - ${r * (q + 1)} + ${q - 1}) DIV $q END")
+      }
+      val ranked = Seq(
+        ("rn_r", Seq(col("r_days").asc, col("o_custkey").asc)),
+        ("rn_f", Seq(col("f").desc, col("o_custkey").asc)),
+        ("rn_m", Seq(col("m_cents").desc, col("o_custkey").asc)))
+        .foldLeft(c) { case (df, (name, keys)) =>
+          TwoPhaseRank.rowNumber(df, name, -1, keys: _*)
+        }
+      ranked.select(col("o_custkey"), col("r_days"), col("f"), col("m_cents"),
+          tile("rn_r").as("r_q"), tile("rn_f").as("f_q"), tile("rn_m").as("m_q"),
+          (tile("rn_r") * 100 + tile("rn_f") * 10 + tile("rn_m")).as("rfm_code"))
+        .orderBy("o_custkey")
     },
 
     // join-key skew profiler — the 100 TB pre-flight diagnostic: per-key

@@ -56,6 +56,24 @@ class OperatorInvariantSpec extends AnyFunSuite with CacheDrained {
     }
   }
 
+  test("orders_rfm quintiles are balanced and the code composes the three digits") {
+    val spark = TestSpark.spark
+    val rows = SparkEntry.queries("orders_rfm")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    val n = rows.length
+    assert(n >= 5)
+    Seq[(String, ((Long, Long, Long, Long)) => Long)](
+      ("r_q", _._1), ("f_q", _._2), ("m_q", _._3)).foreach { case (name, get) =>
+      val sizes = rows.groupBy(get).view.mapValues(_.length).toMap
+      assert(sizes.keySet == (1L to 5L).toSet, s"$name buckets: ${sizes.keySet}")
+      // SQL NTILE: bucket sizes differ by at most one
+      assert(sizes.values.max - sizes.values.min <= 1, s"$name unbalanced: $sizes")
+    }
+    rows.foreach { case (r, f, m, code) =>
+      assert(code == r * 100 + f * 10 + m, s"code $code != digits $r$f$m")
+    }
+  }
+
   test("text_search_and returns exactly the docs containing every query term") {
     val spark = TestSpark.spark
     val docs = Tables.documents(spark, TestSpark.Sf)
