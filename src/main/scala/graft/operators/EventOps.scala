@@ -50,7 +50,7 @@ object EventOps {
 
   /** per-(type, day) exact micro-unit value totals — bounded (types × days
     * rows) and consumed twice by the CUSUM pair, so persisted once */
-  private def dailyValueTotals(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def dailyValueTotals(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): org.apache.spark.sql.DataFrame = {
     val d = Tables.events(spark, sfDir)
       .select(col("event_type"),

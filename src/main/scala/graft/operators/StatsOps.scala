@@ -221,6 +221,60 @@ object StatsOps {
         .limit(20)
     },
 
+    // Integer-exact OLS trend per event-type daily series — the trend
+    // line the monitoring tier fits beside CUSUM (is the drift real and
+    // in which direction?) and the seasonal-naive error (is a trend even
+    // there to beat?). x = day − min(day) per type (centering keeps
+    // n·Σxy − Σx·Σy within int64 at any calendar epoch: with micro-unit
+    // daily totals y ≤ ~1e12 and 30-day windows the numerator stays
+    // ≤ ~1e15), y = the shared persisted daily micro-unit totals. The
+    // closed-form slope num/den divides IDENTICALLY in both engines:
+    // DuckDB's // and Spark's DIV both truncate toward zero on negatives
+    // (probed: -7 // 2 = -3 in DuckDB), so plain DIV is the
+    // parity-correct form here — unlike the timestamp loaders, which
+    // need FLOOR division and build it from pmod. `rising` tests the
+    // exact rational sign (num), not the truncated slope.
+    GraftQuery("stats_trend_ols",
+      """WITH e AS (SELECT event_type,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |        CAST(floor(value * 1000000) AS BIGINT) AS vu FROM events),
+        |d AS (SELECT event_type, day, CAST(sum(vu) AS BIGINT) AS y
+        |      FROM e GROUP BY event_type, day),
+        |mi AS (SELECT event_type, min(day) AS d0 FROM d GROUP BY event_type),
+        |s AS (SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(d.day - mi.d0) AS BIGINT) AS sx,
+        |        CAST(sum((d.day - mi.d0) * (d.day - mi.d0)) AS BIGINT) AS sxx,
+        |        CAST(sum(d.y) AS BIGINT) AS sy,
+        |        CAST(sum((d.day - mi.d0) * d.y) AS BIGINT) AS sxy
+        |      FROM d JOIN mi USING (event_type) GROUP BY d.event_type),
+        |t AS (SELECT event_type, n, sy,
+        |        n * sxy - sx * sy AS num, n * sxx - sx * sx AS den, sx FROM s)
+        |SELECT event_type, n AS n_days, sy AS sum_micro,
+        |       CAST(num // den AS BIGINT) AS slope_micro,
+        |       CAST((sy - (num // den) * sx) // n AS BIGINT) AS intercept_micro,
+        |       num > 0 AS rising
+        |FROM t ORDER BY event_type""".stripMargin) { (spark, sfDir) =>
+      val d = EventOps.dailyValueTotals(spark, sfDir)
+        .withColumnRenamed("x", "y")
+      val mi = d.groupBy("event_type").agg(min("day").as("d0"))
+      val s = d.join(broadcast(mi), Seq("event_type"))
+        .select(col("event_type"), (col("day") - col("d0")).as("cx"), col("y"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cx").as("sx"),
+          sum(col("cx") * col("cx")).as("sxx"), sum("y").as("sy"),
+          sum(col("cx") * col("y")).as("sxy"))
+      s.select(col("event_type"), col("n"), col("sy"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("den"), col("sx"))
+        .select(col("event_type"), col("n").as("n_days"), col("sy").as("sum_micro"),
+          expr("num DIV den").as("slope_micro"),
+          col("num"), col("sx"), col("sy"), col("n"))
+        .select(col("event_type"), col("n_days"), col("sum_micro"), col("slope_micro"),
+          expr("(sy - slope_micro * sx) DIV n").as("intercept_micro"),
+          (col("num") > 0).as("rising"))
+        .orderBy("event_type")
+    },
+
     // robust outlier screen per event type: exact median and MAD (median
     // absolute deviation) on integer cents, outliers = |x − med| > 3·MAD.
     // Doubled/quadrupled units keep every comparison integer-exact — the

@@ -97,6 +97,33 @@ class StatsSpec extends AnyFunSuite with CacheDrained {
     }
   }
 
+  test("stats_trend_ols equals the closed-form integer replay per type") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, TestSpark.Sf)
+      .select(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("day"),
+        expr("CAST(floor(value * 1000000) AS BIGINT)").as("vu"))
+      .groupBy("event_type", "day").agg(sum("vu").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = SparkEntry.queries("stats_trend_ols")(spark, TestSpark.Sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(got.nonEmpty)
+    daily.groupBy(_._1).foreach { case (tpe, rows) =>
+      val d0 = rows.map(_._2).min
+      val xs = rows.map(_._2 - d0); val ys = rows.map(_._3)
+      val n = rows.length.toLong
+      val (sx, sxx, sy, sxy) =
+        (xs.sum, xs.map(x => x * x).sum, ys.sum, xs.zip(ys).map { case (x, y) => x * y }.sum)
+      val num = n * sxy - sx * sy; val den = n * sxx - sx * sx
+      val slope = num / den // Scala Long / truncates toward zero = both engines
+      val icept = (sy - slope * sx) / n
+      assert(got(tpe) == ((n, sy, slope, icept, num > 0)),
+        s"$tpe: ${got(tpe)} != ${(n, sy, slope, icept, num > 0)}")
+    }
+  }
+
   test("events_mad_outliers: median/MAD recompute exactly; fence is one-sided robust") {
     val spark = TestSpark.spark
     val rows = SparkEntry.queries("events_mad_outliers")(spark, TestSpark.Sf)
