@@ -275,6 +275,58 @@ object StatsOps {
         .orderBy("event_type")
     },
 
+    // Cross-series co-movement: Pearson r between every PAIR of
+    // event-type daily-total series (the lag-1 self-correlation lives in
+    // events_autocorr) — the screen that decides whether two metrics
+    // alarm together or independently. Daily totals in exact integer
+    // CENTS (micro-units would push Σxy past int64: with ~5e5-cent days
+    // and 30-day windows Σxy ≈ 7.5e12; the bound is per-day totals ≤
+    // ~5.5e8 cents at this window length — document-and-rescale beyond).
+    // The pair join is on the bounded daily frame (types × days rows),
+    // never the corpus; moments are order-free integer sums, so the one
+    // rounded float division computes from identical inputs in both
+    // engines.
+    GraftQuery("stats_corr_pairs",
+      """WITH e AS (SELECT event_type,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |        CAST(floor(value * 100) AS BIGINT) AS vc FROM events),
+        |d AS (SELECT event_type, day, CAST(sum(vc) AS BIGINT) AS y
+        |      FROM e GROUP BY event_type, day),
+        |p AS (SELECT a.event_type AS ta, b.event_type AS tb, a.y AS x, b.y AS y
+        |      FROM d a JOIN d b ON b.day = a.day AND a.event_type < b.event_type),
+        |m AS (SELECT ta, tb, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x * x) AS BIGINT) AS sxx,
+        |        CAST(sum(y * y) AS BIGINT) AS syy,
+        |        CAST(sum(x * y) AS BIGINT) AS sxy
+        |      FROM p GROUP BY ta, tb)
+        |SELECT ta, tb, n AS n_days,
+        |  round((n * sxy - sx * sy) /
+        |        (sqrt((n * sxx - sx * sx) * 1.0)
+        |         * sqrt((n * syy - sy * sy) * 1.0)), 6) AS r6
+        |FROM m ORDER BY ta, tb""".stripMargin) { (spark, sfDir) =>
+      val d = Tables.events(spark, sfDir)
+        .select(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("day"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+        .groupBy("event_type", "day").agg(sum("vc").as("y"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(d)
+      val a = d.select(col("event_type").as("ta"), col("day"), col("y").as("x"))
+      val b = d.select(col("event_type").as("tb"), col("day"), col("y").as("y"))
+      a.join(b, Seq("day")).filter(col("ta") < col("tb"))
+        .groupBy("ta", "tb")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("ta"), col("tb"), col("n").as("n_days"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")) * lit(1.0))
+              * sqrt((col("n") * col("syy") - col("sy") * col("sy")) * lit(1.0))), 6)
+            .as("r6"))
+        .orderBy("ta", "tb")
+    },
+
     // robust outlier screen per event type: exact median and MAD (median
     // absolute deviation) on integer cents, outliers = |x − med| > 3·MAD.
     // Doubled/quadrupled units keep every comparison integer-exact — the

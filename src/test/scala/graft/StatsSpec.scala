@@ -124,6 +124,19 @@ class StatsSpec extends AnyFunSuite with CacheDrained {
     }
   }
 
+  test("stats_corr_pairs: r in [-1,1], symmetric pair set, self-pairs absent") {
+    val spark = TestSpark.spark
+    val rows = SparkEntry.queries("stats_corr_pairs")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val types = rows.flatMap(r => Seq(r._1, r._2)).distinct.length
+    assert(rows.length == types * (types - 1) / 2, "not one row per unordered pair")
+    rows.foreach { case (ta, tb, n, r6) =>
+      assert(ta < tb, s"pair not canonical: $ta $tb")
+      assert(n >= 2 && r6 >= -1.0 - 1e-9 && r6 <= 1.0 + 1e-9, s"($ta,$tb): r=$r6 n=$n")
+    }
+  }
+
   test("events_mad_outliers: median/MAD recompute exactly; fence is one-sided robust") {
     val spark = TestSpark.spark
     val rows = SparkEntry.queries("events_mad_outliers")(spark, TestSpark.Sf)
