@@ -409,6 +409,10 @@ object ExtraAggOps {
         (lit(refDay) - max(expr(dayE))).as("r_days"),
         count(lit(1)).as("f"),
         sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("m_cents"))
+        // consumed by the population count AND the three rank chains —
+        // persist so the orders aggregation runs once
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(c)
       val n = c.count()
       require(n >= 5, s"RFM quintiles need >= 5 customers, got $n")
       def tile(rn: String): org.apache.spark.sql.Column = {
