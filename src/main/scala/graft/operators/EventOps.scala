@@ -547,6 +547,44 @@ object EventOps {
         .groupBy("path").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("path"))
         .limit(20)
+    },
+
+    // Last-touch attribution: each purchase credits the most recent
+    // PRECEDING non-purchase event by the same user ('direct' when the
+    // purchase is the user's first recorded act) — the credit-assignment
+    // rollup a funnel-analytics pipeline runs after sessionization. One
+    // IGNORE-NULLS last_value over the per-user timeline (the
+    // events_transitions frame: partitioned by user, deterministic
+    // (us, type, id) order, strict 1-PRECEDING upper bound so a purchase
+    // never credits itself) + one bounded hash agg. Revenue is exact
+    // integer cents (the MAD/value convention).
+    GraftQuery("events_attribution",
+      """WITH eb AS (SELECT event_id, user_id, event_type, value,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |l AS (SELECT user_id, event_type, value,
+        |        last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |                   IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY us, event_type, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |      FROM eb)
+        |SELECT coalesce(touch, 'direct') AS touch,
+        |       CAST(count(*) AS BIGINT) AS n_purchases,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM l WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, sfDir) =>
+      val w = Window.partitionBy("user_id").orderBy("us", "event_type", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+        .withColumn("touch",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("direct")).as("touch"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(floor(col("value") * 100).cast("long")).as("cents"))
+        .orderBy("touch")
     }
   )
 }

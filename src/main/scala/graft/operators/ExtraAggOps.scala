@@ -500,6 +500,37 @@ object ExtraAggOps {
           "'l_suppkey', ndv_sk, CAST(mn_sk AS STRING), CAST(mx_sk AS STRING)) " +
           "AS (col, ndv, min_v, max_v)", "n AS n_rows")
         .orderBy("col")
+    },
+
+    // Equi-DEPTH histogram (complement of events_value_histogram's
+    // equi-width bins): 16 buckets each holding n/16 ± 1 rows of
+    // l_extendedprice — the exact-quantile boundary computation an
+    // optimizer's statistics collector (or a normalization stage) runs.
+    // Global order comes from TwoPhaseRank's distributed prefix rank
+    // (range partition + broadcast per-partition counts; ties broken by
+    // the (orderkey, linenumber) primary key so bucket edges are
+    // deterministic), bucket id is pure arithmetic on the rank, and the
+    // per-bucket rollup is one hash agg — no single-partition window at
+    // any point. The oracle replays the identical rank→bucket formula.
+    GraftQuery("agg_equidepth_hist",
+      """WITH v AS (SELECT l_extendedprice AS x, l_orderkey, l_linenumber FROM lineitem),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x, l_orderkey, l_linenumber) AS rn
+        |      FROM v),
+        |n AS (SELECT count(*) AS n FROM v)
+        |SELECT CAST(((rn - 1) * 16) // n.n AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       min(x) AS lo, max(x) AS hi,
+        |       CAST(sum(CAST(floor(x * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM r CROSS JOIN n GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, sfDir) =>
+      val v = lineitem(spark, sfDir)
+        .select(col("l_extendedprice").as("x"), col("l_orderkey"), col("l_linenumber"))
+      val n = v.count()
+      TwoPhaseRank.rowNumber(v, "rn", -1, col("x"), col("l_orderkey"), col("l_linenumber"))
+        .withColumn("bucket", expr(s"((rn - 1) * 16) DIV $n"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"), min("x").as("lo"), max("x").as("hi"),
+          sum(floor(col("x") * 100).cast("long")).as("cents"))
+        .orderBy("bucket")
     }
   )
 }

@@ -279,6 +279,35 @@ object GraphOps {
     out
   }
 
+  /** Link prediction (Adamic & Adar 2003) over an undirected (u, v) pair
+    * list: for every non-adjacent pair sharing ≥ 1 neighbor, the
+    * common-neighbor count and an integer-exact log2-scaled Adamic–Adar
+    * score — shared neighbor w contributes ⌊scale / bits(deg(w))⌋, where
+    * bits(d) = ⌊log2 d⌋ + 1 stands in for ln d so both engines stay in
+    * exact BIGINT arithmetic. Plan: one degree agg, degree joined back
+    * into the edge list once, one self-join on the hinge node (wedge
+    * enumeration — the triangles shape), one hash agg per candidate
+    * pair, one anti-join against the existing edges — all equi-joins.
+    * Wedge fan-out is Σ_w deg(w)², so callers bound hub degrees by
+    * weight-thresholding the edge list first (hubs both explode the
+    * candidate set and score lowest under 1/log — the cap is standard
+    * practice, not a shortcut). */
+  def linkPredict(ue: DataFrame, scale: Long = 1000000L): DataFrame = {
+    val e = ue.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(ue.select(col("v").as("a"), col("u").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy("a").agg(count(lit(1)).as("d"))
+    // the hinge-side contribution rides each directed edge exactly once
+    val ed = e.join(deg, "a")
+      .select(col("a"), col("b"), expr(s"$scale DIV length(bin(d))").as("c"))
+    val cand = ed.as("e1")
+      .join(e.as("e2"), col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+      .groupBy(col("e1.b").as("x"), col("e2.b").as("y"))
+      .agg(count(lit(1)).as("cn"), sum(col("e1.c")).as("aa_ppm"))
+    graft.CacheTracker.track(e)
+    cand.join(ue, cand("x") === ue("u") && cand("y") === ue("v"), "left_anti")
+  }
+
   def triangles(ue: DataFrame): DataFrame = {
     val oriented = orientByDegree(ue)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

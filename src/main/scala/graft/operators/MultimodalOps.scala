@@ -44,6 +44,48 @@ object MultimodalOps {
   final case class AudioWin(doc_id: Long, win: Long, n_samples: Long,
       energy: Long, max_abs: Long, zero_cross: Long)
 
+  /** pairs farther than this hamming distance are not near-dups */
+  private val PhashMaxDist = 3
+
+  /** the closed-form phash oracle chain, shared by multimodal_phash and
+    * multimodal_phash_pairs: hh(doc_id, h_hi, h_lo) + t(doc_id, total).
+    * Must replay MediaSynth's pixel function and BmpCodec.resample's
+    * source mapping exactly (see multimodal_phash). */
+  private val PhashCte =
+    """m AS (SELECT doc_id, CAST(1 + doc_id % 16 AS BIGINT) AS w,
+      |                  CAST(1 + (doc_id * 3) % 16 AS BIGINT) AS h
+      |           FROM documents WHERE doc_id % 3 = 0),
+      |g AS (SELECT doc_id, w, h, unnest(generate_series(0, 63)) AS i FROM m),
+      |c AS (SELECT doc_id, i, ((i % 8) * w) // 8 AS sx, ((i // 8) * h) // 8 AS sy FROM g),
+      |l AS (SELECT doc_id, i,
+      |        2 * ((doc_id * 31 + sx * 7 + sy * 13) % 256)
+      |      + 5 * ((doc_id * 17 + sx * 11 + sy * 5) % 256)
+      |      +     ((doc_id * 29 + sx * 3 + sy * 19) % 256) AS lum FROM c),
+      |t AS MATERIALIZED (SELECT doc_id, CAST(sum(lum) AS BIGINT) AS total
+      |      FROM l GROUP BY doc_id),
+      |b AS (SELECT l.doc_id, l.i,
+      |        CASE WHEN l.lum * 64 > t.total THEN CAST(1 AS BIGINT) ELSE 0 END AS bit
+      |      FROM l JOIN t ON t.doc_id = l.doc_id),
+      |hh AS MATERIALIZED (SELECT b.doc_id,
+      |       CAST(sum(CASE WHEN i >= 32 THEN bit << (i - 32) ELSE 0 END) AS BIGINT) AS h_hi,
+      |       CAST(sum(CASE WHEN i < 32 THEN bit << i ELSE 0 END) AS BIGINT) AS h_lo
+      |      FROM b GROUP BY b.doc_id)""".stripMargin
+
+  /** decode → resample → average-hash, one codec pass per asset */
+  private def phashDf(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val (hi, lo, total) =
+          graft.multimodal.MediaPipeline.aHash(BmpCodec.decode(MediaSynth.bmpFor(d)))
+        PhashFeat(d, hi, lo, total)
+      })
+      .toDF()
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery("multimodal_meta",
@@ -272,35 +314,48 @@ object MultimodalOps {
     // the bucketing key a perceptual image-dedup pipeline bands on —
     // same shape as dedup_simhash's pigeonhole join.
     GraftQuery("multimodal_phash",
-      """WITH m AS (SELECT doc_id, CAST(1 + doc_id % 16 AS BIGINT) AS w,
-        |                  CAST(1 + (doc_id * 3) % 16 AS BIGINT) AS h
-        |           FROM documents WHERE doc_id % 3 = 0),
-        |g AS (SELECT doc_id, w, h, unnest(generate_series(0, 63)) AS i FROM m),
-        |c AS (SELECT doc_id, i, ((i % 8) * w) // 8 AS sx, ((i // 8) * h) // 8 AS sy FROM g),
-        |l AS (SELECT doc_id, i,
-        |        2 * ((doc_id * 31 + sx * 7 + sy * 13) % 256)
-        |      + 5 * ((doc_id * 17 + sx * 11 + sy * 5) % 256)
-        |      +     ((doc_id * 29 + sx * 3 + sy * 19) % 256) AS lum FROM c),
-        |t AS (SELECT doc_id, CAST(sum(lum) AS BIGINT) AS total FROM l GROUP BY doc_id),
-        |b AS (SELECT l.doc_id, l.i,
-        |        CASE WHEN l.lum * 64 > t.total THEN CAST(1 AS BIGINT) ELSE 0 END AS bit
-        |      FROM l JOIN t ON t.doc_id = l.doc_id)
-        |SELECT b.doc_id,
-        |       CAST(sum(CASE WHEN i >= 32 THEN bit << (i - 32) ELSE 0 END) AS BIGINT) AS h_hi,
-        |       CAST(sum(CASE WHEN i < 32 THEN bit << i ELSE 0 END) AS BIGINT) AS h_lo,
-        |       min(t.total) AS lum_total
-        |FROM b JOIN t ON t.doc_id = b.doc_id
-        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin) { (spark, sfDir) =>
-      import spark.implicits._
-      Tables.documents(spark, sfDir)
-        .filter(col("doc_id") % 3 === 0)
-        .select(col("doc_id")).as[Long]
-        .mapPartitions(_.map { d =>
-          val (hi, lo, total) =
-            graft.multimodal.MediaPipeline.aHash(BmpCodec.decode(MediaSynth.bmpFor(d)))
-          PhashFeat(d, hi, lo, total)
-        })
-        .toDF().orderBy("doc_id")
+      s"""WITH $PhashCte
+        |SELECT hh.doc_id, hh.h_hi, hh.h_lo, t.total AS lum_total
+        |FROM hh JOIN t ON t.doc_id = hh.doc_id
+        |ORDER BY hh.doc_id""".stripMargin) { (spark, sfDir) =>
+      phashDf(spark, sfDir).orderBy("doc_id")
+    },
+
+    // Perceptual image near-dup pairs: the phash consumed as a bucketing
+    // key. Hamming distance ≤ PhashMaxDist over the 64-bit average-hash
+    // via the pigeonhole band join (4 disjoint 16-bit bands: > 3 differing
+    // bits cannot avoid all four, so band equality is a COMPLETE candidate
+    // filter, not a heuristic) — the image twin of dedup_simhash_pairs.
+    // The oracle replays the closed-form hashes with the naive all-pairs
+    // comparison, so hash equality proves the banded plan finds exactly
+    // the true pair set. At 100 TB the decode+hash stage is per-row
+    // mapPartitions work and the join touches only band-colliding rows.
+    GraftQuery("multimodal_phash_pairs",
+      s"""WITH $PhashCte,
+        |d AS (SELECT a.doc_id AS a, b.doc_id AS b,
+        |        CAST(bit_count(xor(a.h_hi, b.h_hi))
+        |           + bit_count(xor(a.h_lo, b.h_lo)) AS BIGINT) AS dist
+        |      FROM hh a JOIN hh b ON a.doc_id < b.doc_id)
+        |SELECT a, b, dist FROM d WHERE dist <= $PhashMaxDist
+        |ORDER BY a, b""".stripMargin) { (spark, sfDir) =>
+      val ph = phashDf(spark, sfDir).select("doc_id", "h_hi", "h_lo")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(ph)
+      val bands = ph.select(col("doc_id"), col("h_hi"), col("h_lo"),
+          explode(sequence(lit(0), lit(3))).as("k"))
+        .withColumn("bandval", expr(
+          "CASE WHEN k < 2 THEN (h_lo DIV shiftleft(CAST(1 AS BIGINT), k * 16)) % 65536 " +
+            "ELSE (h_hi DIV shiftleft(CAST(1 AS BIGINT), (k - 2) * 16)) % 65536 END"))
+      bands.alias("x").join(bands.alias("y"), Seq("k", "bandval"))
+        .select(col("x.doc_id").as("a"), col("x.h_hi").as("ahi"), col("x.h_lo").as("alo"),
+          col("y.doc_id").as("b"), col("y.h_hi").as("bhi"), col("y.h_lo").as("blo"))
+        .filter(col("a") < col("b"))
+        .distinct()
+        .select(col("a"), col("b"),
+          (bit_count(col("ahi").bitwiseXOR(col("bhi"))) +
+            bit_count(col("alo").bitwiseXOR(col("blo")))).cast("long").as("dist"))
+        .filter(col("dist") <= PhashMaxDist)
+        .orderBy("a", "b")
     },
 
     // Windowed audio analysis over REAL decoded PCM — the audio analogue

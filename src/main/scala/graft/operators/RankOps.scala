@@ -34,6 +34,11 @@ object RankOps {
   private val KCoreMinW = 2
   private val KCoreRounds = 14
 
+  // link prediction runs on the same weight-thresholded graph as k-core
+  // (hub wedge fan-out is quadratic in degree; 1/log scoring makes hub
+  // contributions negligible anyway) and keeps the top candidates only
+  private val LinkTop = 100
+
   /** the unrolled peel rounds: d{i}/v{i} CTE pairs over `e` and v{i-1}.
     * v{i} MUST be MATERIALIZED (DuckDB-only syntax — oracle never runs in
     * Spark): each round references its predecessor twice, so un-pinned
@@ -271,6 +276,43 @@ object RankOps {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.CacheTracker.track(ue)
       GraphOps.kCore(ue, KCoreK, KCoreRounds).orderBy("node")
+    },
+
+    // Link prediction over the weighted co-purchase graph: rank
+    // NON-adjacent part pairs by how strongly their shared neighborhoods
+    // predict a future edge — the "customers also bought" candidate
+    // generator a recommender derives from co-occurrence before any
+    // model training. Common-neighbor count plus the integer-exact
+    // log2-scaled Adamic–Adar score (GraphOps.linkPredict); the oracle
+    // replays the identical wedge→agg→anti-join dataflow, so the hash
+    // pins both the candidate set and the exact scores. Top-LinkTop by
+    // (score, pair) keeps the output bounded no matter the corpus size.
+    GraftQuery("graph_link_predict",
+      s"""WITH ue AS MATERIALIZED (SELECT l1.l_partkey AS u, l2.l_partkey AS v
+         |            FROM lineitem l1 JOIN lineitem l2
+         |              ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+         |            GROUP BY 1, 2 HAVING count(*) >= $KCoreMinW),
+         |e AS MATERIALIZED (SELECT u AS a, v AS b FROM ue UNION ALL SELECT v, u FROM ue),
+         |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY a),
+         |ed AS (SELECT e.a, e.b, 1000000 // length(bin(deg.d)) AS c
+         |       FROM e JOIN deg ON deg.a = e.a),
+         |cand AS (SELECT e1.b AS x, e2.b AS y, CAST(count(*) AS BIGINT) AS cn,
+         |                CAST(sum(e1.c) AS BIGINT) AS aa_ppm
+         |         FROM ed e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+         |         GROUP BY 1, 2)
+         |SELECT x, y, cn, aa_ppm FROM cand c
+         |WHERE NOT EXISTS (SELECT 1 FROM ue WHERE ue.u = c.x AND ue.v = c.y)
+         |ORDER BY aa_ppm DESC, x, y LIMIT $LinkTop""".stripMargin) { (spark, sfDir) =>
+      val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
+      val ue = li.as("l1").join(li.as("l2"),
+          col("l1.l_orderkey") === col("l2.l_orderkey") &&
+            col("l1.l_partkey") < col("l2.l_partkey"))
+        .groupBy(col("l1.l_partkey").as("u"), col("l2.l_partkey").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= KCoreMinW)
+        .select("u", "v")
+      GraphOps.linkPredict(ue)
+        .orderBy(col("aa_ppm").desc, col("x"), col("y")).limit(LinkTop)
     })
 
   /** LPA rounds as chained CTEs: gather per-(node, label) neighbor counts,

@@ -368,6 +368,41 @@ object StatsOps {
           sum(when(lit(2) * col("dev2") > lit(3) * col("mad_x4"), 1L).otherwise(0L))
             .as("n_outliers"))
         .orderBy("event_type")
+    },
+
+    // 2-D skyline (Pareto frontier — Börzsönyi et al., ICDE 2001): the
+    // parts no other part beats on BOTH price (lower-better) and size
+    // (higher-better) — the dominance filter a catalog/candidate-pruning
+    // pipeline runs before scoring. In 2-D the skyline reduces to a
+    // running max: p is dominated iff the best size among strictly
+    // cheaper parts already ≥ p's, or an equal-price part is strictly
+    // bigger — both terms read off ONE per-price aggregate (hash agg,
+    // output = distinct prices) plus a two-phase prefix max
+    // (TwoPhaseRank.prefixMaxDistinct: range partition + broadcast
+    // per-partition maxima; only one long per partition reaches the
+    // driver). No self-join, no quadratic dominance test, no global
+    // single-partition window. The oracle states the same running-max
+    // identity with one ROWS-frame window.
+    GraftQuery("mine_skyline",
+      """WITH dp AS (SELECT p_retailprice AS price, CAST(max(p_size) AS BIGINT) AS msize
+        |            FROM part GROUP BY 1),
+        |sp AS (SELECT price, msize,
+        |         max(msize) OVER (ORDER BY price
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS smax
+        |       FROM dp)
+        |SELECT p.p_partkey, p.p_retailprice, CAST(p.p_size AS BIGINT) AS p_size
+        |FROM part p JOIN sp ON sp.price = p.p_retailprice
+        |WHERE NOT (coalesce(sp.smax >= p.p_size, false) OR sp.msize > p.p_size)
+        |ORDER BY p.p_partkey""".stripMargin) { (spark, sfDir) =>
+      val p = Tables.part(spark, sfDir)
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size").cast("long").as("p_size"))
+      val dp = p.groupBy(col("p_retailprice").as("price")).agg(max("p_size").as("msize"))
+      val sp = TwoPhaseRank.prefixMaxDistinct(dp, "smax", col("price"), col("msize"))
+      p.join(sp, p("p_retailprice") === sp("price"))
+        .filter(!(coalesce(col("smax") >= col("p_size"), lit(false)) ||
+          col("msize") > col("p_size")))
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .orderBy("p_partkey")
     }
   )
 }

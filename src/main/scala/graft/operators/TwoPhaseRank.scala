@@ -45,4 +45,41 @@ object TwoPhaseRank {
       .withColumn(idxCol, col("__local") + col("__off"))
       .drop("__pid", "__local", "__off")
   }
+
+  /** append column `outCol` = max of `valueCol` over all rows STRICTLY
+    * before this one in `orderCol` (null when no such row) — the running
+    * max a 2-D skyline needs, in the same two-phase shape as [[rowNumber]]:
+    * range-partition on the order key, ROWS-frame window per partition,
+    * broadcast per-partition maxima for the cross-partition prefix. Only
+    * one max per partition reaches the driver. REQUIRES `orderCol` values
+    * to be unique (range partitioning then guarantees earlier partitions
+    * hold strictly smaller keys, and the per-partition 1-PRECEDING ROWS
+    * frame is exactly the strict prefix) — dedupe first if not. */
+  def prefixMaxDistinct(df: DataFrame, outCol: String, orderCol: Column,
+      valueCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val input = df.persist()
+    val ranged = input.repartitionByRange(nParts, orderCol)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val pmax = ranged.groupBy("__pid").agg(max(valueCol).as("m"))
+      .orderBy("__pid").as[(Int, Long)].collect()
+    input.unpersist(blocking = false)
+    graft.CacheTracker.track(ranged)
+    // prefix[pid] = max over all partitions BEFORE pid (null for the first)
+    val prefix = pmax.scanLeft((0, Option.empty[Long])) {
+      case ((_, acc), (pid, m)) => (pid, Some(acc.fold(m)(math.max(_, m))))
+    }
+    val offDf = pmax.map(_._1).zip(prefix.map(_._2))
+      .map { case (pid, m) => (pid, m) }.toSeq.toDF("__pid", "__pref")
+    val w = Window.partitionBy("__pid").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .withColumn("__local", max(valueCol).over(w))
+      .join(broadcast(offDf), Seq("__pid"))
+      .withColumn(outCol, greatest(col("__local"), col("__pref")))
+      .drop("__pid", "__local", "__pref")
+  }
 }

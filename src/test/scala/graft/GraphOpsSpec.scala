@@ -25,6 +25,20 @@ class GraphOpsSpec extends AnyFunSuite with CacheDrained {
     assert(got.size == 19)
   }
 
+  test("linkPredict: scores non-adjacent pairs by shared-neighbor 1/log2 mass") {
+    // square 1-2-3-4-1 plus a pendant 5 on node 1: degrees 3,2,2,2,1 →
+    // per-hinge contributions 500000 (bits 2) and 1000000 (bits 1)
+    val ue = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 5L)).toDF("u", "v")
+    val got = GraphOps.linkPredict(ue)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (x, y, cn, aa) => (x, y) -> ((cn, aa)) }.toMap
+    assert(got == Map(
+      (1L, 3L) -> ((2L, 1000000L)), // via 2 and 4, both degree 2
+      (2L, 4L) -> ((2L, 1000000L)), // via 1 (deg 3) and 3 (deg 2)... both bits=2
+      (2L, 5L) -> ((1L, 500000L)),  // via the hub 1 only
+      (4L, 5L) -> ((1L, 500000L))), s"got $got")
+  }
+
   test("kCore: clique survives, tail peels in cascade, core degrees are in-core") {
     // K4 on 0..3 (3-core) with a path 3-10-11-12 hanging off: the path
     // peels over THREE successive rounds (12 first — degree 1 — then 11,

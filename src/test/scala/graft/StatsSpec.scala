@@ -137,6 +137,30 @@ class StatsSpec extends AnyFunSuite with CacheDrained {
     }
   }
 
+  test("skyline running-max kernel: dominance by strict-cheaper or equal-price-bigger") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // (pk, price, size): 2/3 are exact duplicates (neither dominates the
+    // other), 4 loses to 2 on price at equal size, 5 loses to 1 outright
+    val pts = Seq((1L, 10.0, 5L), (2L, 12.0, 7L), (3L, 12.0, 7L),
+      (4L, 13.0, 7L), (5L, 11.0, 4L), (6L, 9.0, 1L), (7L, 15.0, 9L))
+      .toDF("p_partkey", "p_retailprice", "p_size")
+    val dp = pts.groupBy(col("p_retailprice").as("price"))
+      .agg(max("p_size").as("msize"))
+    val sp = graft.operators.TwoPhaseRank
+      .prefixMaxDistinct(dp, "smax", col("price"), col("msize"))
+    // the strict prefix max is null exactly at the global minimum price
+    val smax = sp.as[(Double, Long, Option[Long])].collect()
+      .map { case (p, _, s) => p -> s }.toMap
+    assert(smax == Map(9.0 -> None, 10.0 -> Some(1L), 11.0 -> Some(5L),
+      12.0 -> Some(5L), 13.0 -> Some(7L), 15.0 -> Some(7L)), s"smax $smax")
+    val surv = pts.join(sp, pts("p_retailprice") === sp("price"))
+      .filter(!(coalesce(col("smax") >= col("p_size"), lit(false)) ||
+        col("msize") > col("p_size")))
+      .select("p_partkey").as[Long].collect().toSet
+    assert(surv == Set(1L, 2L, 3L, 6L, 7L), s"skyline $surv")
+  }
+
   test("events_mad_outliers: median/MAD recompute exactly; fence is one-sided robust") {
     val spark = TestSpark.spark
     val rows = SparkEntry.queries("events_mad_outliers")(spark, TestSpark.Sf)
