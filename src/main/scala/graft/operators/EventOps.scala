@@ -585,6 +585,53 @@ object EventOps {
         .agg(count(lit(1)).as("n_purchases"),
           sum(floor(col("value") * 100).cast("long")).as("cents"))
         .orderBy("touch")
+    },
+
+    // Survival / churn life table: for each observed lifetime k (days
+    // between a user's first and last event), how many users CHURNED at k
+    // (went silent before the final week of the observation window), how
+    // many are CENSORED at k (still active at horizon — their true
+    // lifetime is only known to be ≥ k), and how many were AT RISK at k
+    // (lifetime ≥ k) — the exact integer ingredients of a Kaplan-Meier
+    // estimate (Kaplan & Meier 1958), which is one driver-side product
+    // away. One per-user hash agg (first/last day), a 1-row horizon agg
+    // cross-joined back, one hash agg by lifetime, then the at-risk
+    // suffix sum over the BOUNDED lifetime frame (≤ observation days
+    // rows — the documented bounded-frame global window, not a
+    // corpus-sized sort).
+    GraftQuery("events_survival",
+      """WITH d AS (SELECT user_id,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+        |u AS (SELECT user_id, min(day) AS first_d, max(day) AS last_d
+        |      FROM d GROUP BY user_id),
+        |h AS (SELECT max(last_d) AS horizon FROM u),
+        |lt AS (SELECT last_d - first_d AS k,
+        |         CASE WHEN last_d >= horizon - 6 THEN 1 ELSE 0 END AS cens
+        |       FROM u CROSS JOIN h),
+        |g AS (SELECT k, CAST(sum(1 - cens) AS BIGINT) AS n_churned,
+        |        CAST(sum(cens) AS BIGINT) AS n_censored
+        |      FROM lt GROUP BY k)
+        |SELECT k, n_churned, n_censored,
+        |       CAST(sum(n_churned + n_censored) OVER (ORDER BY k DESC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS at_risk
+        |FROM g ORDER BY k""".stripMargin) { (spark, sfDir) =>
+      val u = Tables.events(spark, sfDir)
+        .select(col("user_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("day"))
+        .groupBy("user_id")
+        .agg(min("day").as("first_d"), max("day").as("last_d"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(u)
+      val h = u.agg(max("last_d").as("horizon"))
+      val g = u.crossJoin(broadcast(h))
+        .select((col("last_d") - col("first_d")).as("k"),
+          when(col("last_d") >= col("horizon") - 6, 1L).otherwise(0L).as("cens"))
+        .groupBy("k")
+        .agg(sum(lit(1L) - col("cens")).as("n_churned"), sum("cens").as("n_censored"))
+      val w = Window.orderBy(col("k").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("at_risk", sum(col("n_churned") + col("n_censored")).over(w))
+        .orderBy("k")
     }
   )
 }

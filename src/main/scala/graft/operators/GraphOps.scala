@@ -164,6 +164,63 @@ object GraphOps {
     r
   }
 
+  /** Personalized PageRank (random walk with restart — Jeh & Widom,
+    * WWW 2003): [[pageRank]] with ALL teleport mass returning to `seeds`
+    * instead of spreading uniformly, so rank measures proximity to the
+    * seed set rather than global authority — the "related to these"
+    * relevance kernel. Identical integer-exact arithmetic and per-round
+    * plan (one co-partitioned join + hash agg over the prepared edge
+    * list); the only change is the restart vector:
+    *
+    *   r_0(v)  = [v ∈ S] · (scale DIV |S|)
+    *   r_t(v)  = [v ∈ S] · ((15·scale) DIV (100·|S|))
+    *           + Σ_{(u,v)} (85 · r_{t-1}(u) · n(u,v)) DIV (100 · outW(u))
+    *
+    * `seeds` is a (node) frame; seeds not present in the graph are
+    * ignored (they join away), matching the oracle's LEFT JOIN replay.
+    * No broadcast hint on the seed join — a restart set is usually tiny
+    * but may not be, and AQE picks the strategy from its actual size.
+    * Overflow bound is [[pageRank]]'s. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int = 10,
+      scale: Long = 1000000000L): DataFrame = {
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src"), col("dst"), col("n")).persist(mad)
+    val sd = seeds.select(col("node")).distinct()
+    val ns = sd.count()
+    require(ns > 0, "personalizedPageRank: empty seed set")
+    // nodes carry their 0/1 seed flag for the whole run: one join up
+    // front instead of one per round
+    val nb = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .join(sd.withColumn("__s", lit(1L)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(0L)).as("s"))
+      .persist(mad)
+    nb.count()
+    val ew = e.join(e.groupBy("src").agg(sum("n").as("w")), "src")
+      .select(col("src"), col("dst"), col("n"), col("w")).persist(mad)
+    ew.count()
+    e.unpersist(blocking = false)
+    val base = (15L * scale) / (100L * ns)
+    var r = nb.select(col("node"), (col("s") * lit(scale / ns)).as("rank"))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val contrib = ew.join(r, col("node") === col("src"))
+        .select(col("dst"), expr("(85 * rank * n) DIV (100 * w)").as("c"))
+        .groupBy("dst").agg(sum("c").as("c"))
+      val next = nb.join(contrib, nb("node") === contrib("dst"), "left")
+        .select(nb("node"),
+          (col("s") * lit(base) + coalesce(col("c"), lit(0L))).as("rank"))
+        .localCheckpoint()
+      graft.CacheTracker.checkpointRdds(r).foreach(_.unpersist(false))
+      r = next
+    }
+    ew.unpersist(blocking = false)
+    nb.unpersist(blocking = false)
+    graft.CacheTracker.trackCheckpointed(r)
+    r
+  }
+
   /** Exact triangle enumeration over an undirected simple graph given as a
     * canonical (u, v) pair list (u < v, distinct). Returns one row per
     * triangle, members sorted ascending as (a, b, c).

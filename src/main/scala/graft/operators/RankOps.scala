@@ -39,6 +39,10 @@ object RankOps {
   // contributions negligible anyway) and keeps the top candidates only
   private val LinkTop = 100
 
+  // personalized PageRank restarts at the conversion node: "which event
+  // types sit closest to purchase in the session-transition walk"
+  private val PprSeed = "purchase"
+
   /** the unrolled peel rounds: d{i}/v{i} CTE pairs over `e` and v{i-1}.
     * v{i} MUST be MATERIALIZED (DuckDB-only syntax — oracle never runs in
     * Spark): each round references its predecessor twice, so un-pinned
@@ -50,6 +54,29 @@ object RankOps {
          |  GROUP BY e.a),
          |v$i AS MATERIALIZED (SELECT node FROM d$i WHERE d >= $KCoreK)""".stripMargin
     }.mkString(",\n")
+
+  /** the session-bounded event-type transition digraph (same edge
+    * derivation as events_transitions) with per-edge out-weights and the
+    * node set — the shared oracle prefix of graph_pagerank and graph_ppr.
+    * ew/nodes are MATERIALIZED: the power rounds reference them once per
+    * round, and un-pinned CTEs re-expand the whole events scan each time. */
+  private def transitionGraphCte: String =
+    s"""eb AS (SELECT event_id, user_id, event_type,
+       |        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+       |l AS (SELECT user_id, event_type, us,
+       |        lag(event_type) OVER (PARTITION BY user_id
+       |          ORDER BY us, event_type, event_id) AS src,
+       |        lag(us) OVER (PARTITION BY user_id
+       |          ORDER BY us, event_type, event_id) AS prev_us
+       |      FROM eb),
+       |ed AS (SELECT src, event_type AS dst, CAST(count(*) AS BIGINT) AS n
+       |       FROM l WHERE src IS NOT NULL AND us - prev_us < ${EventOps.GapUs}
+       |       GROUP BY src, event_type),
+       |ow AS (SELECT src, SUM(n) AS w FROM ed GROUP BY src),
+       |ew AS MATERIALIZED (SELECT ed.src, ed.dst, ed.n, ow.w
+       |      FROM ed JOIN ow ON ow.src = ed.src),
+       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed))""".stripMargin
 
   /** the r1..rIters power-iteration rounds as unrolled DuckDB CTEs —
     * aggregation is not allowed in a recursive CTE term, so the fixed
@@ -65,6 +92,23 @@ object RankOps {
          |    SELECT e.dst AS node,
          |           SUM((85 * r.rank * e.n) // (100 * e.w)) AS c
          |    FROM ew e JOIN r${k - 1} r ON r.node = e.src
+         |    GROUP BY e.dst) s ON s.node = nd.node)""".stripMargin
+    }.mkString(",\n")
+
+  /** the p1..pIters personalized rounds: identical contribution term,
+    * restart mass lands only on seed nodes (LEFT JOIN seeds flag) */
+  private def pprRoundsSql: String =
+    (1 to Iters).map { k =>
+      s"""p$k AS (
+         |  SELECT nd.node,
+         |    CAST(CASE WHEN sd.node IS NOT NULL
+         |         THEN ${15L * Scale} // (100 * (SELECT count(*) FROM seeds))
+         |         ELSE 0 END + coalesce(s.c, 0) AS BIGINT) AS rank
+         |  FROM nodes nd LEFT JOIN seeds sd ON sd.node = nd.node
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |           SUM((85 * r.rank * e.n) // (100 * e.w)) AS c
+         |    FROM ew e JOIN p${k - 1} r ON r.node = e.src
          |    GROUP BY e.dst) s ON s.node = nd.node)""".stripMargin
     }.mkString(",\n")
 
@@ -91,6 +135,21 @@ object RankOps {
       ue.count() // materialize eagerly so every consumer reads the cache
       ue
     })
+
+  /** Spark twin of [[transitionGraphCte]]'s edge list: session-bounded
+    * (src, dst, n) event-type transitions */
+  private def transitionEdges(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_type", "event_id")
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+      .withColumn("src", lag("event_type", 1).over(w))
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .filter(col("src").isNotNull && col("us") - col("prev_us") < EventOps.GapUs)
+      .groupBy(col("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+  }
 
   val queries: Seq[GraftQuery] = Seq(
 
@@ -120,36 +179,37 @@ object RankOps {
     },
 
     GraftQuery("graph_pagerank",
-      s"""WITH eb AS (SELECT event_id, user_id, event_type,
-         |        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
-         |l AS (SELECT user_id, event_type, us,
-         |        lag(event_type) OVER (PARTITION BY user_id
-         |          ORDER BY us, event_type, event_id) AS src,
-         |        lag(us) OVER (PARTITION BY user_id
-         |          ORDER BY us, event_type, event_id) AS prev_us
-         |      FROM eb),
-         |ed AS (SELECT src, event_type AS dst, CAST(count(*) AS BIGINT) AS n
-         |       FROM l WHERE src IS NOT NULL AND us - prev_us < ${EventOps.GapUs}
-         |       GROUP BY src, event_type),
-         |ow AS (SELECT src, SUM(n) AS w FROM ed GROUP BY src),
-         |ew AS (SELECT ed.src, ed.dst, ed.n, ow.w FROM ed JOIN ow ON ow.src = ed.src),
-         |nodes AS (SELECT DISTINCT node FROM (
-         |  SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
+      s"""WITH $transitionGraphCte,
          |r0 AS (SELECT node,
          |  CAST($Scale // (SELECT count(*) FROM nodes) AS BIGINT) AS rank FROM nodes),
          |$prRoundsSql
          |SELECT node, rank AS rank_ppb FROM r$Iters
          |ORDER BY rank_ppb DESC, node""".stripMargin) { (spark, sfDir) =>
-      val w = Window.partitionBy("user_id").orderBy("us", "event_type", "event_id")
-      val edges = Tables.events(spark, sfDir)
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
-        .withColumn("src", lag("event_type", 1).over(w))
-        .withColumn("prev_us", lag("us", 1).over(w))
-        .filter(col("src").isNotNull && col("us") - col("prev_us") < EventOps.GapUs)
-        .groupBy(col("src"), col("event_type").as("dst"))
-        .agg(count(lit(1)).as("n"))
-      GraphOps.pageRank(edges, Iters, Scale)
+      GraphOps.pageRank(transitionEdges(spark, sfDir), Iters, Scale)
+        .select(col("node"), col("rank").as("rank_ppb"))
+        .orderBy(col("rank_ppb").desc, col("node"))
+    },
+
+    // Personalized PageRank restarted at the purchase node: rank every
+    // event type by its proximity to conversion in the session-transition
+    // random walk — the "what leads here" relevance kernel a funnel /
+    // crawl-prioritization pipeline runs with the target as seed set.
+    // Same integer-exact power iteration as graph_pagerank
+    // (GraphOps.personalizedPageRank); only the restart vector changes,
+    // and the oracle replays it with a LEFT JOIN seed flag per round.
+    GraftQuery("graph_ppr",
+      s"""WITH $transitionGraphCte,
+         |seeds AS (SELECT '$PprSeed' AS node),
+         |p0 AS (SELECT nd.node,
+         |  CAST(CASE WHEN sd.node IS NOT NULL
+         |       THEN $Scale // (SELECT count(*) FROM seeds) ELSE 0 END AS BIGINT) AS rank
+         |  FROM nodes nd LEFT JOIN seeds sd ON sd.node = nd.node),
+         |$pprRoundsSql
+         |SELECT node, rank AS rank_ppb FROM p$Iters
+         |ORDER BY rank_ppb DESC, node""".stripMargin) { (spark, sfDir) =>
+      import spark.implicits._
+      val edges = transitionEdges(spark, sfDir)
+      GraphOps.personalizedPageRank(edges, Seq(PprSeed).toDF("node"), Iters, Scale)
         .select(col("node"), col("rank").as("rank_ppb"))
         .orderBy(col("rank_ppb").desc, col("node"))
     },

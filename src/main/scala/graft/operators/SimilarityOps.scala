@@ -1545,6 +1545,41 @@ object SimilarityOps {
         .union(lshCandidates(spark, sfDir)).distinct()
       rerankCands(spark, sfDir, cands, maxSim = Some(NearDupThreshold))
         .orderBy("qid", "rnk")
+    },
+
+    // Per-dimension distribution statistics of the embedding corpus — the
+    // feature-scaling pass (standardization / whitening prep) a training
+    // pipeline runs before any distance-based stage, and the drift probe a
+    // serving pipeline re-runs per batch. One posexplode + one hash agg
+    // keyed by dimension index: output is exactly `dim` rows (64 here) no
+    // matter the corpus size, and partial aggregation makes the shuffle
+    // carry only per-partition partials. Everything integer-exact: values
+    // are 1e6-quantized via floor() for sum/min/max (floor, NOT integer
+    // division — engines disagree on negative division, the q22 rule) and
+    // separately 1e3-quantized for the sum of squares, whose per-row term
+    // is then ≤ ~4e6, bounding overflow at ~2e12 rows per dimension —
+    // beyond a 100 TB corpus. Mean/std are one driver-side division away;
+    // the engine ships the exact integer moments.
+    GraftQuery("sim_dim_stats",
+      """WITH comps AS (SELECT vec_id, i - 1 AS i,
+        |        CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xq,
+        |        CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS xm
+        |      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) ii)
+        |SELECT i, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(xq) AS BIGINT) AS sum_q,
+        |       CAST(sum(xm * xm) AS BIGINT) AS ss_mq,
+        |       min(xq) AS min_q, max(xq) AS max_q
+        |FROM comps GROUP BY i ORDER BY i""".stripMargin) { (spark, sfDir) =>
+      embeddings(spark, sfDir)
+        .select(posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("i").cast("long").as("i"),
+          floor(col("x").cast("double") * 1000000).cast("long").as("xq"),
+          floor(col("x").cast("double") * 1000).cast("long").as("xm"))
+        .groupBy("i")
+        .agg(count(lit(1)).as("n"), sum("xq").as("sum_q"),
+          sum(col("xm") * col("xm")).as("ss_mq"),
+          min("xq").as("min_q"), max("xq").as("max_q"))
+        .orderBy("i")
     }
   )
 

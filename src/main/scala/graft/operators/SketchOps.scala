@@ -138,6 +138,58 @@ object SketchOps {
         .limit(20)
     },
 
+    // Count-min MERGEABILITY as a correctness row (the CM twin of
+    // sketch_hll_merge's register-max rollup): per-day PARTIAL sketches —
+    // the shape each shard/ingest batch builds independently — merged by
+    // cell-wise SUM into the global sketch, then the top-20 per-user
+    // estimates read off the MERGED cells against the exact counts. Sum
+    // is the whole algebra (each event lands in exactly one day's
+    // partial), which is what makes the sketch distributable: partials
+    // never leave their shard, only d×w counters travel. The daily cell
+    // frame is bounded (days × w rows per depth), so the merge stage
+    // aggregates a constant-ish frame, not the corpus.
+    GraftQuery("sketch_cm_merge",
+      s"""WITH k AS (SELECT user_id,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+         |    ${PortableHash.h8Sql("lpad(CAST(user_id AS VARCHAR), 8, '0')")} AS h
+         |  FROM events),
+         |b AS (SELECT user_id, day,
+         |    ${(1 to D).map(i => s"${bucketSql(i)} AS b$i").mkString(", ")}
+         |  FROM k),
+         |${(1 to D).map(i =>
+           s"""c$i AS (SELECT bk, CAST(sum(dn) AS BIGINT) AS n$i FROM (
+              |    SELECT day, b$i AS bk, count(*) AS dn FROM b GROUP BY day, b$i) d$i
+              |  GROUP BY bk)""".stripMargin).mkString(",\n")},
+         |keys AS (SELECT user_id,
+         |    ${(1 to D).map(i => s"min(b$i) AS b$i").mkString(", ")},
+         |    CAST(count(*) AS BIGINT) AS exact_n
+         |  FROM b GROUP BY user_id)
+         |SELECT k.user_id, least(${(1 to D).map(i => s"c$i.n$i").mkString(", ")}) AS est_n,
+         |       k.exact_n
+         |FROM keys k ${(1 to D).map(i => s"JOIN c$i ON c$i.bk = k.b$i").mkString(" ")}
+         |ORDER BY est_n DESC, k.user_id LIMIT 20""".stripMargin) { (spark, sfDir) =>
+      val h = PortableHash.h8(lpad(col("user_id").cast("string"), 8, "0"))
+      val b = Tables.events(spark, sfDir).select(
+          (Seq(col("user_id"),
+            expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("day")) ++
+            (1 to D).map(i => (PortableHash.minhashPerm(h, i) % W).as(s"b$i"))): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(b)
+      val merged = (1 to D).map(i =>
+        b.groupBy(col("day"), col(s"b$i").as("bk")).agg(count(lit(1)).as("dn"))
+          .groupBy("bk").agg(sum("dn").as(s"n$i")))
+      val keyAggs = (1 to D).map(i => min(col(s"b$i")).as(s"b$i")) :+
+        count(lit(1)).as("exact_n")
+      val keys = b.groupBy("user_id").agg(keyAggs.head, keyAggs.tail: _*)
+      val joined = (1 to D).foldLeft(keys.alias("k")) { (acc, i) =>
+        acc.join(broadcast(merged(i - 1).alias(s"c$i")), col(s"b$i") === col(s"c$i.bk"))
+      }
+      joined.select(col("user_id"),
+          least((1 to D).map(i => col(s"n$i")): _*).as("est_n"), col("exact_n"))
+        .orderBy(col("est_n").desc, col("user_id"))
+        .limit(20)
+    },
+
     // HyperLogLog distinct-user estimate vs the exact count. 64 registers;
     // register j holds max(rho) where rho = leading-zero rank of the
     // hash's upper 25 bits (bucket = low 6). EVERYTHING is integer: the

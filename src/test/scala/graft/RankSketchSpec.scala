@@ -257,4 +257,34 @@ class RankSketchSpec extends AnyFunSuite with CacheDrained {
       assert(loose.count() == 2) // documented divergence when the gate is off
     } finally spark.conf.unset("spark.graft.merge.checkKeys")
   }
+
+  test("personalizedPageRank: 2-cycle from one seed matches the hand replay") {
+    // a<->b, seed {a}, scale 1000: base = 150, r0 = (1000, 0)
+    // round 1: contrib(b) = 85*1000 DIV 100 = 850 → (150, 850)
+    // round 2: contrib(a) = 85*850 DIV 100 = 722,
+    //          contrib(b) = 85*150 DIV 100 = 127 → (872, 127)
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "n")
+    val seeds = Seq("a").toDF("node")
+    val got = GraphOps.personalizedPageRank(edges, seeds, iters = 2, scale = 1000L)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 872L, "b" -> 127L), s"got $got")
+  }
+
+  test("personalizedPageRank: seed absent from the graph drains all rank to zero") {
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "n")
+    val got = GraphOps.personalizedPageRank(edges, Seq("zz").toDF("node"),
+      iters = 3, scale = 1000L).as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 0L, "b" -> 0L), s"got $got")
+  }
+
+  test("sketch_cm_merge: per-day partials merged by sum equal the one-pass sketch") {
+    val one = SparkEntry.queries("events_count_min")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val merged = SparkEntry.queries("sketch_cm_merge")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(one == merged, "cell-wise sum over daily partials must be the global sketch")
+    merged.foreach { case (_, est, exact) =>
+      assert(est >= exact, "count-min never under-counts")
+    }
+  }
 }

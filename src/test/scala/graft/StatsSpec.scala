@@ -161,6 +161,41 @@ class StatsSpec extends AnyFunSuite with CacheDrained {
     assert(surv == Set(1L, 2L, 3L, 6L, 7L), s"skyline $surv")
   }
 
+  test("events_survival: life-table identities hold against the raw user counts") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = SparkEntry.queries("events_survival")(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val users = Tables.events(spark, TestSpark.Sf)
+      .select("user_id").distinct().count()
+    // every user lands in exactly one lifetime bucket, and at_risk is the
+    // running suffix mass (so the first bucket's at_risk is everyone)
+    assert(rows.map(r => r._2 + r._3).sum == users)
+    var suffix = users
+    rows.foreach { case (k, ch, ce, ar) =>
+      assert(ar == suffix, s"at_risk at k=$k")
+      suffix -= (ch + ce)
+    }
+    assert(suffix == 0L)
+  }
+
+  test("sim_dim_stats: integer moments recompute exactly from the raw vectors") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+      .select("embedding").as[Array[Float]].collect()
+    val got = SparkEntry.queries("sim_dim_stats")(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == emb.head.length)
+    got.foreach { case (i, n, sumQ, ssMq, minQ, maxQ) =>
+      val q = emb.map(v => math.floor(v(i.toInt).toDouble * 1000000).toLong)
+      val m = emb.map(v => math.floor(v(i.toInt).toDouble * 1000).toLong)
+      assert(n == emb.length && sumQ == q.sum, s"dim $i sums")
+      assert(ssMq == m.map(x => x * x).sum, s"dim $i squares")
+      assert(minQ == q.min && maxQ == q.max, s"dim $i extrema")
+    }
+  }
+
   test("events_mad_outliers: median/MAD recompute exactly; fence is one-sided robust") {
     val spark = TestSpark.spark
     val rows = SparkEntry.queries("events_mad_outliers")(spark, TestSpark.Sf)
