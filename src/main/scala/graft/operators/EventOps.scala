@@ -632,6 +632,49 @@ object EventOps {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       g.withColumn("at_risk", sum(col("n_churned") + col("n_censored")).over(w))
         .orderBy("k")
+    },
+
+    // Cohort LTV triangle: revenue by (signup week × weeks since signup) —
+    // the lifetime-value matrix a growth/monetization pipeline reads next
+    // to the retention matrix (events_retention is the presence twin; this
+    // is the money twin, unbounded offsets). Two hash aggs and one join:
+    // per-user signup day, then purchase cents rolled up into the bounded
+    // (weeks × weeks) triangle. Both day differences are non-negative, so
+    // DuckDB's flooring // and Spark's truncating DIV agree (the q22 rule).
+    GraftQuery("events_cohort_ltv",
+      """WITH e AS (SELECT user_id, event_type,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |        CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |s AS (SELECT user_id, CAST(min(d) AS BIGINT) AS cohort_d
+        |      FROM e WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (SELECT e.user_id, s.cohort_d // 7 AS cohort_w,
+        |        (e.d - s.cohort_d) // 7 AS w_off, e.cents
+        |      FROM e JOIN s ON s.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.d >= s.cohort_d)
+        |SELECT CAST(cohort_w AS BIGINT) AS cohort_w,
+        |       CAST(w_off AS BIGINT) AS week_offset,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_buyers,
+        |       CAST(count(*) AS BIGINT) AS n_purchases,
+        |       CAST(sum(cents) AS BIGINT) AS cents
+        |FROM p GROUP BY cohort_w, w_off ORDER BY cohort_w, week_offset""".stripMargin) {
+      (spark, sfDir) =>
+      val e = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("d"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val s = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("d").as("cohort_d"))
+      e.filter(col("event_type") === "purchase")
+        .join(s, "user_id")
+        .filter(col("d") >= col("cohort_d"))
+        .select(col("user_id"), expr("cohort_d DIV 7").as("cohort_w"),
+          expr("(d - cohort_d) DIV 7").as("w_off"), col("cents"))
+        .groupBy("cohort_w", "w_off")
+        .agg(countDistinct("user_id").as("n_buyers"),
+          count(lit(1)).as("n_purchases"), sum("cents").as("cents"))
+        .select(col("cohort_w"), col("w_off").as("week_offset"),
+          col("n_buyers"), col("n_purchases"), col("cents"))
+        .orderBy("cohort_w", "week_offset")
     }
   )
 }

@@ -43,6 +43,9 @@ object RankOps {
   // types sit closest to purchase in the session-transition walk"
   private val PprSeed = "purchase"
 
+  // neighbors kept per item by the item-item recommender
+  private val RecTop = 5
+
   /** the unrolled peel rounds: d{i}/v{i} CTE pairs over `e` and v{i-1}.
     * v{i} MUST be MATERIALIZED (DuckDB-only syntax — oracle never runs in
     * Spark): each round references its predecessor twice, so un-pinned
@@ -373,6 +376,61 @@ object RankOps {
         .select("u", "v")
       GraphOps.linkPredict(ue)
         .orderBy(col("aa_ppm").desc, col("x"), col("y")).limit(LinkTop)
+    },
+
+    // Item-item collaborative filtering (the classic Amazon-style
+    // recommender, Linden et al. 2003): for every part, the RecTop most
+    // cosine-similar parts by order co-occurrence. cooc(u,v) = orders
+    // containing both, n(u) = orders containing u, and the score is
+    // integer-exact squared cosine in ppm, divided stage-wise —
+    // ((cooc·1e6) DIV n_u · cooc) DIV n_v — so the intermediate stays
+    // ≤ 1e6·cooc (overflow at cooc ≈ 9.2e12 co-orders, beyond any real
+    // catalog; same divide-before-multiply discipline as the lift fix).
+    // Scale shape: one distinct-pair projection of the fact table feeds
+    // both the per-item counts and the co-occurrence self-join (persisted
+    // once); the join fan-out is bounded by basket size (≤ 7 lines/order
+    // here — a real pipeline caps baskets the same way the dedup family
+    // df-caps shingles); the per-item top-RecTop goes through the
+    // rank-limit pattern, which RewriteRankLimit lowers to the bounded-heap
+    // TopKPerKeyExec — no per-item sort anywhere.
+    GraftQuery("rec_item_item",
+      s"""WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |n AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+         |co AS (SELECT a.l_partkey AS u, b.l_partkey AS v,
+         |              CAST(count(*) AS BIGINT) AS cooc
+         |       FROM d a JOIN d b ON b.l_orderkey = a.l_orderkey
+         |         AND a.l_partkey <> b.l_partkey
+         |       GROUP BY 1, 2),
+         |s AS (SELECT co.u, co.v, co.cooc,
+         |        CAST(((co.cooc * 1000000) // nu.n) * co.cooc // nv.n AS BIGINT) AS score_ppm
+         |      FROM co JOIN n nu ON nu.l_partkey = co.u
+         |              JOIN n nv ON nv.l_partkey = co.v),
+         |r AS (SELECT u, v, cooc, score_ppm,
+         |        row_number() OVER (PARTITION BY u
+         |          ORDER BY score_ppm DESC, v) AS rnk FROM s)
+         |SELECT u AS item, CAST(rnk AS BIGINT) AS rnk, v AS neighbor, cooc, score_ppm
+         |FROM r WHERE rnk <= $RecTop ORDER BY item, rnk""".stripMargin,
+      bench = true) { (spark, sfDir) =>
+      val d = Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_partkey").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(d)
+      val n = d.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+      val co = d.as("a").join(d.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .agg(count(lit(1)).as("cooc"))
+      val s = co
+        .join(n.select(col("l_partkey").as("u"), col("n").as("nu")), "u")
+        .join(n.select(col("l_partkey").as("v"), col("n").as("nv")), "v")
+        .selectExpr("u", "v", "cooc",
+          "((cooc * 1000000) DIV nu) * cooc DIV nv AS score_ppm")
+      val w = Window.partitionBy("u").orderBy(col("score_ppm").desc, col("v"))
+      s.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= RecTop)
+        .select(col("u").as("item"), col("rnk").cast("long").as("rnk"),
+          col("v").as("neighbor"), col("cooc"), col("score_ppm"))
+        .orderBy("item", "rnk")
     })
 
   /** LPA rounds as chained CTEs: gather per-(node, label) neighbor counts,

@@ -411,6 +411,57 @@ object SketchOps {
         .orderBy("c_custkey")
     },
 
+    // Runtime-filter join: the bloom semi-join reduction a 100 TB shuffle
+    // join leans on (Spark's own InjectRuntimeFilter does this with its
+    // internal BloomFilterAggregate; here the engine's portable bloom makes
+    // the plan explicit and oracle-checkable). The dim-side predicate — one
+    // market segment's high-balance customers, ~4% of the dim — builds the
+    // 4096-bit filter in ONE constant-output aggregation; the fact scan
+    // probes the broadcast word table and discards non-members BEFORE any
+    // join, so only (true matches + false positives) rows reach the join.
+    // Bloom membership has no false negatives, so prefilter→exact-join
+    // returns exactly the unfiltered join's rows — which is precisely what
+    // the oracle (a plain join, no bloom anywhere) checks. At scale the
+    // payoff is the shuffle that never happens: ~96% of fact rows are
+    // dropped at the scan against 66 broadcast words.
+    GraftQuery("join_bloom_prefilter",
+      """WITH d AS (SELECT c_custkey FROM customer
+        |           WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 8000)
+        |SELECT o.o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders o JOIN d ON d.c_custkey = o.o_custkey
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
+      bench = true) { (spark, sfDir) =>
+      val dim = Tables.customer(spark, sfDir)
+        .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 8000)
+        .select("c_custkey")
+      val words = bloomWords(dim, col("c_custkey"))
+      val h = PortableHash.h8(lpad(col("o_custkey").cast("string"), 8, "0"))
+      val probe = Tables.orders(spark, sfDir)
+        .select((Seq(col("o_custkey"), col("o_orderpriority"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents")) ++
+          (1 to BloomK).map(j =>
+            (PortableHash.minhashPerm(h, 5 + j) % BloomBits).as(s"bit$j"))): _*)
+        .selectExpr(("o_custkey" +: "o_orderpriority" +: "cents" +:
+          (1 to BloomK).flatMap(j => Seq(
+            s"bit$j DIV 63 AS word$j",
+            s"shiftleft(CAST(1 AS BIGINT), CAST(bit$j % 63 AS INT)) AS mask$j"))): _*)
+      val joined = (1 to BloomK).foldLeft(probe) { (acc, j) =>
+        acc.join(broadcast(words.select(col("word").as(s"w$j"), col("bits").as(s"bits$j"))),
+          col(s"word$j") === col(s"w$j"), "left")
+      }
+      val hit = (1 to BloomK).map(j =>
+        (coalesce(col(s"bits$j"), lit(0L)).bitwiseAND(col(s"mask$j")) =!= 0))
+        .reduce(_ && _)
+      joined.filter(hit) // the prefilter: fact rows drop here, pre-join
+        .select("o_custkey", "o_orderpriority", "cents")
+        .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("cents"))
+        .orderBy("o_orderpriority")
+    },
+
     // STREAMING bloom-filter maintenance, registered and oracled: purchase
     // events flow through a running bit-OR aggregation whose state IS the
     // filter (≤ 66 word rows forever — bounded with no watermark because

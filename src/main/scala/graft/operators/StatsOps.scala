@@ -403,6 +403,48 @@ object StatsOps {
           col("msize") > col("p_size")))
         .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
         .orderBy("p_partkey")
+    },
+
+    // Rolling robust statistics of the daily value series: 7-day trailing
+    // lower-median / Q1 / Q3 (discrete, sorted-frame indexing replicated
+    // literally in both engines — med = sorted[(n-1) DIV 2], q1 =
+    // sorted[(n-1) DIV 4], q3 mirrored from the top — so no dependence on
+    // either engine's quantile interpolation mode) plus the Tukey-style
+    // spike flag x > q3 + 3·(q3 − q1). The window runs on the BOUNDED
+    // per-day frame (one row per calendar day — the documented bounded-
+    // frame global window, never the event corpus), so the collect_list
+    // frame holds ≤ 7 longs per row at any corpus size.
+    GraftQuery("stats_rolling_robust",
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |        CAST(floor(value * 1000000) AS BIGINT) AS vu FROM events),
+        |d AS (SELECT day, CAST(sum(vu) AS BIGINT) AS x FROM e GROUP BY day),
+        |r AS (SELECT day, x, list_sort(list(x) OVER w) AS arr,
+        |        CAST(count(*) OVER w AS BIGINT) AS n
+        |      FROM d WINDOW w AS (ORDER BY day
+        |        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |q AS (SELECT day, x, n,
+        |        arr[CAST((n - 1) // 4 + 1 AS INT)] AS q1,
+        |        arr[CAST((n - 1) // 2 + 1 AS INT)] AS med,
+        |        arr[CAST(n - (n - 1) // 4 AS INT)] AS q3
+        |      FROM r)
+        |SELECT CAST(day AS BIGINT) AS day, x, n, q1, med, q3,
+        |       x > q3 + 3 * (q3 - q1) AS spike
+        |FROM q ORDER BY day""".stripMargin) { (spark, sfDir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = EventOps.dailyValueTotals(spark, sfDir)
+        .groupBy("day").agg(sum("x").as("x"))
+      val w = Window.orderBy("day").rowsBetween(-6, 0)
+      d.withColumn("arr", sort_array(collect_list(col("x")).over(w)))
+        .withColumn("n", size(col("arr")).cast("long"))
+        .select(col("day"), col("x"), col("n"),
+          element_at(col("arr"),
+            (expr("(n - 1) DIV 4") + 1).cast("int")).as("q1"),
+          element_at(col("arr"),
+            (expr("(n - 1) DIV 2") + 1).cast("int")).as("med"),
+          element_at(col("arr"),
+            expr("n - (n - 1) DIV 4").cast("int")).as("q3"))
+        .withColumn("spike", col("x") > col("q3") + lit(3) * (col("q3") - col("q1")))
+        .orderBy("day")
     }
   )
 }

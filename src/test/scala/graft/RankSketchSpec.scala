@@ -287,4 +287,82 @@ class RankSketchSpec extends AnyFunSuite with CacheDrained {
       assert(est >= exact, "count-min never under-counts")
     }
   }
+
+  test("join_bloom_prefilter: bloom prefilter + exact join ≡ plain join") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("join_bloom_prefilter")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val dim = Tables.customer(spark, TestSpark.Sf)
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 8000)
+      .select("c_custkey")
+    val plain = Tables.orders(spark, TestSpark.Sf)
+      .join(dim, col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .orderBy("o_orderpriority")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == plain, "the bloom stage must be semantically invisible")
+  }
+
+  test("rec_item_item: per-item heap rewrite fires and scores recompute exactly") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("rec_item_item")(spark, TestSpark.Sf)
+    val rows = df.collect()
+    df.queryExecution.executedPlan // force planning after collect
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), s"rank-limit heap rewrite did not fire:\n$p")
+    // brute-force recompute for a handful of items
+    val d = Tables.lineitem(spark, TestSpark.Sf)
+      .select("l_orderkey", "l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val byOrder = d.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val n = d.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val sample = rows.map(_.getLong(0)).distinct.take(5)
+    sample.foreach { item =>
+      val cooc = scala.collection.mutable.Map.empty[Long, Long]
+      byOrder.valuesIterator.filter(_.contains(item)).foreach { basket =>
+        (basket - item).foreach(v => cooc(v) = cooc.getOrElse(v, 0L) + 1L)
+      }
+      val expect = cooc.toSeq.map { case (v, c) =>
+        (v, c, ((c * 1000000L) / n(item)) * c / n(v))
+      }.sortBy { case (v, _, s) => (-s, v) }.take(5)
+      val got = rows.filter(_.getLong(0) == item).sortBy(_.getLong(1))
+        .map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      assert(got == expect, s"item $item: got $got expected $expect")
+    }
+  }
+
+  test("events_cohort_ltv: triangle mass equals the raw post-signup purchase mass") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("events_cohort_ltv")(spark, TestSpark.Sf)
+      .agg(sum("n_purchases"), sum("cents")).as[(Long, Long)].head()
+    val e = Tables.events(spark, TestSpark.Sf)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("d"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val s = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("d").as("cohort_d"))
+    val raw = e.filter(col("event_type") === "purchase")
+      .join(s, "user_id").filter(col("d") >= col("cohort_d"))
+      .agg(count(lit(1)), sum("cents")).as[(Long, Long)].head()
+    assert(got == raw, s"triangle $got vs raw $raw")
+  }
+
+  test("stats_rolling_robust: quantiles recompute from the trailing frames") {
+    val rows = SparkEntry.queries("stats_rolling_robust")(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    val series = rows.map(r => (r._1, r._2))
+    rows.zipWithIndex.foreach { case ((day, x, n, q1, med, q3, spike), i) =>
+      // ROWS frame: the 7 trailing rows by position (not calendar days —
+      // the two only differ if a day is absent, and the ROWS form is what
+      // both engines compute)
+      val frame = series.slice(math.max(0, i - 6), i + 1).map(_._2).sorted
+      val m = frame.length
+      assert(n == m, s"day $day frame size")
+      assert(q1 == frame((m - 1) / 4) && med == frame((m - 1) / 2) &&
+        q3 == frame(m - 1 - (m - 1) / 4), s"day $day quantiles")
+      assert(spike == (x > q3 + 3 * (q3 - q1)), s"day $day spike flag")
+    }
+  }
 }
