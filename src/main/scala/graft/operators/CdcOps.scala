@@ -123,6 +123,53 @@ object CdcOps {
     // collapse's closed rows — the same oracle as cdc_scd2 minus the open
     // tail. This row-level CORRECTNESS entry pins streaming/batch CDC
     // parity beyond the spec-level assertion.
+    // Point-in-time reconstruction (the AS OF / time-travel read over the
+    // SCD2 history): every entity's state at the corpus-midpoint instant
+    // T = (first change + last change) DIV 2 — T is derived from the data
+    // itself (1-row min/max agg broadcast back) so the query is
+    // deterministic at any sf without a hard-coded timestamp. The state at
+    // T is the LATEST change at or before T (rank-1 per entity over the
+    // filtered change set — the rank-limit shape the heap rewrite lowers),
+    // and `version` counts the changes up to T, matching cdc_scd2's
+    // interval ordinal for the interval containing T. Entities whose first
+    // change is after T are absent — exactly the time-travel contract.
+    GraftQuery("cdc_asof_snapshot",
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |c AS (SELECT *, lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY us, event_type, event_id) AS prev
+        |      FROM e),
+        |ch AS (SELECT user_id, event_type AS state, us AS valid_from_us
+        |       FROM c WHERE prev IS NULL OR prev <> event_type),
+        |t AS (SELECT (min(valid_from_us) + max(valid_from_us)) // 2 AS t0 FROM ch),
+        |f AS (SELECT ch.* FROM ch CROSS JOIN t WHERE ch.valid_from_us <= t.t0),
+        |r AS (SELECT user_id, state, valid_from_us,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY valid_from_us DESC, state) AS rn,
+        |        CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS version
+        |      FROM f)
+        |SELECT user_id, state, valid_from_us, version
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin) { (spark, sfDir) =>
+      val wSeq = Window.partitionBy("user_id").orderBy(OrderCols.map(col): _*)
+      val ch = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+        .withColumn("prev", lag("event_type", 1).over(wSeq))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("us").as("valid_from_us"))
+      val t = ch.agg(expr("(min(valid_from_us) + max(valid_from_us)) DIV 2").as("t0"))
+      val wAsof = Window.partitionBy("user_id")
+        .orderBy(col("valid_from_us").desc, col("state"))
+      val wAll = Window.partitionBy("user_id")
+      ch.join(broadcast(t)).filter(col("valid_from_us") <= col("t0"))
+        .withColumn("rn", row_number().over(wAsof))
+        .withColumn("version", count(lit(1)).over(wAll).cast("long"))
+        .filter(col("rn") === 1)
+        .select("user_id", "state", "valid_from_us", "version")
+        .orderBy("user_id")
+    },
+
     GraftQuery("stream_scd2",
       """WITH e AS (SELECT event_id, user_id, event_type,
         |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

@@ -675,6 +675,111 @@ object EventOps {
         .select(col("cohort_w"), col("w_off").as("week_offset"),
           col("n_buyers"), col("n_purchases"), col("cents"))
         .orderBy("cohort_w", "week_offset")
+    },
+
+    // First-order Markov next-event prediction with a temporal train/test
+    // split — the evaluation loop a sequence model's data pipeline runs:
+    // session-bounded consecutive (src → dst) transitions split at the
+    // corpus-midpoint day (derived from the data, 1-row agg broadcast
+    // back); the train half fits argmax(count) per source type (ties
+    // broken lexicographically), the test half scores top-1 accuracy per
+    // source. Only bounded frames shuffle after the lag window: transition
+    // counts are (types × types) and the prediction table ≤ types rows, so
+    // the broadcast hint is provably safe. acc_ppm is integer-exact.
+    GraftQuery("events_markov_predict",
+      s"""WITH e AS (SELECT event_id, user_id, event_type,
+         |        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         |l AS (SELECT user_id, event_type, us,
+         |        lag(event_type) OVER (PARTITION BY user_id
+         |          ORDER BY us, event_type, event_id) AS src,
+         |        lag(us) OVER (PARTITION BY user_id
+         |          ORDER BY us, event_type, event_id) AS prev_us
+         |      FROM e),
+         |p AS (SELECT src, event_type AS dst, us // 86400000000 AS d
+         |      FROM l WHERE src IS NOT NULL AND us - prev_us < $GapUs),
+         |t AS (SELECT (min(d) + max(d)) // 2 AS split_d FROM p),
+         |tr AS (SELECT src, dst, count(*) AS c FROM p CROSS JOIN t
+         |       WHERE d < split_d GROUP BY src, dst),
+         |pr AS (SELECT src, dst AS pred FROM (
+         |         SELECT src, dst, row_number() OVER (PARTITION BY src
+         |           ORDER BY c DESC, dst) AS rn FROM tr) WHERE rn = 1),
+         |ev AS (SELECT p.src, p.dst FROM p CROSS JOIN t WHERE d >= split_d)
+         |SELECT ev.src, pr.pred,
+         |       CAST(count(*) AS BIGINT) AS n_eval,
+         |       CAST(sum(CASE WHEN ev.dst = pr.pred THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |       CAST(CAST(sum(CASE WHEN ev.dst = pr.pred THEN 1 ELSE 0 END) AS BIGINT)
+         |            * 1000000 // count(*) AS BIGINT) AS acc_ppm
+         |FROM ev JOIN pr ON pr.src = ev.src
+         |GROUP BY ev.src, pr.pred ORDER BY ev.src""".stripMargin) { (spark, sfDir) =>
+      val w = Window.partitionBy("user_id").orderBy("us", "event_type", "event_id")
+      val p = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+        .withColumn("src", lag("event_type", 1).over(w))
+        .withColumn("prev_us", lag("us", 1).over(w))
+        .filter(col("src").isNotNull && col("us") - col("prev_us") < GapUs)
+        .select(col("src"), col("event_type").as("dst"),
+          expr("us DIV 86400000000").as("d"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(p)
+      val t = p.agg(expr("(min(d) + max(d)) DIV 2").as("split_d"))
+      val wPred = Window.partitionBy("src").orderBy(col("c").desc, col("dst"))
+      val pr = p.join(broadcast(t)).filter(col("d") < col("split_d"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(wPred)).filter(col("rn") === 1)
+        .select(col("src"), col("dst").as("pred"))
+      p.join(broadcast(t)).filter(col("d") >= col("split_d"))
+        .join(broadcast(pr), "src")
+        .groupBy("src", "pred")
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when(col("dst") === col("pred"), 1L).otherwise(0L)).as("n_correct"))
+        .withColumn("acc_ppm", expr("n_correct * 1000000 DIV n_eval"))
+        .orderBy("src")
+    },
+
+    // Day-of-week seasonality profile per event type — the seasonal-index
+    // read a capacity/forecasting pipeline takes before picking a model
+    // (and the companion to events_forecast_naive's d-7 join: this is WHY
+    // lag-7 is the right naive lag). dow = day-number mod 7 (deterministic
+    // integer labeling; day 0 is a Thursday, but the label convention
+    // cancels out of any within-type comparison). Ships exact integers —
+    // per-(type, dow) day count, event count, cents, and the dow's share
+    // of the type's total in ppm — rather than a pre-divided average (the
+    // sim_dim_stats discipline: means are one driver-side division away).
+    GraftQuery("events_dow_profile",
+      """WITH e AS (SELECT event_type,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |        CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |d AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(cents) AS BIGINT) AS cents
+        |      FROM e GROUP BY event_type, day),
+        |g AS (SELECT event_type, day % 7 AS dow,
+        |        CAST(count(*) AS BIGINT) AS n_days,
+        |        CAST(sum(n) AS BIGINT) AS n_events,
+        |        CAST(sum(cents) AS BIGINT) AS cents
+        |      FROM d GROUP BY event_type, day % 7),
+        |tt AS (SELECT event_type, CAST(sum(n_events) AS BIGINT) AS tot
+        |       FROM g GROUP BY event_type)
+        |SELECT g.event_type, CAST(g.dow AS BIGINT) AS dow, g.n_days, g.n_events,
+        |       g.cents, CAST(g.n_events * 1000000 // tt.tot AS BIGINT) AS share_ppm
+        |FROM g JOIN tt ON tt.event_type = g.event_type
+        |ORDER BY g.event_type, dow""".stripMargin) { (spark, sfDir) =>
+      val d = Tables.events(spark, sfDir)
+        .select(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+      val g = d.select(col("event_type"), expr("day % 7").as("dow"),
+          col("n"), col("cents"))
+        .groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("n_days"), sum("n").as("n_events"),
+          sum("cents").as("cents"))
+      val tt = g.groupBy("event_type").agg(sum("n_events").as("tot"))
+      g.join(broadcast(tt), "event_type")
+        .select(col("event_type"), col("dow"), col("n_days"), col("n_events"),
+          col("cents"), expr("n_events * 1000000 DIV tot").as("share_ppm"))
+        .orderBy("event_type", "dow")
     }
   )
 }

@@ -20,6 +20,12 @@ object ExtraAggOps {
        |     ELSE (nn.n % 5) + ($rn - (nn.n % 5) * (nn.n // 5 + 1) + nn.n // 5 - 1)
        |          // (nn.n // 5) END""".stripMargin.replace("\n", " ")
 
+  /** Benford's law expectations floor(log10(1+1/d)·1e6) for d = 1..9,
+    * computed once and inlined as identical literals into both engines
+    * (must initialize before `queries` — init-order interpolation) */
+  private val BenfordPpm: IndexedSeq[Long] =
+    (1 to 9).map(d => math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong)
+
   val queries: Seq[GraftQuery] = Seq(
 
     // explicit GROUPING SETS (beyond rollup/cube)
@@ -531,6 +537,46 @@ object ExtraAggOps {
         .agg(count(lit(1)).as("n_rows"), min("x").as("lo"), max("x").as("hi"),
           sum(floor(col("x") * 100).cast("long")).as("cents"))
         .orderBy("bucket")
+    },
+
+    // Benford first-digit audit (Benford 1938; the fraud/fat-finger screen
+    // a data-quality pipeline runs over any monetary column): distribution
+    // of the first significant digit of the order totals against the
+    // log10(1+1/d) law. The expected ppm values are computed once in Scala
+    // and inlined as identical integer literals into both engines (the
+    // HLL linear-counting-table pattern), so the whole row — observed,
+    // expected, deviation — is exact integer arithmetic. One hash agg to 9
+    // rows plus a 1-row total cross-joined back; nothing scales with rows.
+    GraftQuery("prof_benford",
+      s"""WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+         |           FROM orders WHERE o_totalprice > 0),
+         |g AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         |             CAST(count(*) AS BIGINT) AS n
+         |      FROM c GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g),
+         |b(digit, exp_ppm) AS (VALUES ${BenfordPpm.zipWithIndex
+            .map { case (p, i) => s"(${i + 1}, ${p}::BIGINT)" }.mkString(", ")})
+         |SELECT b.digit, coalesce(g.n, 0) AS n,
+         |       CAST(coalesce(g.n, 0) * 1000000 // t.total AS BIGINT) AS obs_ppm,
+         |       b.exp_ppm,
+         |       CAST(coalesce(g.n, 0) * 1000000 // t.total - b.exp_ppm AS BIGINT) AS dev_ppm
+         |FROM b LEFT JOIN g ON g.digit = b.digit CROSS JOIN t
+         |ORDER BY b.digit""".stripMargin) { (spark, sfDir) =>
+      import spark.implicits._
+      val g = orders(spark, sfDir)
+        .filter(col("o_totalprice") > 0)
+        .select(substring(floor(col("o_totalprice") * 100).cast("long")
+          .cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val t = g.agg(sum("n").as("total"))
+      val b = BenfordPpm.zipWithIndex
+        .map { case (p, i) => ((i + 1).toLong, p) }.toDF("digit", "exp_ppm")
+      b.join(g, Seq("digit"), "left").join(broadcast(t))
+        .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+          expr("coalesce(n, 0) * 1000000 DIV total").as("obs_ppm"),
+          col("exp_ppm"),
+          expr("coalesce(n, 0) * 1000000 DIV total - exp_ppm").as("dev_ppm"))
+        .orderBy("digit")
     }
   )
 }

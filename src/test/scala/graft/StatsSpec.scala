@@ -196,6 +196,88 @@ class StatsSpec extends AnyFunSuite with CacheDrained {
     }
   }
 
+  test("prof_benford: digit masses and both ppm columns recompute exactly") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = SparkEntry.queries("prof_benford")(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == (1L to 9L), "all nine digits, ordered")
+    val cents = Tables.orders(spark, TestSpark.Sf)
+      .filter(col("o_totalprice") > 0)
+      .select(floor(col("o_totalprice") * 100).cast("long")).as[Long].collect()
+    val byDigit = cents.groupBy(_.toString.head.asDigit.toLong)
+      .view.mapValues(_.length.toLong).toMap
+    val total = cents.length.toLong
+    rows.foreach { case (d, n, obs, exp, dev) =>
+      assert(n == byDigit.getOrElse(d, 0L), s"digit $d count")
+      assert(obs == n * 1000000L / total && dev == obs - exp, s"digit $d ppm")
+      assert(exp == math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong, s"digit $d law")
+    }
+  }
+
+  test("cdc_asof_snapshot agrees with the cdc_scd2 interval containing T") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val hist = SparkEntry.queries("cdc_scd2")(spark, TestSpark.Sf)
+      .select("user_id", "state", "valid_from_us", "valid_to_us", "version")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) Long.MaxValue else r.getLong(3), r.getLong(4)))
+    val froms = hist.map(_._3)
+    val t0 = (froms.min + froms.max) / 2
+    val expect = hist.filter(h => h._3 <= t0 && h._4 > t0)
+      .map(h => (h._1, h._2, h._3, h._5)).sortBy(_._1)
+    val got = SparkEntry.queries("cdc_asof_snapshot")(spark, TestSpark.Sf)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == expect.toSeq, "snapshot must be the interval containing T")
+  }
+
+  test("events_markov_predict: train argmax and eval accuracy replay exactly") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // driver replay of the session-bounded transitions + midpoint split
+    val ev = Tables.events(spark, TestSpark.Sf)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+      .as[(Long, String, Long, Long)].collect()
+    val pairs = ev.groupBy(_._1).values.flatMap { g =>
+      val s = g.sortBy(e => (e._4, e._2, e._3))
+      s.zip(s.tail).collect { case (a, b) if b._4 - a._4 < 1800000000L =>
+        (a._2, b._2, b._4 / 86400000000L)
+      }
+    }.toSeq
+    val split = (pairs.map(_._3).min + pairs.map(_._3).max) / 2
+    val train = pairs.filter(_._3 < split)
+    val pred = train.groupBy(p => (p._1, p._2)).view.mapValues(_.size).toSeq
+      .groupBy(_._1._1).map { case (src, cs) =>
+        src -> cs.map { case ((_, dst), c) => (dst, c) }
+          .sortBy { case (dst, c) => (-c, dst) }.head._1
+      }
+    val eval = pairs.filter(_._3 >= split).filter(p => pred.contains(p._1))
+    val expect = eval.groupBy(_._1).map { case (src, es) =>
+      val correct = es.count(_._2 == pred(src))
+      (src, pred(src), es.size.toLong, correct.toLong,
+        correct.toLong * 1000000L / es.size)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("events_markov_predict")(spark, TestSpark.Sf)
+      .as[(String, String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == expect, s"got $got expected $expect")
+  }
+
+  test("events_dow_profile: shares are a floor-partition of unity; masses conserve") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = SparkEntry.queries("events_dow_profile")(spark, TestSpark.Sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val nEvents = Tables.events(spark, TestSpark.Sf).count()
+    assert(rows.map(_._4).sum == nEvents, "event mass conserved")
+    rows.groupBy(_._1).foreach { case (t, g) =>
+      val s = g.map(_._6).sum
+      assert(s <= 1000000L && s > 1000000L - 7, s"type $t share sum $s")
+      assert(g.map(_._2).toSet.subsetOf((0L to 6L).toSet))
+    }
+  }
+
   test("events_mad_outliers: median/MAD recompute exactly; fence is one-sided robust") {
     val spark = TestSpark.spark
     val rows = SparkEntry.queries("events_mad_outliers")(spark, TestSpark.Sf)
