@@ -40,6 +40,8 @@ object DedupOps {
   val SnmWindow = 6
   val NumPerms = 32
   val NumBands = 16 // × 2 rows per band
+  /** calibration audit floor: pairs with exact Jaccard ≥ 0.2 (in ppm) */
+  val CalibMinPpm = 200000L
 
   /** Byte-gated broadcast bound for the component frame in
     * train_split_safe (the SimilarityOps.BroadcastMaxVectors pattern):
@@ -212,6 +214,57 @@ object DedupOps {
         .select(col("a"), col("b"),
           (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jacc"))
         .filter(col("jacc") >= JaccardThreshold)
+        .orderBy("a", "b")
+    },
+
+    // MinHash calibration audit: estimated vs exact Jaccard for every pair
+    // with exact similarity ≥ 0.2 — the measurement a dedup pipeline runs
+    // before trusting a signature length (est error ~ 1/√perms; 32 perms
+    // → σ ≈ 0.09, so err_ppm should sit within ~±200k for most pairs, and
+    // the spec pins the mean absolute error under that bound). The
+    // signature is the SAME deterministic permutation family as the
+    // production path (MinHashSig codegen expression), replayed in the
+    // oracle as 32 unrolled min() aggregates over the shared shingle CTE —
+    // so the estimate itself, not just the exact value, is hash-checked
+    // across engines. All ppm arithmetic is integer-exact; the ≥0.2 gate
+    // compares i·1e6 ≥ floor·union to avoid doubles entirely.
+    GraftQuery("dedup_minhash_calib",
+      s"""WITH $ShinglesCte,
+         |$PairCte,
+         |cand AS (SELECT inter.ida AS a, inter.idb AS b,
+         |           CAST(inter.i * 1000000 // (sa.n + sb.n - inter.i) AS BIGINT) AS jacc_ppm
+         |         FROM inter JOIN sizes sa ON sa.doc_id = inter.ida
+         |                    JOIN sizes sb ON sb.doc_id = inter.idb
+         |         WHERE inter.i * 1000000 >= $CalibMinPpm * (sa.n + sb.n - inter.i)),
+         |sig AS (SELECT doc_id, ${(0 until NumPerms).map(j =>
+             s"min((${permA(j)} * (h % $P) + ${permB(j)}) % $P) AS s$j").mkString(", ")}
+         |        FROM shf GROUP BY doc_id)
+         |SELECT c.a, c.b, c.jacc_ppm,
+         |  CAST((${(0 until NumPerms).map(j =>
+             s"CASE WHEN x.s$j = y.s$j THEN 1 ELSE 0 END").mkString(" + ")})
+         |       * 1000000 // $NumPerms AS BIGINT) AS est_ppm,
+         |  CAST((${(0 until NumPerms).map(j =>
+             s"CASE WHEN x.s$j = y.s$j THEN 1 ELSE 0 END").mkString(" + ")})
+         |       * 1000000 // $NumPerms - c.jacc_ppm AS BIGINT) AS err_ppm
+         |FROM cand c JOIN sig x ON x.doc_id = c.a JOIN sig y ON y.doc_id = c.b
+         |ORDER BY a, b""".stripMargin) { (spark, sfDir) =>
+      val s = docShingles(spark, sfDir)
+      val sig = s.select(col("doc_id"),
+        graft.functions.MinHashSig.minhashSig(col("sh"), NumPerms).as("sig"))
+      val cand = pairIntersections(s)
+        .filter(col("i") * 1000000L >= lit(CalibMinPpm) * (col("na") + col("nb") - col("i")))
+        .select(col("a"), col("b"),
+          expr("i * 1000000 DIV (na + nb - i)").as("jacc_ppm"))
+      cand
+        .join(sig.select(col("doc_id").as("a"), col("sig").as("siga")), Seq("a"))
+        .join(sig.select(col("doc_id").as("b"), col("sig").as("sigb")), Seq("b"))
+        .withColumn("matches", aggregate(
+          zip_with(col("siga"), col("sigb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v))
+        .select(col("a"), col("b"), col("jacc_ppm"),
+          expr(s"matches * 1000000 DIV $NumPerms").as("est_ppm"),
+          expr(s"matches * 1000000 DIV $NumPerms - jacc_ppm").as("err_ppm"))
         .orderBy("a", "b")
     },
 

@@ -115,6 +115,114 @@ object LayoutOps {
           expr(s"cum_before DIV $CompactTarget").as("grp_id"))
         .agg(count(lit(1)).as("n_files"), sum("length").as("grp_bytes"))
         .orderBy("parent_directory", "grp_id")
+    },
+
+    // Data-skipping effectiveness, measured: lineitem cut into 16 EQUAL-
+    // FREQUENCY blocks (exactly what a writer produces — sort by the
+    // layout key, cut every n/16 rows; rank via the distributed two-phase
+    // rank, no global window) under the Z-ORDER layout vs a plain 1-D
+    // (orderkey) sort. Both dimensions are RANGE-NORMALIZED to 16 bits
+    // before interleaving ((x·65536) DIV (max+1) — the real writer's move:
+    // raw interleave of unequal-width columns parks the narrow column's
+    // bits below the wide one's, and the block cut then never sees them),
+    // then probed with 8 deterministic l_partkey ranges
+    // (data-derived: range i starts at max_pk·i/9, width max_pk/32). A
+    // block survives a probe if its [pk_min, pk_max] zone map overlaps the
+    // range — exactly the parquet footer min/max pruning rule — so
+    // z_blocks·z_rows vs lin_blocks·lin_rows is the scan cost a 100 TB
+    // reader pays under each layout for a filter on the NON-leading
+    // dimension (the 1-D layout prunes nothing: every block spans the
+    // whole partkey range). All stats frames are 16 rows; the only
+    // corpus-sized work is the two rank passes that build the zone maps
+    // and one broadcast non-equi probe join for the exact row counts.
+    GraftQuery("layout_prune_sim",
+      s"""WITH mx AS (SELECT max(l_partkey) AS mp, max(l_orderkey) AS mo FROM lineitem),
+         |z AS (SELECT l_partkey, l_orderkey,
+         |        ${zorderSql("(l_partkey * 65536 // (mx.mp + 1))",
+                             "(l_orderkey * 65536 // (mx.mo + 1))")} AS zkey
+         |      FROM lineitem, mx),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+         |zr AS (SELECT l_partkey,
+         |         row_number() OVER (ORDER BY zkey, l_partkey, l_orderkey) AS rn
+         |       FROM z),
+         |zb AS (SELECT (rn - 1) * 16 // nn.n AS b,
+         |         CAST(min(l_partkey) AS BIGINT) AS pk_min,
+         |         CAST(max(l_partkey) AS BIGINT) AS pk_max,
+         |         CAST(count(*) AS BIGINT) AS n
+         |       FROM zr, nn GROUP BY 1),
+         |lr AS (SELECT l_partkey,
+         |         row_number() OVER (ORDER BY l_orderkey, l_partkey) AS rn
+         |       FROM lineitem),
+         |lb AS (SELECT (rn - 1) * 16 // nn.n AS b,
+         |         CAST(min(l_partkey) AS BIGINT) AS pk_min,
+         |         CAST(max(l_partkey) AS BIGINT) AS pk_max,
+         |         CAST(count(*) AS BIGINT) AS n
+         |       FROM lr, nn GROUP BY 1),
+         |pm AS (SELECT max(l_partkey) AS mpk FROM lineitem),
+         |pr AS (SELECT i, (mpk * i) // 9 AS lo, (mpk * i) // 9 + mpk // 32 AS hi
+         |       FROM (SELECT unnest(generate_series(1, 8)) AS i) ii CROSS JOIN pm),
+         |zh AS (SELECT pr.i, CAST(count(*) AS BIGINT) AS z_blocks,
+         |         CAST(sum(zb.n) AS BIGINT) AS z_rows
+         |       FROM pr JOIN zb ON zb.pk_max >= pr.lo AND zb.pk_min <= pr.hi
+         |       GROUP BY pr.i),
+         |lh AS (SELECT pr.i, CAST(count(*) AS BIGINT) AS lin_blocks,
+         |         CAST(sum(lb.n) AS BIGINT) AS lin_rows
+         |       FROM pr JOIN lb ON lb.pk_max >= pr.lo AND lb.pk_min <= pr.hi
+         |       GROUP BY pr.i),
+         |ex AS (SELECT pr.i, CAST(count(*) AS BIGINT) AS n_match
+         |       FROM pr JOIN lineitem l
+         |         ON l.l_partkey BETWEEN pr.lo AND pr.hi GROUP BY pr.i)
+         |SELECT CAST(pr.i AS BIGINT) AS probe, CAST(pr.lo AS BIGINT) AS lo,
+         |       CAST(pr.hi AS BIGINT) AS hi,
+         |       coalesce(zh.z_blocks, 0) AS z_blocks,
+         |       coalesce(zh.z_rows, 0) AS z_rows,
+         |       coalesce(lh.lin_blocks, 0) AS lin_blocks,
+         |       coalesce(lh.lin_rows, 0) AS lin_rows,
+         |       coalesce(ex.n_match, 0) AS n_match
+         |FROM pr LEFT JOIN zh ON zh.i = pr.i LEFT JOIN lh ON lh.i = pr.i
+         |        LEFT JOIN ex ON ex.i = pr.i
+         |ORDER BY probe""".stripMargin) { (spark, sfDir) =>
+      val li = lineitem(spark, sfDir).select(col("l_partkey"), col("l_orderkey"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(li)
+      val nRows = li.count()
+      val mx = li.agg(max("l_partkey").as("mp"), max("l_orderkey").as("mo"))
+      val z = li.join(broadcast(mx))
+        .select(col("l_partkey"), col("l_orderkey"),
+          zorder2(expr("l_partkey * 65536 DIV (mp + 1)"),
+            expr("l_orderkey * 65536 DIV (mo + 1)")).as("zkey"))
+      val zb = TwoPhaseRank.rowNumber(z, "rn", -1,
+          col("zkey").asc, col("l_partkey").asc, col("l_orderkey").asc)
+        .groupBy(expr(s"(rn - 1) * 16 DIV $nRows").as("b"))
+        .agg(min("l_partkey").as("pk_min"), max("l_partkey").as("pk_max"),
+          count(lit(1)).as("n"))
+      val lb = TwoPhaseRank.rowNumber(li, "rn", -1,
+          col("l_orderkey").asc, col("l_partkey").asc)
+        .groupBy(expr(s"(rn - 1) * 16 DIV $nRows").as("b"))
+        .agg(min("l_partkey").as("pk_min"), max("l_partkey").as("pk_max"),
+          count(lit(1)).as("n"))
+      val pm = li.agg(max("l_partkey").as("mpk"))
+      val pr = spark.range(1, 9).toDF("i").join(broadcast(pm))
+        .select(col("i"), expr("(mpk * i) DIV 9").as("lo"),
+          expr("(mpk * i) DIV 9 + mpk DIV 32").as("hi"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(pr)
+      val zh = pr.join(zb, zb("pk_max") >= pr("lo") && zb("pk_min") <= pr("hi"))
+        .groupBy("i").agg(count(lit(1)).as("z_blocks"), sum("n").as("z_rows"))
+      val lh = pr.join(lb, lb("pk_max") >= pr("lo") && lb("pk_min") <= pr("hi"))
+        .groupBy("i").agg(count(lit(1)).as("lin_blocks"), sum("n").as("lin_rows"))
+      val ex = li.join(broadcast(pr),
+          col("l_partkey") >= col("lo") && col("l_partkey") <= col("hi"))
+        .groupBy("i").agg(count(lit(1)).as("n_match"))
+      pr.join(zh, Seq("i"), "left").join(lh, Seq("i"), "left")
+        .join(ex, Seq("i"), "left")
+        .select(col("i").as("probe"), col("lo"), col("hi"),
+          coalesce(col("z_blocks"), lit(0L)).as("z_blocks"),
+          coalesce(col("z_rows"), lit(0L)).as("z_rows"),
+          coalesce(col("lin_blocks"), lit(0L)).as("lin_blocks"),
+          coalesce(col("lin_rows"), lit(0L)).as("lin_rows"),
+          coalesce(col("n_match"), lit(0L)).as("n_match"))
+        .orderBy("probe")
     }
   )
 }

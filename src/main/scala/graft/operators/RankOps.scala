@@ -431,6 +431,45 @@ object RankOps {
         .select(col("u").as("item"), col("rnk").cast("long").as("rnk"),
           col("v").as("neighbor"), col("cooc"), col("score_ppm"))
         .orderBy("item", "rnk")
+    },
+
+    // Degree assortativity (Newman 2002) of the co-purchase graph: the
+    // Pearson correlation of endpoint degrees over the directed edge list
+    // (each undirected edge counted both ways — the standard convention,
+    // which also makes sx ≡ sy and sxx ≡ syy so only three sums ship).
+    // Negative r = hub-and-spoke (hubs link to leaves), positive r = rich-
+    // club. This is the one-number diagnostic read BEFORE trusting
+    // degree-based thresholds elsewhere in the family (orientation cutoffs,
+    // link-predict hub gates). Consumes the memoized edge cache; two hash
+    // aggs + one join, exact integer moments, r rounded to 6 places
+    // identically in both engines. Overflow bound: Σd² over directed edges
+    // ≤ m·d_max² — safe past 1e9 edges at d_max 1e4 (document-scale hubs).
+    GraftQuery("graph_assortativity",
+      """WITH ue AS MATERIALIZED (SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+        |      FROM lineitem l1 JOIN lineitem l2
+        |        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+        |e AS MATERIALIZED (SELECT u AS a, v AS b FROM ue UNION ALL SELECT v, u FROM ue),
+        |deg AS MATERIALIZED (SELECT a, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY a),
+        |p AS (SELECT da.d AS x, db.d AS y
+        |      FROM e JOIN deg da ON da.a = e.a JOIN deg db ON db.a = e.b),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |        CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+        |      FROM p)
+        |SELECT n AS n_dedges, sx, sxx, sxy,
+        |       round((n * sxy - sx * sx) / (n * sxx - sx * sx) * 1.0, 6) AS r6
+        |FROM m""".stripMargin) { (spark, sfDir) =>
+      val ue = coPurchaseEdges(spark, sfDir)
+      val e = ue.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(ue.select(col("v").as("a"), col("u").as("b")))
+      val deg = e.groupBy("a").agg(count(lit(1)).as("d"))
+      e.join(deg.select(col("a"), col("d").as("x")), Seq("a"))
+        .join(deg.select(col("a").as("b"), col("d").as("y")), Seq("b"))
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+        .select(col("n").as("n_dedges"), col("sx"), col("sxx"), col("sxy"),
+          round((col("n") * col("sxy") - col("sx") * col("sx")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+            .as("r6"))
     })
 
   /** LPA rounds as chained CTEs: gather per-(node, label) neighbor counts,

@@ -741,6 +741,63 @@ object TextOps {
         .agg(min("h").as("min_fp"), max("h").as("max_fp"),
           countDistinct("h").as("n_shingles"))
         .orderBy("doc_id")
+    },
+
+    // Corpus concentration audit: how much of the corpus mass sits in the
+    // largest documents — the Lorenz-curve deciles (and one driver-side
+    // subtraction from a Gini) a data-mixing pipeline reads before
+    // deciding length caps / sampling temperature. Docs rank by size
+    // descending through the DISTRIBUTED two-phase rank (no global
+    // window), the decile is the exact arithmetic NTILE (the orders_rfm
+    // kernel with 10 tiles), and shares/cumulative shares are integer ppm
+    // over the bounded 10-row frame. Decile 1 = the biggest docs; its
+    // share_ppm IS the "top-10% concentration" headline number.
+    GraftQuery("corpus_concentration",
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(n_chars) AS BIGINT) AS total FROM documents),
+        |r AS (SELECT n_chars,
+        |        row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+        |      FROM documents),
+        |d AS (SELECT CASE WHEN rn <= (nn.n % 10) * (nn.n // 10 + 1)
+        |               THEN (rn + nn.n // 10) // (nn.n // 10 + 1)
+        |               ELSE (nn.n % 10) + (rn - (nn.n % 10) * (nn.n // 10 + 1)
+        |                    + nn.n // 10 - 1) // (nn.n // 10) END AS decile,
+        |             n_chars, nn.total
+        |      FROM r, nn),
+        |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(n_chars) AS BIGINT) AS chars,
+        |        CAST(sum(n_chars) * 1000000 // max(total) AS BIGINT) AS share_ppm
+        |      FROM d GROUP BY decile)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_docs, chars, share_ppm,
+        |  CAST(sum(chars) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    * 1000000 // (SELECT total FROM nn) AS BIGINT) AS cum_share_ppm
+        |FROM g ORDER BY decile""".stripMargin) { (spark, sfDir) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = docs(spark, sfDir).select("doc_id", "n_chars")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(base)
+      val (n, total) = {
+        val r = base.agg(count(lit(1)), sum("n_chars")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      require(n >= 10, s"concentration deciles need >= 10 docs, got $n")
+      val q = n / 10; val rr = n % 10
+      val ranked = TwoPhaseRank.rowNumber(base, "rn", -1,
+        col("n_chars").desc, col("doc_id").asc)
+      val g = ranked.select(col("n_chars"),
+          expr(s"CASE WHEN rn <= ${rr * (q + 1)} THEN (rn + $q) DIV ${q + 1} " +
+            s"ELSE $rr + (rn - ${rr * (q + 1)} + ${q - 1}) DIV $q END").as("decile"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"),
+          expr(s"sum(n_chars) * 1000000 DIV $total").as("share_ppm"))
+      val w = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("cum_chars", sum("chars").over(w))
+        .withColumn("cum_share_ppm", expr(s"cum_chars * 1000000 DIV $total"))
+        .select(col("decile").cast("long").as("decile"), col("n_docs"),
+          col("chars"), col("share_ppm"), col("cum_share_ppm"))
+        .orderBy("decile")
     }
   )
 }

@@ -91,4 +91,29 @@ class LayoutSpec extends AnyFunSuite {
     assert(z("y") < oneD("y") / 2,
       "z-order did not materially narrow the trailing dimension")
   }
+
+  test("layout_prune_sim: zone maps never drop matches; linear baseline replays exactly") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = SparkEntry.queries("layout_prune_sim")(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == 8)
+    // driver replay of the LINEAR layout: sort by (orderkey, partkey),
+    // cut 16 equal-frequency blocks, prune on [pk_min, pk_max] overlap
+    val li = Tables.lineitem(spark, TestSpark.Sf)
+      .select("l_orderkey", "l_partkey").as[(Long, Long)].collect()
+    val sorted = li.sortBy(identity).map(_._2)
+    val n = sorted.length
+    val blocks = sorted.zipWithIndex
+      .groupBy { case (_, i) => i.toLong * 16 / n }
+      .view.mapValues(g => (g.map(_._1).min, g.map(_._1).max, g.length.toLong)).toMap
+    rows.foreach { case (probe, lo, hi, zb, zr, lb, lr, m) =>
+      assert(m <= zr && m <= lr, s"probe $probe: pruning dropped matching rows")
+      assert(zb <= 16 && lb <= 16)
+      val surv = blocks.values.filter { case (mn, mx, _) => mx >= lo && mn <= hi }
+      assert(lb == surv.size && lr == surv.map(_._3).sum, s"probe $probe linear replay")
+      assert(m == li.count { case (_, pk) => pk >= lo && pk <= hi },
+        s"probe $probe exact count")
+    }
+  }
 }

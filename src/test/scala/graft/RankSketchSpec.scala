@@ -349,6 +349,25 @@ class RankSketchSpec extends AnyFunSuite with CacheDrained {
     assert(got == raw, s"triangle $got vs raw $raw")
   }
 
+  test("graph_assortativity: moments replay from a driver edge build; r in [-1, 1]") {
+    import org.apache.spark.sql.functions._
+    val row = SparkEntry.queries("graph_assortativity")(spark, TestSpark.Sf).head()
+    val (n, sx, sxx, sxy, r6) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getDouble(4))
+    val li = Tables.lineitem(spark, TestSpark.Sf)
+      .select("l_orderkey", "l_partkey").as[(Long, Long)].collect()
+    val pairs = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val directed = pairs.toSeq.flatMap(p => Seq(p, p.swap))
+    val deg = directed.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val xy = directed.map { case (a, b) => (deg(a), deg(b)) }
+    assert(n == directed.size && sx == xy.map(_._1).sum)
+    assert(sxx == xy.map(t => t._1 * t._1).sum && sxy == xy.map(t => t._1 * t._2).sum)
+    assert(r6 >= -1.0 && r6 <= 1.0, s"assortativity $r6 out of range")
+  }
+
   test("stats_rolling_robust: quantiles recompute from the trailing frames") {
     val rows = SparkEntry.queries("stats_rolling_robust")(spark, TestSpark.Sf)
       .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)

@@ -278,6 +278,41 @@ class StatsSpec extends AnyFunSuite with CacheDrained {
     }
   }
 
+  test("dedup_minhash_calib: estimator is calibrated (bounded mean error, exact algebra)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = SparkEntry.queries("dedup_minhash_calib")(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty, "calibration needs candidate pairs at this sf")
+    rows.foreach { case (a, b, jacc, est, err) =>
+      assert(a < b && jacc >= 200000L && jacc <= 1000000L)
+      assert(est >= 0L && est <= 1000000L && est % (1000000L / 32) == 0,
+        s"est must be k/32 in ppm floor units: $est")
+      assert(err == est - jacc)
+    }
+    val mae = rows.map(r => math.abs(r._5)).sum / rows.length
+    assert(mae <= 150000L, s"32-perm MinHash MAE $mae ppm is out of calibration")
+  }
+
+  test("corpus_concentration: deciles partition the corpus; Lorenz curve is sane") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = SparkEntry.queries("corpus_concentration")(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 10L))
+    val (nDocs, total) = {
+      val r = Tables.documents(spark, TestSpark.Sf)
+        .agg(count(lit(1)), sum("n_chars")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(rows.map(_._2).sum == nDocs && rows.map(_._3).sum == total)
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1, "equal-frequency deciles")
+    // decile 1 = biggest docs: per-decile mass and the curve both decrease
+    assert(rows.sliding(2).forall(p => p(0)._3 >= p(1)._3), "mass non-increasing")
+    assert(rows.last._5 == 1000000L, "cumulative share ends at exactly 1e6 ppm")
+    assert(rows.sliding(2).forall(p => p(0)._5 <= p(1)._5), "cum share monotone")
+  }
+
   test("events_mad_outliers: median/MAD recompute exactly; fence is one-sided robust") {
     val spark = TestSpark.spark
     val rows = SparkEntry.queries("events_mad_outliers")(spark, TestSpark.Sf)
