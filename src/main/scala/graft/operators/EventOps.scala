@@ -780,6 +780,51 @@ object EventOps {
         .select(col("event_type"), col("dow"), col("n_days"), col("n_events"),
           col("cents"), expr("n_events * 1000000 DIV tot").as("share_ppm"))
         .orderBy("event_type", "dow")
+    },
+
+    // Conversion-latency distribution: days from signup to FIRST purchase,
+    // as a histogram with the cumulative conversion CDF in ppm — the
+    // funnel-latency read (median time-to-convert, share converting within
+    // a week) that events_funnel's step counts can't answer. Two per-user
+    // hash aggs + one join; the histogram frame is bounded by the
+    // observation window, so the CDF window is the documented bounded-
+    // frame global window.
+    GraftQuery("events_time_to_convert",
+      """WITH e AS (SELECT user_id, event_type,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d FROM events),
+        |s AS (SELECT user_id, min(d) AS sd FROM e
+        |      WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (SELECT e.user_id, min(e.d) AS pd
+        |      FROM e JOIN s ON s.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.d >= s.sd
+        |      GROUP BY e.user_id),
+        |g AS (SELECT p.pd - s.sd AS k FROM p JOIN s ON s.user_id = p.user_id),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nconv FROM g),
+        |h AS (SELECT k, CAST(count(*) AS BIGINT) AS n_users FROM g GROUP BY k)
+        |SELECT CAST(k AS BIGINT) AS latency_days, n_users,
+        |  CAST(sum(n_users) OVER (ORDER BY k
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    * 1000000 // (SELECT nconv FROM n) AS BIGINT) AS cum_ppm
+        |FROM h ORDER BY latency_days""".stripMargin) { (spark, sfDir) =>
+      val e = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("d"))
+      val s = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("d").as("sd"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(s, "user_id").filter(col("d") >= col("sd"))
+        .groupBy("user_id").agg(min("d").as("pd"), min("sd").as("sd0"))
+      val g = p.select((col("pd") - col("sd0")).as("k"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(g)
+      val nconv = g.count()
+      val w = Window.orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.groupBy("k").agg(count(lit(1)).as("n_users"))
+        .withColumn("cum", sum("n_users").over(w))
+        .select(col("k").as("latency_days"), col("n_users"),
+          expr(s"cum * 1000000 DIV $nconv").as("cum_ppm"))
+        .orderBy("latency_days")
     }
   )
 }

@@ -577,6 +577,78 @@ object ExtraAggOps {
           col("exp_ppm"),
           expr("coalesce(n, 0) * 1000000 DIV total - exp_ppm").as("dev_ppm"))
         .orderBy("digit")
+    },
+
+    // Declarative data-quality rule engine — the constraint sweep a
+    // warehouse runs on every load (the Deequ/expectations shape): each
+    // rule is (violation predicate, checked population), evaluated as
+    // plain aggregates and unioned into one report with exact ppm rates.
+    // Orphan/childless checks are anti-joins (null-safe: a NULL key can
+    // never "match", so it counts as an orphan, which is the right DQ
+    // reading); uniqueness is a grouped HAVING. Zero rows violate on this
+    // synthetic corpus for most rules — the report proving that IS the
+    // product. One job, no driver loops; every rule frame is 1 row.
+    GraftQuery("dq_violations",
+      """WITH r1 AS (SELECT 'lineitem_orphan_order' AS rule,
+        |        CAST((SELECT count(*) FROM lineitem l
+        |              WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                                WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_viol,
+        |        CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_checked),
+        |r2 AS (SELECT 'order_no_lineitems' AS rule,
+        |        CAST((SELECT count(*) FROM orders o
+        |              WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |                                WHERE l.l_orderkey = o.o_orderkey)) AS BIGINT),
+        |        CAST((SELECT count(*) FROM orders) AS BIGINT)),
+        |r3 AS (SELECT 'order_orphan_customer' AS rule,
+        |        CAST((SELECT count(*) FROM orders o
+        |              WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                                WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+        |        CAST((SELECT count(*) FROM orders) AS BIGINT)),
+        |r4 AS (SELECT 'customer_dup_key' AS rule,
+        |        CAST((SELECT coalesce(sum(c), 0) FROM (
+        |          SELECT count(*) AS c FROM customer GROUP BY c_custkey
+        |          HAVING count(*) > 1)) AS BIGINT),
+        |        CAST((SELECT count(*) FROM customer) AS BIGINT)),
+        |r5 AS (SELECT 'order_nonpositive_total' AS rule,
+        |        CAST((SELECT count(*) FROM orders WHERE o_totalprice <= 0) AS BIGINT),
+        |        CAST((SELECT count(*) FROM orders) AS BIGINT)),
+        |r6 AS (SELECT 'lineitem_qty_range' AS rule,
+        |        CAST((SELECT count(*) FROM lineitem
+        |              WHERE l_quantity NOT BETWEEN 1 AND 50) AS BIGINT),
+        |        CAST((SELECT count(*) FROM lineitem) AS BIGINT)),
+        |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL
+        |      SELECT * FROM r3 UNION ALL SELECT * FROM r4 UNION ALL
+        |      SELECT * FROM r5 UNION ALL SELECT * FROM r6)
+        |SELECT rule, n_viol, n_checked,
+        |       CAST(n_viol * 1000000 // n_checked AS BIGINT) AS viol_ppm
+        |FROM u ORDER BY rule""".stripMargin) { (spark, sfDir) =>
+      val li = lineitem(spark, sfDir)
+      val o = orders(spark, sfDir)
+      val c = customer(spark, sfDir)
+      def report(rule: String, viol: org.apache.spark.sql.DataFrame,
+          checked: org.apache.spark.sql.DataFrame) =
+        viol.agg(count(lit(1)).as("n_viol"))
+          .join(checked.agg(count(lit(1)).as("n_checked")))
+          .select(lit(rule).as("rule"), col("n_viol"), col("n_checked"))
+      val dup = c.groupBy("c_custkey").agg(count(lit(1)).as("cc"))
+        .filter(col("cc") > 1)
+        .agg(coalesce(sum("cc"), lit(0L)).as("n_viol"))
+        .join(c.agg(count(lit(1)).as("n_checked")))
+        .select(lit("customer_dup_key").as("rule"), col("n_viol"), col("n_checked"))
+      Seq(
+        report("lineitem_orphan_order",
+          li.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti"), li),
+        report("order_no_lineitems",
+          o.join(li, col("o_orderkey") === col("l_orderkey"), "left_anti"), o),
+        report("order_orphan_customer",
+          o.join(c, col("o_custkey") === col("c_custkey"), "left_anti"), o),
+        dup,
+        report("order_nonpositive_total", o.filter(col("o_totalprice") <= 0), o),
+        report("lineitem_qty_range",
+          li.filter(!col("l_quantity").between(1, 50)), li))
+        .reduce(_ unionByName _)
+        .withColumn("viol_ppm", expr("n_viol * 1000000 DIV n_checked"))
+        .orderBy("rule")
     }
   )
 }

@@ -174,5 +174,51 @@ object RetrievalOps {
         .agg(expr("array_join(transform(array_sort(" +
           "collect_list(struct(rn, s))), x -> x.s), ',')").as("postings"))
         .orderBy("tok")
+    },
+
+    // Phrase query over a POSITIONAL index — the retrieval operator
+    // conjunctive search can't express: "t1 t2" matches only where the
+    // terms are ADJACENT, i.e. postings(t1) ⋈ postings(t2) on
+    // (doc, pos+1 = pos). The phrase is data-derived (the corpus's most
+    // frequent bigram, ties lexicographic) so the query is deterministic
+    // at any sf. The engine realizes the positional merge as a window
+    // lead() per document (positions are dense, so lead ≡ the pos+1 join,
+    // with ONE exchange keyed by doc instead of a posting self-join); at
+    // index-serving scale the same plan runs over the two terms' postings
+    // only — the bigram frame here doubles as the phrase-frequency table
+    // the query planner's selectivity estimate would read.
+    GraftQuery("text_search_phrase",
+      s"""WITH d AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks
+         |           FROM documents),
+         |tok AS (SELECT doc_id, list_extract(toks, i) AS tok, i FROM (
+         |          SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+         |          FROM d)),
+         |bg AS (SELECT a.doc_id, a.tok AS t1, b.tok AS t2
+         |       FROM tok a JOIN tok b
+         |         ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+         |q AS (SELECT t1, t2 FROM (
+         |        SELECT t1, t2, count(*) AS c FROM bg GROUP BY t1, t2)
+         |      ORDER BY c DESC, t1, t2 LIMIT 1)
+         |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |FROM bg JOIN q ON q.t1 = bg.t1 AND q.t2 = bg.t2
+         |GROUP BY bg.doc_id
+         |ORDER BY n_hits DESC, doc_id LIMIT $TopK""".stripMargin) { (spark, sfDir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("i")
+      val bg = Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          posexplode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+            .as(Seq("i", "t1")))
+        .withColumn("t2", lead("t1", 1).over(w))
+        .filter(col("t2").isNotNull)
+        .select("doc_id", "t1", "t2")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(bg)
+      val q = bg.groupBy("t1", "t2").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t1"), col("t2")).limit(1)
+        .select("t1", "t2")
+      bg.join(broadcast(q), Seq("t1", "t2"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        .orderBy(col("n_hits").desc, col("doc_id")).limit(TopK)
     })
 }

@@ -1580,6 +1580,85 @@ object SimilarityOps {
           sum(col("xm") * col("xm")).as("ss_mq"),
           min("xq").as("min_q"), max("xq").as("max_q"))
         .orderBy("i")
+    },
+
+    // Quantization quality audit: recall@TopK of INT8 brute-force search
+    // against float brute-force — the measurement that licenses shipping
+    // the 4x-smaller index sim_quantize_int8 builds (at 100 TB the
+    // embedding tier's memory bill is the binding constraint, so this
+    // number decides the fleet size). The int8 side's scores are exact
+    // integer dot products over per-vector-scaled codes (ranking by
+    // qdot/(|qa||qb|) — per-vector scales cancel out of the ordering),
+    // so unlike a float dot the candidate order cannot drift with
+    // partial-aggregation order; the float side reuses the shared
+    // bruteForce ground truth. Same per-query recall row shape as
+    // sim_ann_recall, so the two audits read side by side.
+    GraftQuery("sim_quant_recall",
+      s"""WITH m AS (SELECT vec_id,
+         |        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx,
+         |        embedding FROM embeddings),
+         |qn AS (SELECT vec_id,
+         |        list_transform(embedding,
+         |          x -> CAST(floor(CAST(x AS DOUBLE) * 127 / mx) AS BIGINT)) AS q
+         |      FROM m),
+         |qv AS (SELECT vec_id, q,
+         |        sqrt(CAST(list_sum(list_transform(q, v -> v * v)) AS DOUBLE)) AS nrm
+         |      FROM qn),
+         |iq AS (SELECT vec_id AS qid, q AS qa, nrm AS na FROM qv
+         |       WHERE vec_id < $NumQueries),
+         |ip AS (SELECT iq.qid, c.vec_id AS nid,
+         |         round(CAST(list_sum(list_transform(generate_series(1, len(c.q)),
+         |             i -> iq.qa[i] * c.q[i])) AS DOUBLE) / (iq.na * c.nrm), 6) AS sim6
+         |       FROM qv c, iq WHERE c.vec_id <> iq.qid),
+         |it AS (SELECT qid, nid FROM (
+         |         SELECT qid, nid, row_number() OVER (PARTITION BY qid
+         |           ORDER BY sim6 DESC, nid) AS rnk FROM ip) WHERE rnk <= $TopK),
+         |bq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |       WHERE vec_id < $NumQueries),
+         |bp AS (SELECT bq.qid, e.vec_id AS nid,
+         |        list_sum(list_transform(generate_series(1, len(e.embedding)),
+         |          i -> CAST(bq.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS dp,
+         |        sqrt(list_sum(list_transform(generate_series(1, len(bq.qe)),
+         |          i -> CAST(bq.qe[i] AS DOUBLE) * CAST(bq.qe[i] AS DOUBLE)))) AS nq,
+         |        sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+         |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) AS ne
+         |      FROM embeddings e, bq WHERE e.vec_id <> bq.qid),
+         |br AS (SELECT qid, nid,
+         |        row_number() OVER (PARTITION BY qid
+         |                           ORDER BY round(dp / (nq * ne), 6) DESC, nid) AS rnk
+         |      FROM bp),
+         |brute AS (SELECT qid, nid FROM br WHERE rnk <= $TopK),
+         |hit AS (SELECT brute.qid, CAST(count(it.nid) AS BIGINT) AS n_hit
+         |        FROM brute LEFT JOIN it ON it.qid = brute.qid AND it.nid = brute.nid
+         |        GROUP BY brute.qid)
+         |SELECT qid, n_hit, (n_hit * 100) // $TopK AS recall_pct
+         |FROM hit ORDER BY qid""".stripMargin) { (spark, sfDir) =>
+      val base = embeddings(spark, sfDir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("ed"))
+        .withColumn("mx", array_max(transform(col("ed"), x => abs(x))))
+        .withColumn("q", transform(col("ed"),
+          x => floor(x * lit(127) / col("mx")).cast("long")))
+        .withColumn("nrm",
+          sqrt(aggregate(col("q"), lit(0L), (a, v) => a + v * v).cast("double")))
+        .select("vec_id", "q", "nrm")
+      val iq = base.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("q").as("qa"), col("nrm").as("na"))
+      val w = Window.partitionBy("qid").orderBy(col("sim6").desc, col("nid"))
+      val it = base.select(col("vec_id").as("nid"), col("q").as("qc"), col("nrm").as("nn"))
+        .join(broadcast(iq), col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"),
+          round(aggregate(zip_with(col("qa"), col("qc"), (a, b) => a * b),
+            lit(0L), (a, v) => a + v).cast("double") / (col("na") * col("nn")), 6)
+            .as("sim6"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+        .select(col("qid"), col("nid"), lit(1).as("hit"))
+      bruteForce(spark, sfDir).select("qid", "nid")
+        .join(it, Seq("qid", "nid"), "left_outer")
+        .groupBy("qid").agg(count(col("hit")).as("n_hit"))
+        .select(col("qid"), col("n_hit"),
+          expr(s"(n_hit * 100) DIV $TopK").as("recall_pct"))
+        .orderBy("qid")
     }
   )
 

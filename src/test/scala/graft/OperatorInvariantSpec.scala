@@ -92,6 +92,74 @@ class OperatorInvariantSpec extends AnyFunSuite with CacheDrained {
     assert(got == expected, s"AND semantics drifted: got $got expected $expected")
   }
 
+  test("text_search_phrase counts adjacent-bigram occurrences exactly") {
+    val spark = TestSpark.spark
+    val docs = Tables.documents(spark, TestSpark.Sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> "[a-z0-9]+".r.findAllIn(r.getString(1)).toSeq)
+    val bigrams = docs.flatMap { case (id, ts) =>
+      ts.zip(ts.drop(1)).map(bg => (id, bg))
+    }
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    bigrams.foreach { case (_, bg) => counts(bg) = counts.getOrElse(bg, 0L) + 1L }
+    val phrase = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.head._1
+    val perDoc = bigrams.filter(_._2 == phrase)
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val expect = perDoc.toSeq.sortBy { case (id, n) => (-n, id) }.take(20)
+    val got = SparkEntry.queries("text_search_phrase")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect, s"phrase $phrase: got $got expected $expect")
+  }
+
+  test("dq_violations: every rule replays from independent driver recomputes") {
+    val spark = TestSpark.spark
+    val got = SparkEntry.queries("dq_violations")(spark, TestSpark.Sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val li = Tables.lineitem(spark, TestSpark.Sf)
+      .select("l_orderkey", "l_quantity").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val ok = Tables.orders(spark, TestSpark.Sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ck = Tables.customer(spark, TestSpark.Sf)
+      .select("c_custkey").collect().map(_.getLong(0))
+    val orderKeys = ok.map(_._1).toSet
+    val custKeys = ck.toSet
+    val liKeys = li.map(_._1).toSet
+    def chk(rule: String, viol: Long, checked: Long): Unit = {
+      assert(got(rule) == ((viol, checked, viol * 1000000L / checked)), s"rule $rule")
+    }
+    chk("lineitem_orphan_order", li.count(l => !orderKeys(l._1)).toLong, li.length.toLong)
+    chk("order_no_lineitems", ok.count(o => !liKeys(o._1)).toLong, ok.length.toLong)
+    chk("order_orphan_customer", ok.count(o => !custKeys(o._2)).toLong, ok.length.toLong)
+    chk("customer_dup_key",
+      ck.groupBy(identity).values.filter(_.length > 1).map(_.length.toLong).sum,
+      ck.length.toLong)
+    chk("order_nonpositive_total", ok.count(_._3 <= 0).toLong, ok.length.toLong)
+    chk("lineitem_qty_range",
+      li.count(l => l._2 < 1 || l._2 > 50).toLong, li.length.toLong)
+  }
+
+  test("events_time_to_convert: CDF is monotone, ends at 1e6, mass equals converters") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("events_time_to_convert")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq, "CDF monotone")
+    assert(rows.last._3 == 1000000L, "CDF ends at exactly 1e6 ppm")
+    // independent converter count: users with a purchase at/after first signup
+    val e = Tables.events(spark, TestSpark.Sf)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("d"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val sd = e.filter(_._2 == "signup").groupBy(_._1).view.mapValues(_.map(_._3).min)
+    val conv = e.filter(_._2 == "purchase")
+      .filter(p => sd.get(p._1).exists(_ <= p._3)).map(_._1).distinct.length
+    assert(rows.map(_._2).sum == conv.toLong, "histogram mass = converter count")
+  }
+
   test("events_cusum equals the sequential max(0, S+dev) recurrence replay") {
     val spark = TestSpark.spark
     val rows = SparkEntry.queries("events_cusum")(spark, TestSpark.Sf)

@@ -376,4 +376,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"IVF-PQ degenerated to all-pairs:\n$p")
   }
+
+  test("sim_quant_recall: one row per query, int8 search stays calibrated") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = SparkEntry.queries("sim_quant_recall")(spark, TestSpark.Sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == 20, "one recall row per query")
+    rows.foreach { case (_, nHit, pct) =>
+      assert(nHit >= 0 && nHit <= 10 && pct == nHit * 100 / 10)
+    }
+    val mean = rows.map(_._3).sum / rows.length
+    assert(mean >= 70, s"int8 brute-force mean recall $mean% — quantization broke ranking")
+  }
 }
