@@ -217,6 +217,45 @@ object DedupOps {
         .orderBy("a", "b")
     },
 
+    // Per-source duplication report: which ingest sources carry the
+    // near-dup mass — the triage table a crawl pipeline reads to decide
+    // WHERE to spend dedup budget (a source at 30% dup rate gets a
+    // crawler fix; one at 0.1% doesn't). Doc-level dup membership =
+    // appearing in ≥1 threshold pair (either side of the shared pair
+    // frame, distinct'ed); the per-source rollup is bounded by the source
+    // vocabulary. Everything reuses the family's cached shingle/pair
+    // machinery — no new corpus pass.
+    GraftQuery("dedup_rate_by_source",
+      s"""WITH $ShinglesCte,
+         |$PairCte,
+         |pairs AS (SELECT inter.ida AS a, inter.idb AS b FROM inter
+         |          JOIN sizes sa ON sa.doc_id = inter.ida
+         |          JOIN sizes sb ON sb.doc_id = inter.idb
+         |          WHERE CAST(inter.i AS DOUBLE) / (sa.n + sb.n - inter.i)
+         |                >= $JaccardThreshold),
+         |dup AS (SELECT DISTINCT doc_id FROM (
+         |          SELECT a AS doc_id FROM pairs
+         |          UNION ALL SELECT b FROM pairs)),
+         |g AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(count(dup.doc_id) AS BIGINT) AS n_dup
+         |      FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id
+         |      GROUP BY d.source)
+         |SELECT source, n_docs, n_dup,
+         |       CAST(n_dup * 1000000 // n_docs AS BIGINT) AS dup_ppm
+         |FROM g ORDER BY source""".stripMargin) { (spark, sfDir) =>
+      val pairs = thresholdPairs(spark, sfDir)
+      val dup = pairs.select(col("a").as("doc_id"))
+        .unionByName(pairs.select(col("b").as("doc_id")))
+        .distinct().withColumn("isdup", lit(1L))
+      Tables.documents(spark, sfDir).select("doc_id", "source")
+        .join(dup, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), count(col("isdup")).as("n_dup"))
+        .select(col("source"), col("n_docs"), col("n_dup"),
+          expr("n_dup * 1000000 DIV n_docs").as("dup_ppm"))
+        .orderBy("source")
+    },
+
     // MinHash calibration audit: estimated vs exact Jaccard for every pair
     // with exact similarity ≥ 0.2 — the measurement a dedup pipeline runs
     // before trusting a signature length (est error ~ 1/√perms; 32 perms

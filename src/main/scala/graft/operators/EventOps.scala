@@ -825,6 +825,46 @@ object EventOps {
         .select(col("k").as("latency_days"), col("n_users"),
           expr(s"cum * 1000000 DIV $nconv").as("cum_ppm"))
         .orderBy("latency_days")
+    },
+
+    // STREAMING twin of events_time_to_convert: per-user O(1) state
+    // (first signup day + emitted flag) converts the latency measurement
+    // into an incremental operator — each user's (user_id, k) row appends
+    // exactly once, at conversion time, and the drained rows aggregate to
+    // the identical histogram/CDF, oracled against the same SQL. At
+    // stream scale the state never grows past one row per user and the
+    // emitted frame is converters-only.
+    GraftQuery("stream_time_to_convert",
+      """WITH e AS (SELECT user_id, event_type,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d FROM events),
+        |s AS (SELECT user_id, min(d) AS sd FROM e
+        |      WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (SELECT e.user_id, min(e.d) AS pd
+        |      FROM e JOIN s ON s.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.d >= s.sd
+        |      GROUP BY e.user_id),
+        |g AS (SELECT p.pd - s.sd AS k FROM p JOIN s ON s.user_id = p.user_id),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nconv FROM g),
+        |h AS (SELECT k, CAST(count(*) AS BIGINT) AS n_users FROM g GROUP BY k)
+        |SELECT CAST(k AS BIGINT) AS latency_days, n_users,
+        |  CAST(sum(n_users) OVER (ORDER BY k
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    * 1000000 // (SELECT nconv FROM n) AS BIGINT) AS cum_ppm
+        |FROM h ORDER BY latency_days""".stripMargin) { (spark, sfDir) =>
+      val emitted = graft.streaming.StreamOps.runAppendToCompletion(
+        graft.streaming.StreamOps.timeToConvert(spark,
+          graft.streaming.StreamOps.eventStream(spark, sfDir)),
+        s"stream_ttc_${streamRunId.incrementAndGet()}")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(emitted)
+      val nconv = emitted.count()
+      val w = Window.orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      emitted.groupBy("k").agg(count(lit(1)).as("n_users"))
+        .withColumn("cum", sum("n_users").over(w))
+        .select(col("k").as("latency_days"), col("n_users"),
+          expr(s"cum * 1000000 DIV $nconv").as("cum_ppm"))
+        .orderBy("latency_days")
     }
   )
 }

@@ -117,6 +117,46 @@ object RelationalOps {
         .orderBy("event_id")
     },
 
+    // Nearest-event join (the two-sided, tolerance-bounded as-of variant):
+    // each purchase matches its user's CLOSEST view within ±1 hour —
+    // |view ts − purchase ts| minimized, ties to the earlier view then
+    // lower event id, unmatched purchases dropped. Backward as-of
+    // (join_asof) answers "state at time t"; nearest answers "the reading
+    // attributable to t" (sensor alignment, attribution snapping). Scale
+    // shape: the tolerance makes the range join BANDED (both sides also
+    // equi-keyed by user), and the per-purchase argmin is the rank-limit
+    // pattern the heap operator serves.
+    GraftQuery("join_asof_nearest",
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |p AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'view'),
+        |j AS (SELECT p.event_id, v.event_id AS view_id,
+        |        abs(v.us - p.us) AS adiff_us,
+        |        row_number() OVER (PARTITION BY p.event_id
+        |          ORDER BY abs(v.us - p.us), v.us, v.event_id) AS rn
+        |      FROM p JOIN v ON v.user_id = p.user_id
+        |        AND abs(v.us - p.us) <= 3600000000)
+        |SELECT event_id, view_id, CAST(adiff_us AS BIGINT) AS adiff_us
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin) { (spark, sfDir) =>
+      val e = events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us").as("pus"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("us").as("vus"))
+      val w = Window.partitionBy("event_id")
+        .orderBy(col("adiff_us"), col("vus"), col("view_id"))
+      p.join(v, Seq("user_id"))
+        .filter(abs(col("vus") - col("pus")) <= 3600000000L)
+        .withColumn("adiff_us", abs(col("vus") - col("pus")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("event_id", "view_id", "adiff_us")
+        .orderBy("event_id")
+    },
+
     // cross join (small × small only)
     GraftQuery("join_cross",
       """SELECT r_name, n_name FROM region CROSS JOIN nation

@@ -129,6 +129,48 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Language-ID EVALUATION: the confusion matrix of text_langid's
+    // stopword-vote prediction against the corpus's ground-truth lang
+    // column — the quality gate a pipeline reads before trusting the
+    // classifier for mixture weighting (es/zh have no stopword table, so
+    // the matrix shows exactly where their mass lands — the known-unknown
+    // a 3-language model must surface, not hide). One row per (true,
+    // predicted) cell with the within-truth share in exact ppm; the frame
+    // is bounded by langs² at any corpus size.
+    GraftQuery("text_lang_confusion",
+      s"""WITH t AS (SELECT lang,
+         |    regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
+         |h AS (SELECT lang,
+         |    ${hitsSql("toks", StopEn)} AS e,
+         |    ${hitsSql("toks", StopDe)} AS d,
+         |    ${hitsSql("toks", StopFr)} AS f FROM t),
+         |p AS (SELECT lang,
+         |    CASE WHEN e >= d AND e >= f THEN 'en'
+         |         WHEN d >= f THEN 'de' ELSE 'fr' END AS pred_lang FROM h),
+         |g AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+         |      FROM p GROUP BY lang, pred_lang),
+         |tt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tot FROM g GROUP BY lang)
+         |SELECT g.lang, g.pred_lang, g.n,
+         |       CAST(g.n * 1000000 // tt.tot AS BIGINT) AS share_ppm
+         |FROM g JOIN tt USING (lang)
+         |ORDER BY g.lang, g.pred_lang""".stripMargin) { (spark, sfDir) =>
+      val p = docs(spark, sfDir)
+        .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+        .select(col("lang"),
+          hits(col("toks"), StopEn).as("e"),
+          hits(col("toks"), StopDe).as("d"),
+          hits(col("toks"), StopFr).as("f"))
+        .withColumn("pred_lang",
+          when(col("e") >= col("d") && col("e") >= col("f"), "en")
+            .when(col("d") >= col("f"), "de").otherwise("fr"))
+      val g = p.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      val tt = g.groupBy("lang").agg(sum("n").as("tot"))
+      g.join(broadcast(tt), "lang")
+        .select(col("lang"), col("pred_lang"), col("n"),
+          expr("n * 1000000 DIV tot").as("share_ppm"))
+        .orderBy("lang", "pred_lang")
+    },
+
     // token counting: whitespace split vs BPE-ish regex segmentation
     GraftQuery("text_token_count",
       """SELECT doc_id,

@@ -306,6 +306,46 @@ object StreamOps {
     * with its accumulating micro-unit total — four longs, O(1) forever */
   final case class CusumSt(pf: Long, mn: Long, day: Long, acc: Long)
 
+  /** state for timeToConvert: first signup day seen (-1 = none yet) and
+    * whether the conversion latency was already emitted — O(1) per user,
+    * forever */
+  final case class ConvSt(sd: Long, done: Boolean)
+
+  /** streaming signup→first-purchase latency: emits one (user_id, k) row
+    * at the moment a user first purchases at/after their first signup —
+    * the incremental twin of events_time_to_convert's per-user aggs.
+    * Requires per-user day-ordered arrival across microbatches (the same
+    * convention as [[cusumDaily]]); within a batch rows sort by day with
+    * signups first, so a same-day signup+purchase converts (matching the
+    * batch form's d >= sd). */
+  def timeToConvert(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("d"),
+        col("event_type"))
+      .as[(Long, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[ConvSt, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, String)], state: GroupState[ConvSt]) =>
+          var st = state.getOption.getOrElse(ConvSt(-1L, done = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          rows.toArray
+            .sortBy { case (_, d, t) => (d, if (t == "signup") 0 else 1) }
+            .foreach { case (_, d, t) =>
+              if (t == "signup") { if (st.sd < 0) st = st.copy(sd = d) }
+              else if (st.sd >= 0 && !st.done && d >= st.sd) {
+                out += ((uid, d - st.sd)); st = st.copy(done = true)
+              }
+            }
+          state.update(st)
+          out.iterator
+      }
+      .toDF("user_id", "k")
+  }
+
   /** Streaming twin of the batch `events_cusum`: per-type one-sided CUSUM
     * over daily value totals, maintained incrementally against a
     * PRE-CALIBRATED reference (`refs`, stream-static joined — the real

@@ -160,6 +160,68 @@ class OperatorInvariantSpec extends AnyFunSuite with CacheDrained {
     assert(rows.map(_._2).sum == conv.toLong, "histogram mass = converter count")
   }
 
+  test("text_lang_confusion: cells partition the corpus; shares are exact ppm") {
+    val spark = TestSpark.spark
+    val rows = SparkEntry.queries("text_lang_confusion")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byLang = Tables.documents(spark, TestSpark.Sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_._3).sum == byLang.values.sum, "cells partition the corpus")
+    rows.groupBy(_._1).foreach { case (lang, cells) =>
+      val tot = cells.map(_._3).sum
+      assert(tot == byLang(lang), s"lang $lang row sum")
+      cells.foreach { case (_, _, n, ppm) =>
+        assert(ppm == n * 1000000L / tot, s"lang $lang share")
+      }
+    }
+    assert(rows.forall(r => Set("en", "de", "fr")(r._2)), "prediction range")
+  }
+
+  test("dedup_rate_by_source: dup mass equals the distinct members of the pair frame") {
+    val spark = TestSpark.spark
+    val rows = SparkEntry.queries("dedup_rate_by_source")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = Tables.documents(spark, TestSpark.Sf).count()
+    assert(rows.map(_._2).sum == nDocs, "sources partition the corpus")
+    rows.foreach { case (s, n, d, ppm) =>
+      assert(d <= n && ppm == d * 1000000L / n, s"source $s")
+    }
+    val dupIds = SparkEntry.queries("dedup_jaccard")(spark, TestSpark.Sf)
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct.length
+    assert(rows.map(_._3).sum == dupIds.toLong, "dup membership = pair-frame members")
+  }
+
+  test("join_asof_nearest: every match is the user's true argmin within tolerance") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("join_asof_nearest")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty, "tolerance window must produce matches at this sf")
+    val ev = Tables.events(spark, TestSpark.Sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val views = ev.filter(_._3 == "view").groupBy(_._2)
+    val tol = 3600000000L
+    val expect = ev.filter(_._3 == "purchase").flatMap { case (eid, uid, _, pus) =>
+      views.getOrElse(uid, Array.empty)
+        .map { case (vid, _, _, vus) => (math.abs(vus - pus), vus, vid) }
+        .filter(_._1 <= tol)
+        .sortBy(identity).headOption.map { case (ad, _, vid) => (eid, vid, ad) }
+    }.sortBy(_._1)
+    assert(got.toSeq == expect.toSeq, "nearest-match replay")
+  }
+
+  test("stream_time_to_convert equals the batch histogram row-for-row") {
+    val spark = TestSpark.spark
+    val batch = SparkEntry.queries("events_time_to_convert")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val stream = SparkEntry.queries("stream_time_to_convert")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(stream == batch, "incremental latency emission drifted from the batch aggs")
+  }
+
   test("events_cusum equals the sequential max(0, S+dev) recurrence replay") {
     val spark = TestSpark.spark
     val rows = SparkEntry.queries("events_cusum")(spark, TestSpark.Sf)
