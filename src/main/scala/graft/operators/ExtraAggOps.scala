@@ -649,6 +649,54 @@ object ExtraAggOps {
         .reduce(_ unionByName _)
         .withColumn("viol_ppm", expr("n_viol * 1000000 DIV n_checked"))
         .orderBy("rule")
+    },
+
+    // Collision-entropy profile of the categorical columns — the
+    // cardinality/uniformity audit a planner, partitioner or DQ monitor
+    // reads per column: exact row count, distinct count, collision mass
+    // Σc² (the quantity behind join fan-out estimates and Rényi-2
+    // entropy), and H₂ = log2(n²/Σc²) in millibits (equals log2(ndv)
+    // exactly when uniform; drops as the column skews). Σc² is exact
+    // integer; the single log2 runs on identical exact inputs in both
+    // engines, so the rounded millibits are bit-stable. One hash agg per
+    // column, each reduced to ONE row before the union — nothing scales
+    // with rows after the per-column aggregation.
+    GraftQuery("prof_collision",
+      """WITH c1 AS (SELECT 'customer.c_mktsegment' AS col_name, count(*) AS c
+        |            FROM customer GROUP BY c_mktsegment),
+        |c2 AS (SELECT 'orders.o_orderpriority', count(*) FROM orders GROUP BY o_orderpriority),
+        |c3 AS (SELECT 'orders.o_orderstatus', count(*) FROM orders GROUP BY o_orderstatus),
+        |c4 AS (SELECT 'events.event_type', count(*) FROM events GROUP BY event_type),
+        |c5 AS (SELECT 'documents.lang', count(*) FROM documents GROUP BY lang),
+        |c6 AS (SELECT 'documents.source', count(*) FROM documents GROUP BY source),
+        |u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3
+        |      UNION ALL SELECT * FROM c4 UNION ALL SELECT * FROM c5
+        |      UNION ALL SELECT * FROM c6),
+        |g AS (SELECT col_name, CAST(sum(c) AS BIGINT) AS n,
+        |        CAST(count(*) AS BIGINT) AS n_distinct,
+        |        CAST(sum(c * c) AS BIGINT) AS sum_c2
+        |      FROM u GROUP BY col_name)
+        |SELECT col_name, n, n_distinct, sum_c2,
+        |  CAST(round(1000 * log2(CAST(n AS DOUBLE) * n / sum_c2)) AS BIGINT) AS h2_millibits
+        |FROM g ORDER BY col_name""".stripMargin) { (spark, sfDir) =>
+      def colCounts(name: String, df: org.apache.spark.sql.DataFrame, c: String) =
+        df.groupBy(col(c)).agg(count(lit(1)).as("c"))
+          .select(lit(name).as("col_name"), col("c"))
+      Seq(
+        colCounts("customer.c_mktsegment", customer(spark, sfDir), "c_mktsegment"),
+        colCounts("orders.o_orderpriority", orders(spark, sfDir), "o_orderpriority"),
+        colCounts("orders.o_orderstatus", orders(spark, sfDir), "o_orderstatus"),
+        colCounts("events.event_type", graft.Tables.events(spark, sfDir), "event_type"),
+        colCounts("documents.lang", graft.Tables.documents(spark, sfDir), "lang"),
+        colCounts("documents.source", graft.Tables.documents(spark, sfDir), "source"))
+        .reduce(_ unionByName _)
+        .groupBy("col_name")
+        .agg(sum("c").as("n"), count(lit(1)).as("n_distinct"),
+          sum(col("c") * col("c")).as("sum_c2"))
+        .select(col("col_name"), col("n"), col("n_distinct"), col("sum_c2"),
+          round(lit(1000) * log2(col("n").cast("double") * col("n") / col("sum_c2")))
+            .cast("long").as("h2_millibits"))
+        .orderBy("col_name")
     }
   )
 }

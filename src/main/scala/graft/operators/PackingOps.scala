@@ -237,6 +237,66 @@ object PackingOps {
         .select(col("name"), col("chunk_off"),
           least(lit(20971520L), col("clen") - col("chunk_off")).as("chunk_len"))
         .orderBy("name", "chunk_off")
+    },
+
+    // Packing-quality report: bins used by next-fit in path order vs
+    // next-fit DECREASING (sort by size first — the classic cheap upgrade)
+    // against the capacity lower bound ⌈Σsize/cap⌉, with efficiency in
+    // exact ppm — the one-screen answer to "is the unit plan wasting
+    // boxes, and would sorting fix it". Oversize items (> cap) are
+    // excluded from both strategies and reported in their own column,
+    // matching pack_nextfit's unit-0 convention. The cumsum windows run on
+    // the DIRECTORY frame (bounded ≪ files; the row-scale next-fit lives
+    // in pack_nextfit_dist with the two-phase prefix sum).
+    GraftQuery("pack_quality", {
+      val cap = Capacity
+      s"""WITH $SizesCte,
+         |pk AS (SELECT size, CASE WHEN size > $cap THEN 0 ELSE size END AS psz,
+         |         CASE WHEN size > $cap THEN 1 ELSE 0 END AS ovr, path
+         |       FROM sizes),
+         |npc AS (SELECT CAST(sum(psz) OVER (ORDER BY path
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |        FROM pk WHERE psz > 0),
+         |np AS (SELECT max(cum // $cap + 1) AS bins FROM npc),
+         |ndc AS (SELECT CAST(sum(psz) OVER (ORDER BY size DESC, path
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |        FROM pk WHERE psz > 0),
+         |nd AS (SELECT max(cum // $cap + 1) AS bins FROM ndc),
+         |t AS (SELECT CAST(sum(psz) AS BIGINT) AS packable,
+         |        CAST(sum(ovr) AS BIGINT) AS n_oversize FROM pk),
+         |lb AS (SELECT (packable + $cap - 1) // $cap AS lo FROM t)
+         |SELECT s.strategy, s.bins, lb.lo AS lower_bound, t.n_oversize,
+         |       CAST(lb.lo * 1000000 // s.bins AS BIGINT) AS eff_ppm
+         |FROM (SELECT 'nextfit_path' AS strategy, CAST(bins AS BIGINT) AS bins FROM np
+         |      UNION ALL
+         |      SELECT 'nextfit_decreasing', CAST(bins AS BIGINT) FROM nd) s
+         |CROSS JOIN lb CROSS JOIN t
+         |ORDER BY strategy""".stripMargin
+    }) { (spark, sfDir) =>
+      val pk = dirSizes(spark, sfDir)
+        .select(col("path"), col("size"),
+          when(col("size") > Capacity, 0L).otherwise(col("size")).as("psz"),
+          when(col("size") > Capacity, 1L).otherwise(0L).as("ovr"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(pk)
+      def bins(order: Seq[org.apache.spark.sql.Column]) = {
+        val w = Window.orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pk.filter(col("psz") > 0)
+          .withColumn("cum", sum("psz").over(w))
+          .agg(max(expr(s"cum DIV ${Capacity}L") + 1).as("bins"))
+      }
+      val np = bins(Seq(col("path"))).select(lit("nextfit_path").as("strategy"), col("bins"))
+      val nd = bins(Seq(col("size").desc, col("path")))
+        .select(lit("nextfit_decreasing").as("strategy"), col("bins"))
+      val t = pk.agg(sum("psz").as("packable"), sum("ovr").as("n_oversize"))
+      np.unionByName(nd)
+        .join(broadcast(t))
+        .select(col("strategy"), col("bins"),
+          expr(s"(packable + ${Capacity}L - 1) DIV ${Capacity}L").as("lower_bound"),
+          col("n_oversize"))
+        .withColumn("eff_ppm", expr("lower_bound * 1000000 DIV bins"))
+        .orderBy("strategy")
     }
   )
 }

@@ -445,6 +445,40 @@ object StatsOps {
             expr("n - (n - 1) DIV 4").cast("int")).as("q3"))
         .withColumn("spike", col("x") > col("q3") + lit(3) * (col("q3") - col("q1")))
         .orderBy("day")
+    },
+
+    // A/B experiment readout: deterministic hash-bucket assignment
+    // (the portable H8 over the user key — the SAME assignment any engine
+    // in the stack derives, which is the property that makes server-side
+    // and warehouse-side analyses agree) and per-variant exact moments of
+    // the per-user purchase-cents metric. The t-statistic / CI is one
+    // driver-side formula away from (n, Σx, Σx²) — the engine ships the
+    // exact integers (the sim_dim_stats discipline). Overflow: per-user
+    // cents ≤ ~1e8 → squares ≤ 1e16, safe past 100M users per variant.
+    GraftQuery("events_ab_test",
+      s"""WITH u AS (SELECT user_id,
+         |        CAST(sum(CASE WHEN event_type = 'purchase'
+         |             THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents
+         |      FROM events GROUP BY user_id),
+         |v AS (SELECT ${graft.functions.PortableHash.h8Sql(
+                  "lpad(CAST(user_id AS VARCHAR), 8, '0')")} % 2 AS variant,
+         |        cents FROM u)
+         |SELECT CAST(variant AS BIGINT) AS variant,
+         |       CAST(count(*) AS BIGINT) AS n_users,
+         |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+         |       CAST(sum(cents * cents) AS BIGINT) AS sum_sq
+         |FROM v GROUP BY variant ORDER BY variant""".stripMargin) { (spark, sfDir) =>
+      val u = Tables.events(spark, sfDir)
+        .groupBy("user_id")
+        .agg(sum(when(col("event_type") === "purchase",
+          floor(col("value") * 100).cast("long")).otherwise(0L)).as("cents"))
+      u.select((graft.functions.PortableHash.h8(
+            lpad(col("user_id").cast("string"), 8, "0")) % 2).as("variant"),
+          col("cents"))
+        .groupBy("variant")
+        .agg(count(lit(1)).as("n_users"), sum("cents").as("sum_cents"),
+          sum(col("cents") * col("cents")).as("sum_sq"))
+        .orderBy("variant")
     }
   )
 }

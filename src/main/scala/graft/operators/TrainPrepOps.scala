@@ -583,6 +583,79 @@ object TrainPrepOps {
           "CAST(length(substring(text, CAST(1 + k * 150 AS INT), 200)) AS BIGINT) AS chunk_len",
           "md5(CAST(substring(text, CAST(1 + k * 150 AS INT), 200) AS BINARY)) AS chunk_md5")
         .orderBy("doc_id", "chunk_id")
+    },
+
+    // Budgeted data selection: keep the highest-quality documents whose
+    // cumulative token count fits a budget (half the corpus's tokens,
+    // data-derived) — the "best data under a token budget" op every
+    // pretraining mix ends with (the greedy prefix is optimal for a
+    // per-token quality objective). Quality = lexical diversity in ppm
+    // (distinct/total tokens), ties by doc_id; the global quality ordering
+    // uses the distributed two-phase rank and the budget prefix is ONE
+    // bounded window over per-rank-partition subtotals — same shape as
+    // pack_nextfit_dist, no single-partition cumsum. Report is per source:
+    // how the budget redistributes the mix (diversity-ranked selection
+    // systematically reweights sources — that's the number shipped).
+    GraftQuery("train_token_budget",
+      """WITH t AS (SELECT doc_id, source,
+        |        regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
+        |f AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS nt,
+        |        CASE WHEN len(toks) = 0 THEN 0
+        |             ELSE (1000000 * CAST(len(list_distinct(toks)) AS BIGINT))
+        |                  // CAST(len(toks) AS BIGINT) END AS score_ppm
+        |      FROM t),
+        |b AS (SELECT CAST(sum(nt) AS BIGINT) // 2 AS budget FROM f),
+        |r AS (SELECT f.*, row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS rn
+        |      FROM f),
+        |c AS (SELECT r.*, CAST(sum(nt) OVER (ORDER BY rn
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM r),
+        |sel AS (SELECT c.*, (cum <= (SELECT budget FROM b)) AS keep FROM c)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS tok_total,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sel,
+        |  CAST(sum(CASE WHEN keep THEN nt ELSE 0 END) AS BIGINT) AS tok_sel,
+        |  CAST(sum(CASE WHEN keep THEN nt ELSE 0 END) * 1000000
+        |       // CAST(sum(nt) AS BIGINT) AS BIGINT) AS sel_ppm
+        |FROM sel GROUP BY source ORDER BY source""".stripMargin) { (spark, sfDir) =>
+      import spark.implicits._
+      val f = Tables.documents(spark, sfDir)
+        .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+        .select(col("doc_id"), col("source"),
+          size(col("toks")).cast("long").as("nt"),
+          expr("CASE WHEN size(toks) = 0 THEN 0L ELSE " +
+            "(1000000 * CAST(size(array_distinct(toks)) AS BIGINT)) " +
+            "DIV CAST(size(toks) AS BIGINT) END").as("score_ppm"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(f)
+      val budget = f.agg(sum("nt")).head().getLong(0) / 2
+      // distributed rank by quality, then the budget prefix: per-partition
+      // token subtotals (bounded: one long per partition) provide the
+      // cross-partition offsets, the ROWS window runs within partitions
+      val ranked = TwoPhaseRank.rowNumber(f, "rn", -1,
+          col("score_ppm").desc, col("doc_id").asc)
+        .repartitionByRange(col("rn"))
+        .withColumn("__pid", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(ranked)
+      val offs = ranked.groupBy("__pid").agg(sum("nt").as("s"))
+        .orderBy("__pid").as[(Int, Long)].collect()
+      val offDf = offs.map(_._1)
+        .zip(offs.scanLeft(0L) { case (acc, (_, s)) => acc + s }.dropRight(1))
+        .toSeq.toDF("__pid", "__off")
+      val w = Window.partitionBy("__pid").orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ranked
+        .join(broadcast(offDf), Seq("__pid"))
+        .withColumn("keep", (sum("nt").over(w) + col("__off")) <= budget)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("tok_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_sel"),
+          sum(when(col("keep"), col("nt")).otherwise(0L)).as("tok_sel"))
+        .select(col("source"), col("n_docs"), col("tok_total"), col("n_sel"),
+          col("tok_sel"), expr("tok_sel * 1000000 DIV tok_total").as("sel_ppm"))
+        .orderBy("source")
     }
   )
 }

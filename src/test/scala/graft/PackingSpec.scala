@@ -92,4 +92,30 @@ class PackingSpec extends AnyFunSuite with CacheDrained {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got.toSeq == PackingOps.firstFit(sizes, PackingOps.Capacity))
   }
+
+  test("pack_quality: both strategies replay from a driver next-fit fold") {
+    val spark = TestSpark.spark
+    val rows = SparkEntry.queries("pack_quality")(spark, TestSpark.Sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val sizes = PackingOps.dirSizes(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val cap = PackingOps.Capacity
+    val packable = sizes.filter(_._2 <= cap).map(_._2)
+    def nfBins(order: Seq[Long]): Long = {
+      var cum = 0L
+      order.filter(_ > 0).map { s => cum += s; cum / cap + 1 }.max
+    }
+    val byPath = sizes.sortBy(_._1).filter(_._2 <= cap).map(_._2)
+    val bySize = sizes.filter(_._2 <= cap)
+      .sortBy { case (p, s) => (-s, p) }.map(_._2)
+    val lb = (packable.sum + cap - 1) / cap
+    val nOver = sizes.count(_._2 > cap).toLong
+    val (npB, npLb, npOv, npEff) = rows("nextfit_path")
+    val (ndB, ndLb, ndOv, ndEff) = rows("nextfit_decreasing")
+    assert(npB == nfBins(byPath) && ndB == nfBins(bySize), "bin counts replay")
+    assert(npLb == lb && ndLb == lb && npOv == nOver && ndOv == nOver)
+    assert(npEff == lb * 1000000L / npB && ndEff == lb * 1000000L / ndB)
+    assert(npB >= lb && ndB >= lb, "no strategy beats the capacity bound")
+  }
 }

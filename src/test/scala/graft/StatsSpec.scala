@@ -313,6 +313,51 @@ class StatsSpec extends AnyFunSuite with CacheDrained {
     assert(rows.sliding(2).forall(p => p(0)._5 <= p(1)._5), "cum share monotone")
   }
 
+  test("events_ab_test: hash assignment partitions users; moments replay exactly") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = SparkEntry.queries("events_ab_test")(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L), "two variants")
+    val users = Tables.events(spark, TestSpark.Sf)
+      .select("user_id").distinct().count()
+    assert(rows.map(_._2).sum == users, "every user lands in exactly one variant")
+    // per-user cents replay through the same portable hash
+    import org.apache.spark.sql.functions._
+    val u = Tables.events(spark, TestSpark.Sf)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase",
+        floor(col("value") * 100).cast("long")).otherwise(0L)).as("cents"))
+      .select((graft.functions.PortableHash.h8(
+          lpad(col("user_id").cast("string"), 8, "0")) % 2).as("v"), col("cents"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (v, n, s, sq) =>
+      val g = u.filter(_._1 == v).map(_._2)
+      assert(n == g.length && s == g.sum && sq == g.map(x => x * x).sum, s"variant $v")
+    }
+  }
+
+  test("prof_collision: H2 is bounded by log2(ndv) and the collision mass replays") {
+    val spark = TestSpark.spark
+    val rows = SparkEntry.queries("prof_collision")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.length == 6)
+    rows.foreach { case (cn, n, ndv, c2, h2) =>
+      assert(ndv >= 1 && c2 >= n && c2 <= n * n, s"$cn mass bounds")
+      assert(h2 <= math.round(1000 * math.log(ndv.toDouble) / math.log(2)) + 1,
+        s"$cn H2 exceeds uniform bound")
+      assert(h2 == math.round(1000 * math.log(n.toDouble * n / c2) / math.log(2)),
+        s"$cn H2 formula")
+    }
+    // one full driver replay: events.event_type
+    val counts = Tables.events(spark, TestSpark.Sf)
+      .groupBy("event_type").count().collect().map(_.getLong(1))
+    val r = rows.find(_._1 == "events.event_type").get
+    assert(r._2 == counts.sum && r._3 == counts.length.toLong &&
+      r._4 == counts.map(c => c * c).sum)
+  }
+
   test("events_mad_outliers: median/MAD recompute exactly; fence is one-sided robust") {
     val spark = TestSpark.spark
     val rows = SparkEntry.queries("events_mad_outliers")(spark, TestSpark.Sf)

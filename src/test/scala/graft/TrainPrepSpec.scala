@@ -262,4 +262,38 @@ class TrainPrepSpec extends AnyFunSuite with CacheDrained {
       }
     }
   }
+
+  test("train_token_budget: greedy prefix is budget-maximal and partitions per source") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("train_token_budget")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // driver replay of the ranked greedy prefix
+    val docs = Tables.documents(spark, TestSpark.Sf)
+      .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+      .select(col("doc_id"), col("source"), size(col("toks")).cast("long").as("nt"),
+        expr("CASE WHEN size(toks) = 0 THEN 0L ELSE " +
+          "(1000000 * CAST(size(array_distinct(toks)) AS BIGINT)) " +
+          "DIV CAST(size(toks) AS BIGINT) END").as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val budget = docs.map(_._3).sum / 2
+    val ranked = docs.sortBy { case (id, _, _, s) => (-s, id) }
+    var cum = 0L
+    val kept = ranked.takeWhile { case (_, _, nt, _) => cum += nt; cum <= budget }
+      .map(_._1).toSet
+    val bySrc = docs.groupBy(_._2)
+    rows.foreach { case (src, nDocs, tokTotal, nSel, tokSel, ppm) =>
+      val g = bySrc(src)
+      assert(nDocs == g.length && tokTotal == g.map(_._3).sum, s"$src totals")
+      val sel = g.filter(d => kept(d._1))
+      assert(nSel == sel.length && tokSel == sel.map(_._3).sum, s"$src selection")
+      assert(ppm == tokSel * 1000000L / tokTotal, s"$src share")
+    }
+    val selTok = rows.map(_._5).sum
+    assert(selTok <= budget, "selection fits the budget")
+    // greedy maximality: the first unselected ranked doc would overflow
+    val firstOut = ranked.find(d => !kept(d._1))
+    firstOut.foreach { d => assert(selTok + d._3 > budget, "prefix is maximal") }
+  }
 }
