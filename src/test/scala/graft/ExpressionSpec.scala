@@ -178,4 +178,19 @@ class ExpressionSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaExpr == viaComposed)
   }
+
+  test("h8Digits equals the string-form H8 over lpad'ed integer keys") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import graft.functions.PortableHash
+    // boundary-heavy key set: 0, single digits, powers of 10, 1e8-1
+    val keys = (Seq(0L, 1L, 9L, 10L, 99L, 100L, 12345L, 999999L, 1000000L,
+      99999999L) ++ (1L to 500L).map(_ * 199999L)).distinct
+    val df = spark.createDataFrame(keys.map(Tuple1(_))).toDF("k")
+    val bad = df.select(
+        PortableHash.h8(lpad(col("k").cast("string"), 8, "0")).as("s"),
+        PortableHash.h8Digits(col("k")).as("d"))
+      .filter(col("s") =!= col("d")).count()
+    assert(bad == 0L, "digit-form H8 drifted from the string form")
+  }
 }
