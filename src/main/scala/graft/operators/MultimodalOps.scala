@@ -71,6 +71,30 @@ object MultimodalOps {
       |       CAST(sum(CASE WHEN i < 32 THEN bit << i ELSE 0 END) AS BIGINT) AS h_lo
       |      FROM b GROUP BY b.doc_id)""".stripMargin
 
+  /** hamming ≤ [[PhashMaxDist]] phash pairs (a, b, dist) via the complete
+    * 4-band pigeonhole join — shared by the pair report and the cluster
+    * grouping (one banded join, never all-pairs) */
+  private def phashPairs(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    val ph = phashDf(spark, sfDir).select("doc_id", "h_hi", "h_lo")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.CacheTracker.track(ph)
+    val bands = ph.select(col("doc_id"), col("h_hi"), col("h_lo"),
+        explode(sequence(lit(0), lit(3))).as("k"))
+      .withColumn("bandval", expr(
+        "CASE WHEN k < 2 THEN (h_lo DIV shiftleft(CAST(1 AS BIGINT), k * 16)) % 65536 " +
+          "ELSE (h_hi DIV shiftleft(CAST(1 AS BIGINT), (k - 2) * 16)) % 65536 END"))
+    bands.alias("x").join(bands.alias("y"), Seq("k", "bandval"))
+      .select(col("x.doc_id").as("a"), col("x.h_hi").as("ahi"), col("x.h_lo").as("alo"),
+        col("y.doc_id").as("b"), col("y.h_hi").as("bhi"), col("y.h_lo").as("blo"))
+      .filter(col("a") < col("b"))
+      .distinct()
+      .select(col("a"), col("b"),
+        (bit_count(col("ahi").bitwiseXOR(col("bhi"))) +
+          bit_count(col("alo").bitwiseXOR(col("blo")))).cast("long").as("dist"))
+      .filter(col("dist") <= PhashMaxDist)
+  }
+
   /** decode → resample → average-hash, one codec pass per asset */
   private def phashDf(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): org.apache.spark.sql.DataFrame = {
@@ -338,24 +362,31 @@ object MultimodalOps {
         |      FROM hh a JOIN hh b ON a.doc_id < b.doc_id)
         |SELECT a, b, dist FROM d WHERE dist <= $PhashMaxDist
         |ORDER BY a, b""".stripMargin) { (spark, sfDir) =>
-      val ph = phashDf(spark, sfDir).select("doc_id", "h_hi", "h_lo")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.CacheTracker.track(ph)
-      val bands = ph.select(col("doc_id"), col("h_hi"), col("h_lo"),
-          explode(sequence(lit(0), lit(3))).as("k"))
-        .withColumn("bandval", expr(
-          "CASE WHEN k < 2 THEN (h_lo DIV shiftleft(CAST(1 AS BIGINT), k * 16)) % 65536 " +
-            "ELSE (h_hi DIV shiftleft(CAST(1 AS BIGINT), (k - 2) * 16)) % 65536 END"))
-      bands.alias("x").join(bands.alias("y"), Seq("k", "bandval"))
-        .select(col("x.doc_id").as("a"), col("x.h_hi").as("ahi"), col("x.h_lo").as("alo"),
-          col("y.doc_id").as("b"), col("y.h_hi").as("bhi"), col("y.h_lo").as("blo"))
-        .filter(col("a") < col("b"))
-        .distinct()
-        .select(col("a"), col("b"),
-          (bit_count(col("ahi").bitwiseXOR(col("bhi"))) +
-            bit_count(col("alo").bitwiseXOR(col("blo")))).cast("long").as("dist"))
-        .filter(col("dist") <= PhashMaxDist)
-        .orderBy("a", "b")
+      phashPairs(spark, sfDir).orderBy("a", "b")
+    },
+
+    // Near-dup IMAGE clusters: connected components over the phash
+    // pair graph — the asset-level dedup grouping a multimodal pipeline
+    // runs after pairing (the image twin of dedup_clusters; same label
+    // propagation with localCheckpoint hygiene, same recursive-CTE oracle).
+    // Output is one row per asset that participates in any near-dup pair,
+    // labeled with its component's minimum doc_id.
+    GraftQuery("multimodal_dup_clusters",
+      s"""WITH RECURSIVE $PhashCte,
+        |d AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |      FROM hh a JOIN hh b ON a.doc_id < b.doc_id
+        |      WHERE bit_count(xor(a.h_hi, b.h_hi))
+        |          + bit_count(xor(a.h_lo, b.h_lo)) <= $PhashMaxDist),
+        |edges AS (SELECT a, b FROM d UNION SELECT b, a FROM d),
+        |reach(src, dst) AS (
+        |  SELECT a AS src, b AS dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a)
+        |SELECT src AS doc_id, least(src, min(dst)) AS cluster
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin) { (spark, sfDir) =>
+      GraphOps.connectedComponents(phashPairs(spark, sfDir).select("a", "b"))
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy("doc_id")
     },
 
     // Windowed audio analysis over REAL decoded PCM — the audio analogue

@@ -470,6 +470,51 @@ object RankOps {
           round((col("n") * col("sxy") - col("sx") * col("sx")).cast("double") /
             (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
             .as("r6"))
+    },
+
+    // Reciprocity of the session-transition digraph — how much of the
+    // flow runs both ways (weighted: Σ min(n_uv, n_vu) over Σ n, counting
+    // unreciprocated edges as min 0; plus the unweighted edge-pair share).
+    // THE one-number probe of whether a directed model (PPR, funnels) is
+    // even warranted: reciprocity ≈ 1 means the digraph is effectively
+    // undirected. One self-join on the bounded (types²) edge frame.
+    GraftQuery("graph_reciprocity",
+      s"""WITH eb AS (SELECT event_id, user_id, event_type,
+         |        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         |l AS (SELECT user_id, event_type, us,
+         |        lag(event_type) OVER (PARTITION BY user_id
+         |          ORDER BY us, event_type, event_id) AS src,
+         |        lag(us) OVER (PARTITION BY user_id
+         |          ORDER BY us, event_type, event_id) AS prev_us
+         |      FROM eb),
+         |ed AS (SELECT src, event_type AS dst, CAST(count(*) AS BIGINT) AS n
+         |       FROM l WHERE src IS NOT NULL AND us - prev_us < ${EventOps.GapUs}
+         |         AND src <> event_type
+         |       GROUP BY src, event_type),
+         |j AS (SELECT a.src, a.dst, a.n,
+         |        coalesce(b.n, 0) AS rev_n
+         |      FROM ed a LEFT JOIN ed b ON b.src = a.dst AND b.dst = a.src)
+         |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         |       CAST(sum(CASE WHEN rev_n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_recip,
+         |       CAST(sum(n) AS BIGINT) AS w_total,
+         |       CAST(sum(least(n, rev_n)) AS BIGINT) AS w_recip,
+         |       CAST(sum(CASE WHEN rev_n > 0 THEN 1 ELSE 0 END) * 1000000
+         |            // count(*) AS BIGINT) AS edge_recip_ppm,
+         |       CAST(sum(least(n, rev_n)) * 1000000 // CAST(sum(n) AS BIGINT) AS BIGINT)
+         |         AS weight_recip_ppm
+         |FROM j""".stripMargin) { (spark, sfDir) =>
+      val ed = transitionEdges(spark, sfDir)
+        .filter(col("src") =!= col("dst"))
+      val j = ed.alias("a").join(
+          ed.select(col("src").as("rs"), col("dst").as("rd"), col("n").as("rev_n")),
+          col("rs") === col("a.dst") && col("rd") === col("a.src"), "left")
+        .select(col("a.n").as("n"), coalesce(col("rev_n"), lit(0L)).as("rev_n"))
+      j.agg(count(lit(1)).as("n_edges"),
+          sum(when(col("rev_n") > 0, 1L).otherwise(0L)).as("n_recip"),
+          sum("n").as("w_total"), sum(least(col("n"), col("rev_n"))).as("w_recip"))
+        .selectExpr("n_edges", "n_recip", "w_total", "w_recip",
+          "n_recip * 1000000 DIV n_edges AS edge_recip_ppm",
+          "w_recip * 1000000 DIV w_total AS weight_recip_ppm")
     })
 
   /** LPA rounds as chained CTEs: gather per-(node, label) neighbor counts,

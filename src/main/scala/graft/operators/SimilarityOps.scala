@@ -1659,6 +1659,57 @@ object SimilarityOps {
         .select(col("qid"), col("n_hit"),
           expr(s"(n_hit * 100) DIV $TopK").as("recall_pct"))
         .orderBy("qid")
+    },
+
+    // Embedding drift monitor: per-dimension mean shift between two
+    // corpus slices (vec_id parity stands in for old-batch/new-batch) —
+    // the check a serving pipeline runs before trusting yesterday's
+    // centroids/codebooks on today's vectors (a shifted dimension means
+    // re-fit before assign). Exact integer per-slice counts and
+    // 1e6-quantized sums; the per-slice mean is floor(sum/n) in micro
+    // units and the shift their absolute difference — engine-identical
+    // (all sums exact, division floored on non-negatives after the abs
+    // rearrangement... both engines truncate identically on the
+    // possibly-negative means via the floorDiv guard pattern: here means
+    // can be negative, so both sides compute floor via the same
+    // subtract-remainder identity). Output is dim rows at any corpus size.
+    GraftQuery("sim_embed_drift",
+      """WITH comps AS (SELECT vec_id % 2 AS slice, i - 1 AS i,
+        |        CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+        |      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) ii),
+        |g AS (SELECT slice, i, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(xq) AS BIGINT) AS s
+        |      FROM comps GROUP BY slice, i),
+        |m AS (SELECT i,
+        |        max(CASE WHEN slice = 0 THEN n END) AS n_a,
+        |        max(CASE WHEN slice = 0 THEN s END) AS s_a,
+        |        max(CASE WHEN slice = 1 THEN n END) AS n_b,
+        |        max(CASE WHEN slice = 1 THEN s END) AS s_b
+        |      FROM g GROUP BY i)
+        |SELECT CAST(i AS BIGINT) AS i, n_a, n_b,
+        |       CAST((s_a - ((s_a % n_a) + n_a) % n_a) // n_a AS BIGINT) AS mean_qa,
+        |       CAST((s_b - ((s_b % n_b) + n_b) % n_b) // n_b AS BIGINT) AS mean_qb,
+        |       abs(CAST((s_a - ((s_a % n_a) + n_a) % n_a) // n_a
+        |         - (s_b - ((s_b % n_b) + n_b) % n_b) // n_b AS BIGINT)) AS shift_q
+        |FROM m ORDER BY i""".stripMargin) { (spark, sfDir) =>
+      val g = embeddings(spark, sfDir)
+        .select((col("vec_id") % 2).as("slice"),
+          posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("slice"), col("i").cast("long").as("i"),
+          floor(col("x").cast("double") * 1000000).cast("long").as("xq"))
+        .groupBy("slice", "i")
+        .agg(count(lit(1)).as("n"), sum("xq").as("s"))
+      g.groupBy("i")
+        .agg(max(when(col("slice") === 0, col("n"))).as("n_a"),
+          max(when(col("slice") === 0, col("s"))).as("s_a"),
+          max(when(col("slice") === 1, col("n"))).as("n_b"),
+          max(when(col("slice") === 1, col("s"))).as("s_b"))
+        .selectExpr("i", "n_a", "n_b",
+          "(s_a - ((s_a % n_a) + n_a) % n_a) DIV n_a AS mean_qa",
+          "(s_b - ((s_b % n_b) + n_b) % n_b) DIV n_b AS mean_qb",
+          "abs((s_a - ((s_a % n_a) + n_a) % n_a) DIV n_a" +
+            " - (s_b - ((s_b % n_b) + n_b) % n_b) DIV n_b) AS shift_q")
+        .orderBy("i")
     }
   )
 

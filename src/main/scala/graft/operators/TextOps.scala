@@ -840,6 +840,52 @@ object TextOps {
         .select(col("decile").cast("long").as("decile"), col("n_docs"),
           col("chars"), col("share_ppm"), col("cum_share_ppm"))
         .orderBy("decile")
+    },
+
+    // Vocabulary coverage curve: what share of all token OCCURRENCES the
+    // top-k most frequent types cover, at k = 1/16, 1/8, 1/4, 1/2 of the
+    // type count (ceil, data-adaptive so the curve has shape at any sf) — the
+    // number a tokenizer budget decision reads (where the curve flattens
+    // is where growing the vocab stops paying) and the OOV-rate estimate
+    // for any fixed vocab size. Types rank by (count desc, token) through
+    // the distributed two-phase rank; each k's mass is one filtered
+    // aggregation over the ranked vocab (bounded ≪ corpus — the type
+    // table, not the token stream).
+    GraftQuery("text_vocab_coverage",
+      """WITH tok AS (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+        |             FROM documents),
+        |tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY tok),
+        |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+        |              CAST(count(*) AS BIGINT) AS n_types FROM tf),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rn FROM tf),
+        |ks AS (SELECT DISTINCT unnest([(n_types + 15) // 16, (n_types + 7) // 8,
+        |                      (n_types + 3) // 4, (n_types + 1) // 2]) AS k FROM tt)
+        |SELECT CAST(ks.k AS BIGINT) AS k, tt.n_types,
+        |       CAST(sum(CASE WHEN r.rn <= ks.k THEN r.cnt ELSE 0 END) AS BIGINT) AS covered,
+        |       CAST(sum(CASE WHEN r.rn <= ks.k THEN r.cnt ELSE 0 END)
+        |            * 1000000 // max(tt.total) AS BIGINT) AS coverage_ppm
+        |FROM r CROSS JOIN ks CROSS JOIN tt
+        |GROUP BY ks.k, tt.n_types ORDER BY k""".stripMargin) { (spark, sfDir) =>
+      val tf = docs(spark, sfDir)
+        .select(explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(tf)
+      val (total, nTypes) = {
+        val r = tf.agg(sum("cnt"), count(lit(1))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val ranked = TwoPhaseRank.rowNumber(tf, "rn", -1,
+        col("cnt").desc, col("tok").asc)
+      // data-adaptive vocab budgets: 1/16, 1/8, 1/4, 1/2 of the type count
+      // (ceil), so the curve has shape at any corpus scale
+      val ks = Seq(16L, 8L, 4L, 2L).map(d => (nTypes + d - 1) / d).distinct
+      ranked.join(broadcast(spark.createDataFrame(ks.map(Tuple1(_))).toDF("k")))
+        .groupBy("k")
+        .agg(sum(when(col("rn") <= col("k"), col("cnt")).otherwise(0L)).as("covered"))
+        .select(col("k"), lit(nTypes).as("n_types"), col("covered"),
+          expr(s"covered * 1000000 DIV $total").as("coverage_ppm"))
+        .orderBy("k")
     }
   )
 }

@@ -222,6 +222,69 @@ class OperatorInvariantSpec extends AnyFunSuite with CacheDrained {
     assert(stream == batch, "incremental latency emission drifted from the batch aggs")
   }
 
+  test("multimodal_dup_clusters: labels are a union-find replay of the pair graph") {
+    val spark = TestSpark.spark
+    val pairs = SparkEntry.queries("multimodal_phash_pairs")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = SparkEntry.queries("multimodal_dup_clusters")(spark, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver union-find over the pair list
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expect = members.map { m =>
+      val root = find(m)
+      m -> members.filter(x => find(x) == root).min
+    }.toMap
+    assert(got == expect, "component labels drifted from the union-find replay")
+  }
+
+  test("sim_embed_drift: per-slice means recompute from the raw vectors") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val rows = SparkEntry.queries("sim_embed_drift")(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == emb.head._2.length)
+    rows.foreach { case (i, nA, nB, mA, mB, shift) =>
+      def slice(par: Long) = emb.filter(_._1 % 2 == par)
+        .map(v => math.floor(v._2(i.toInt).toDouble * 1e6).toLong)
+      val (a, b) = (slice(0), slice(1))
+      assert(nA == a.length && nB == b.length, s"dim $i counts")
+      assert(mA == Math.floorDiv(a.sum, a.length) &&
+        mB == Math.floorDiv(b.sum, b.length), s"dim $i means")
+      assert(shift == math.abs(mA - mB), s"dim $i shift")
+    }
+  }
+
+  test("text_vocab_coverage: curve is monotone and recomputes from token counts") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("text_vocab_coverage")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val counts = Tables.documents(spark, TestSpark.Sf)
+      .select(explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("t"))
+      .groupBy("t").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val total = counts.map(_._2).sum
+    val ranked = counts.sortBy { case (t, c) => (-c, t) }.map(_._2)
+    rows.foreach { case (k, nTypes, covered, ppm) =>
+      assert(nTypes == counts.length.toLong)
+      assert(covered == ranked.take(k.toInt).sum, s"k=$k mass")
+      assert(ppm == covered * 1000000L / total, s"k=$k ppm")
+    }
+    assert(rows.sliding(2).forall(p => p(0)._3 <= p(1)._3), "coverage monotone in k")
+  }
+
   test("events_cusum equals the sequential max(0, S+dev) recurrence replay") {
     val spark = TestSpark.spark
     val rows = SparkEntry.queries("events_cusum")(spark, TestSpark.Sf)

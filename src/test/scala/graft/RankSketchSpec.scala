@@ -368,6 +368,31 @@ class RankSketchSpec extends AnyFunSuite with CacheDrained {
     assert(r6 >= -1.0 && r6 <= 1.0, s"assortativity $r6 out of range")
   }
 
+  test("graph_reciprocity: ppm shares replay from a driver fold of the edge list") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("graph_reciprocity")(spark, TestSpark.Sf).head()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us", "event_type", "event_id")
+    val ed = Tables.events(spark, TestSpark.Sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+      .withColumn("src", lag("event_type", 1).over(w))
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .filter(col("src").isNotNull &&
+        col("us") - col("prev_us") < graft.operators.EventOps.GapUs &&
+        col("src") =!= col("event_type"))
+      .groupBy(col("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect()
+    val m = ed.map { case (s, d, n) => (s, d) -> n }.toMap
+    val wRecip = ed.map { case (s, d, n) => math.min(n, m.getOrElse((d, s), 0L)) }.sum
+    val nRecip = ed.count { case (s, d, _) => m.contains((d, s)) }.toLong
+    assert(r.getLong(0) == ed.length.toLong && r.getLong(1) == nRecip)
+    assert(r.getLong(2) == ed.map(_._3).sum && r.getLong(3) == wRecip)
+    assert(r.getLong(4) == nRecip * 1000000L / ed.length &&
+      r.getLong(5) == wRecip * 1000000L / ed.map(_._3).sum)
+  }
+
   test("stats_rolling_robust: quantiles recompute from the trailing frames") {
     val rows = SparkEntry.queries("stats_rolling_robust")(spark, TestSpark.Sf)
       .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
