@@ -256,6 +256,65 @@ object DedupOps {
         .orderBy("source")
     },
 
+    // LSH banding audit: candidate-set precision AND recall of the
+    // 16-band × 2-row MinHash scheme against the exact Jaccard-≥τ truth —
+    // the two numbers that justify the banding shape (calibration says
+    // the ESTIMATOR is sound; this says the CANDIDATE GENERATOR is).
+    // n_fp is the wasted verification work, n_miss the silently lost
+    // duplicates. Both engines derive candidates from the same signature
+    // algebra (the oracle ORs the 16 band-equality conjuncts over the
+    // unrolled min() signature CTE), so even the probabilistic candidate
+    // set is hash-checked, not just its size.
+    GraftQuery("dedup_lsh_audit",
+      s"""WITH $ShinglesCte,
+         |$PairCte,
+         |exact AS (SELECT inter.ida AS a, inter.idb AS b FROM inter
+         |          JOIN sizes sa ON sa.doc_id = inter.ida
+         |          JOIN sizes sb ON sb.doc_id = inter.idb
+         |          WHERE CAST(inter.i AS DOUBLE) / (sa.n + sb.n - inter.i)
+         |                >= $JaccardThreshold),
+         |sig AS (SELECT doc_id, ${(0 until NumPerms).map(j =>
+             s"min((${permA(j)} * (h % $P) + ${permB(j)}) % $P) AS s$j").mkString(", ")}
+         |        FROM shf GROUP BY doc_id),
+         |cand AS (SELECT x.doc_id AS a, y.doc_id AS b
+         |         FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+         |         WHERE ${(0 until NumBands).map(b =>
+             s"(x.s${2 * b} = y.s${2 * b} AND x.s${2 * b + 1} = y.s${2 * b + 1})")
+             .mkString(" OR ")}),
+         |tp AS (SELECT c.a, c.b FROM cand c JOIN exact e ON e.a = c.a AND e.b = c.b),
+         |m AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+         |             (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_true,
+         |             (SELECT CAST(count(*) AS BIGINT) FROM tp) AS n_tp)
+         |SELECT n_cand, n_true, n_tp, n_cand - n_tp AS n_fp, n_true - n_tp AS n_miss,
+         |       CAST(n_tp * 1000000 // n_cand AS BIGINT) AS precision_ppm,
+         |       CAST(n_tp * 1000000 // n_true AS BIGINT) AS recall_ppm
+         |FROM m""".stripMargin) { (spark, sfDir) =>
+      val s = docShingles(spark, sfDir)
+      val sig = s.select(col("doc_id"),
+        graft.functions.MinHashSig.minhashSig(col("sh"), NumPerms).as("sig"))
+      val bands = sig.select(col("doc_id"),
+        explode(array((0 until NumBands).map(bd =>
+          struct(lit(bd).as("band"), element_at(col("sig"), 2 * bd + 1).as("h1"),
+            element_at(col("sig"), 2 * bd + 2).as("h2"))): _*))
+          .as("bandkey"))
+      val cand = bands.alias("x").join(bands.alias("y"), Seq("bandkey"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .filter(col("a") < col("b")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(cand)
+      val exact = thresholdPairs(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(exact)
+      val tp = cand.join(exact, Seq("a", "b"), "left_semi")
+      cand.agg(count(lit(1)).as("n_cand"))
+        .join(exact.agg(count(lit(1)).as("n_true")))
+        .join(tp.agg(count(lit(1)).as("n_tp")))
+        .selectExpr("n_cand", "n_true", "n_tp",
+          "n_cand - n_tp AS n_fp", "n_true - n_tp AS n_miss",
+          "n_tp * 1000000 DIV n_cand AS precision_ppm",
+          "n_tp * 1000000 DIV n_true AS recall_ppm")
+    },
+
     // MinHash calibration audit: estimated vs exact Jaccard for every pair
     // with exact similarity ≥ 0.2 — the measurement a dedup pipeline runs
     // before trusting a signature length (est error ~ 1/√perms; 32 perms

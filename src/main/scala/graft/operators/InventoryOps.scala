@@ -396,6 +396,34 @@ object InventoryOps {
           sum(conv(substring(md5(col("name").cast("binary")), 1, 8), 16, 10)
             .cast("long")).as("names_sum"))
         .orderBy("dir")
+    },
+
+    // World-readable exposure audit — the security sweep a migration runs
+    // BEFORE copying into a broader-access store (the reference's whole
+    // job is moving permissioned trees between stores): per directory,
+    // how many files (and bytes) the POSIX "other" triad exposes
+    // (perms[7] = 'r'), with the share in exact ppm. One hash agg over
+    // the inventory; the exposure decision is a per-row substring test
+    // inside the scan's codegen span.
+    GraftQuery("inv_world_readable",
+      s"""WITH $InvFilesCte
+         |SELECT parent_directory AS dir,
+         |  CAST(count(*) AS BIGINT) AS n_files,
+         |  CAST(sum(CASE WHEN substr(perms, 7, 1) = 'r' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_world_r,
+         |  CAST(sum(CASE WHEN substr(perms, 7, 1) = 'r' THEN length ELSE 0 END) AS BIGINT)
+         |    AS bytes_world_r,
+         |  CAST(sum(CASE WHEN substr(perms, 7, 1) = 'r' THEN 1 ELSE 0 END) * 1000000
+         |       // count(*) AS BIGINT) AS world_ppm
+         |FROM invf GROUP BY parent_directory ORDER BY dir""".stripMargin) {
+      (spark, sfDir) =>
+      invFiles(spark, sfDir)
+        .withColumn("wr", (substring(col("perms"), 7, 1) === "r").cast("long"))
+        .groupBy(col("parent_directory").as("dir"))
+        .agg(count(lit(1)).as("n_files"), sum("wr").as("n_world_r"),
+          sum(col("wr") * col("length")).as("bytes_world_r"))
+        .withColumn("world_ppm", expr("n_world_r * 1000000 DIV n_files"))
+        .orderBy("dir")
     }
   )
 }

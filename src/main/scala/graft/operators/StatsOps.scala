@@ -479,6 +479,44 @@ object StatsOps {
         .agg(count(lit(1)).as("n_users"), sum("cents").as("sum_cents"),
           sum(col("cents") * col("cents")).as("sum_sq"))
         .orderBy("variant")
+    },
+
+    // EXACT global quantiles WITHOUT a global sort: the distributed
+    // selection a fleet-level SLO/pricing report needs when
+    // percentile_approx isn't contractual and `percentile()` would buffer
+    // a whole group per executor. Ranks come from the two-phase prefix
+    // rank (range partition → local rank → broadcast offsets), the target
+    // positions are lower-quantile indices floor(q·(n−1))+1 (the
+    // stats_rolling_robust convention), and the answer is a semi-join of
+    // ≤ 6 positions against the ranked frame — no sort ever sees more
+    // than one partition's slice, and only per-partition counts reach the
+    // driver. Ties break by rank construction (value, then row identity),
+    // which cannot change WHICH VALUE sits at a position.
+    GraftQuery("stats_exact_quantiles",
+      """WITH c AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+        |             l_orderkey, l_linenumber FROM lineitem),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+        |r AS (SELECT cents, row_number() OVER
+        |        (ORDER BY cents, l_orderkey, l_linenumber) AS rn FROM c),
+        |q(q_pct) AS (VALUES (1), (25), (50), (75), (90), (99)),
+        |p AS (SELECT q_pct, (q_pct * (nn.n - 1)) // 100 + 1 AS pos FROM q, nn)
+        |SELECT CAST(p.q_pct AS BIGINT) AS q_pct, CAST(p.pos AS BIGINT) AS pos,
+        |       r.cents
+        |FROM p JOIN r ON r.rn = p.pos ORDER BY q_pct""".stripMargin) { (spark, sfDir) =>
+      import spark.implicits._
+      val c = Tables.lineitem(spark, sfDir)
+        .select(floor(col("l_extendedprice") * 100).cast("long").as("cents"),
+          col("l_orderkey"), col("l_linenumber"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(c)
+      val n = c.count()
+      val ranked = TwoPhaseRank.rowNumber(c, "rn", -1,
+        col("cents").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      val pos = Seq(1L, 25L, 50L, 75L, 90L, 99L)
+        .map(q => (q, q * (n - 1) / 100 + 1)).toDF("q_pct", "pos")
+      ranked.join(broadcast(pos), col("rn") === col("pos"))
+        .select(col("q_pct"), col("pos"), col("cents"))
+        .orderBy("q_pct")
     }
   )
 }

@@ -285,6 +285,25 @@ class OperatorInvariantSpec extends AnyFunSuite with CacheDrained {
     assert(rows.sliding(2).forall(p => p(0)._3 <= p(1)._3), "coverage monotone in k")
   }
 
+  test("inv_world_readable: exposure flags replay from the fixture's perm rule") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("inv_world_readable")(spark, TestSpark.Sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // fixture rule: returnflag 'R' → rwxr-x--- (other: ---), else rw-r--r--
+    val li = Tables.lineitem(spark, TestSpark.Sf)
+      .select(col("l_partkey"), col("l_returnflag"),
+        floor(col("l_extendedprice") * 100).cast("long").as("len"))
+      .collect().map(r => (s"/data/part=${r.getLong(0)}", r.getString(1), r.getLong(2)))
+    li.groupBy(_._1).foreach { case (dir, fs) =>
+      val wr = fs.filter(_._2 != "R")
+      val (n, nw, bw, ppm) = rows(dir)
+      assert(n == fs.length && nw == wr.length && bw == wr.map(_._3).sum, s"dir $dir")
+      assert(ppm == nw * 1000000L / n, s"dir $dir ppm")
+    }
+  }
+
   test("events_cusum equals the sequential max(0, S+dev) recurrence replay") {
     val spark = TestSpark.spark
     val rows = SparkEntry.queries("events_cusum")(spark, TestSpark.Sf)

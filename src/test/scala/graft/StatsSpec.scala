@@ -358,6 +358,35 @@ class StatsSpec extends AnyFunSuite with CacheDrained {
       r._4 == counts.map(c => c * c).sum)
   }
 
+  test("stats_exact_quantiles equals a driver sort's lower-quantile elements") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = SparkEntry.queries("stats_exact_quantiles")(spark, TestSpark.Sf)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val cents = Tables.lineitem(spark, TestSpark.Sf)
+      .select(floor(col("l_extendedprice") * 100).cast("long")).as[Long]
+      .collect().sorted
+    val n = cents.length.toLong
+    rows.foreach { case (q, pos, v) =>
+      assert(pos == q * (n - 1) / 100 + 1, s"q=$q position")
+      assert(v == cents((pos - 1).toInt), s"q=$q value")
+    }
+    assert(rows.map(_._1).toSeq == Seq(1L, 25L, 50L, 75L, 90L, 99L))
+  }
+
+  test("dedup_lsh_audit: confusion algebra holds; banding is near-recall-complete at τ=0.8") {
+    val spark = TestSpark.spark
+    val r = SparkEntry.queries("dedup_lsh_audit")(spark, TestSpark.Sf).head()
+    val (cand, tru, tp, fp, miss, prec, rec) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+    assert(tru > 0 && cand > 0, "fixture must contain near-dups")
+    assert(tp <= math.min(cand, tru) && fp == cand - tp && miss == tru - tp)
+    assert(prec == tp * 1000000L / cand && rec == tp * 1000000L / tru)
+    // P(miss one pair) = (1 - j^2)^16 ≤ 1.3e-7 at j = 0.8 — a miss here
+    // means the banding broke, not bad luck
+    assert(rec >= 900000L, s"banding recall $rec ppm collapsed")
+  }
+
   test("events_mad_outliers: median/MAD recompute exactly; fence is one-sided robust") {
     val spark = TestSpark.spark
     val rows = SparkEntry.queries("events_mad_outliers")(spark, TestSpark.Sf)
