@@ -424,6 +424,53 @@ object InventoryOps {
           sum(col("wr") * col("length")).as("bytes_world_r"))
         .withColumn("world_ppm", expr("n_world_r * 1000000 DIV n_files"))
         .orderBy("dir")
+    },
+
+    // The DataSource-V2 recursive inventory scan as a CORRECTNESS row: a
+    // deterministic on-disk tree is materialized from lineitem (every
+    // partkey % 200 == 0 line becomes /data/part=<pk>/f-<ok>-<ln>.dat of
+    // l_linenumber bytes, built once per JVM), then read back through
+    // `spark.read.format("graft-inventory")` with a files-only pushdown
+    // and rolled up per directory — and the oracle replays the SAME
+    // aggregate from the lineitem rows the tree was derived from. What
+    // this pins: the V2 walk finds every file exactly once, its pushdown
+    // drops folders without dropping files, and the byte lengths survive
+    // the filesystem round trip.
+    GraftQuery("inv_scan_dsv2",
+      """WITH f AS (SELECT l_partkey, l_orderkey, l_linenumber
+        |           FROM lineitem WHERE l_partkey % 200 = 0)
+        |SELECT concat('/data/part=', l_partkey) AS dir,
+        |       CAST(count(*) AS BIGINT) AS n_files,
+        |       CAST(sum(l_linenumber) AS BIGINT) AS bytes
+        |FROM f GROUP BY l_partkey ORDER BY dir""".stripMargin) { (spark, sfDir) =>
+      val root = dsv2FixtureTree(spark, sfDir)
+      spark.read.format("graft-inventory").option("root", root).load()
+        .filter(!col("is_folder") && col("parent_directory").startsWith("/data/"))
+        .groupBy(col("parent_directory").as("dir"))
+        .agg(count(lit(1)).as("n_files"), sum("length").as("bytes"))
+        .orderBy("dir")
     }
   )
+
+  /** memoized per (session, sfDir): the on-disk fixture tree inv_scan_dsv2
+    * reads — deterministic file set derived from lineitem, content length
+    * = l_linenumber bytes */
+  private val dsv2TreeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def dsv2FixtureTree(spark: SparkSession, sfDir: String): String =
+    dsv2TreeCache.getOrElseUpdate((spark, sfDir), {
+      import java.nio.file.{Files, Paths}
+      val rows = graft.Tables.lineitem(spark, sfDir)
+        .filter(col("l_partkey") % 200 === 0)
+        .select("l_partkey", "l_orderkey", "l_linenumber")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      val root = Files.createTempDirectory("graft_dsv2_inv").toString
+      rows.foreach { case (pk, ok, ln) =>
+        val dir = Paths.get(s"$root/data/part=$pk")
+        Files.createDirectories(dir)
+        Files.write(dir.resolve(s"f-$ok-$ln.dat"), Array.fill(ln)(0.toByte))
+      }
+      root
+    })
 }

@@ -217,4 +217,65 @@ class SourcesSpec extends AnyFunSuite {
     assert(lines.length == 1 && lines.head.contains("not_a_number"),
       s"quarantine wrong: ${lines.toSeq}")
   }
+
+  private def buildTree(): String = {
+    val tmp = Files.createTempDirectory("graft-dsv2").toString
+    // /a/{x.dat(3), y.dat(5)}, /a/sub/{z.dat(7)}, /b/{w.dat(11)}, /top.dat(2)
+    Files.createDirectories(Paths.get(s"$tmp/a/sub"))
+    Files.createDirectories(Paths.get(s"$tmp/b"))
+    Files.write(Paths.get(s"$tmp/a/x.dat"), Array.fill(3)(1.toByte))
+    Files.write(Paths.get(s"$tmp/a/y.dat"), Array.fill(5)(1.toByte))
+    Files.write(Paths.get(s"$tmp/a/sub/z.dat"), Array.fill(7)(1.toByte))
+    Files.write(Paths.get(s"$tmp/b/w.dat"), Array.fill(11)(1.toByte))
+    Files.write(Paths.get(s"$tmp/top.dat"), Array.fill(2)(1.toByte))
+    tmp
+  }
+
+  test("graft-inventory DSv2: full recursive read lists every file and folder") {
+    val spark = TestSpark.spark
+    val tmp = buildTree()
+    val got = spark.read.format("graft-inventory").option("root", tmp).load()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2), r.getLong(3)))
+      .toSet
+    val expect = Set(
+      ("/a", "/", true, 0L), ("/b", "/", true, 0L), ("/top.dat", "/", false, 2L),
+      ("/a/x.dat", "/a", false, 3L), ("/a/y.dat", "/a", false, 5L),
+      ("/a/sub", "/a", true, 0L), ("/a/sub/z.dat", "/a/sub", false, 7L),
+      ("/b/w.dat", "/b", false, 11L))
+    assert(got == expect, s"inventory drifted: $got")
+  }
+
+  test("graft-inventory DSv2: prefix pushdown prunes the tree walk itself") {
+    val spark = TestSpark.spark
+    import graft.sources.InventoryDataSource
+    val tmp = buildTree()
+    def read() = spark.read.format("graft-inventory").option("root", tmp).load()
+    // full scan lists: root (planning) + root (reader) + /a + /a/sub + /b
+    InventoryDataSource.dirsListed.set(0L)
+    read().collect()
+    val fullListed = InventoryDataSource.dirsListed.get()
+    InventoryDataSource.dirsListed.set(0L)
+    val pruned = read().filter(col("parent_directory").startsWith("/a"))
+    val rows = pruned.collect().map(_.getString(0)).toSet
+    val prunedListed = InventoryDataSource.dirsListed.get()
+    assert(rows == Set("/a/x.dat", "/a/y.dat", "/a/sub", "/a/sub/z.dat"))
+    assert(prunedListed < fullListed,
+      s"pushdown did not prune the walk: $prunedListed vs $fullListed")
+    // the filter must ALSO remain in the plan (pushdown is advisory)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("StartsWith") || plan.contains("startswith"),
+      s"residual filter missing:\n$plan")
+  }
+
+  test("graft-inventory DSv2: column pruning reaches the scan; length/folder pushdown correct") {
+    val spark = TestSpark.spark
+    val tmp = buildTree()
+    val df = spark.read.format("graft-inventory").option("root", tmp).load()
+      .filter(!col("is_folder") && col("length") >= 5L)
+      .select("name")
+    val names = df.collect().map(_.getString(0)).toSet
+    assert(names == Set("/a/y.dat", "/a/sub/z.dat", "/b/w.dat"))
+    val scan = df.queryExecution.executedPlan.toString
+    assert(!scan.contains("mtime_ms"), s"column pruning failed:\n$scan")
+  }
 }
