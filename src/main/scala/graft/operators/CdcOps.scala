@@ -170,6 +170,50 @@ object CdcOps {
         .orderBy("user_id")
     },
 
+    // Per-STATE dwell-time profile over the SCD2 history (cdc_change_rate
+    // is the per-entity view; this is the per-state one a lifecycle model
+    // reads): across all CLOSED intervals of each state, how many spells,
+    // total/min/max dwell — mean is one driver division away (the exact-
+    // integers discipline). Open (current) intervals are counted
+    // separately, never averaged in. Frame bounded by the state alphabet.
+    GraftQuery("cdc_dwell_time",
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |c AS (SELECT *, lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY us, event_type, event_id) AS prev
+        |      FROM e),
+        |ch AS (SELECT user_id, event_type AS state, us AS valid_from_us
+        |       FROM c WHERE prev IS NULL OR prev <> event_type),
+        |iv AS (SELECT state, valid_from_us,
+        |         lead(valid_from_us) OVER (PARTITION BY user_id
+        |           ORDER BY valid_from_us, state) AS valid_to_us
+        |       FROM ch)
+        |SELECT state,
+        |  CAST(count(valid_to_us) AS BIGINT) AS n_closed,
+        |  CAST(count(*) - count(valid_to_us) AS BIGINT) AS n_open,
+        |  CAST(sum(valid_to_us - valid_from_us) AS BIGINT) AS dwell_sum_us,
+        |  CAST(min(valid_to_us - valid_from_us) AS BIGINT) AS dwell_min_us,
+        |  CAST(max(valid_to_us - valid_from_us) AS BIGINT) AS dwell_max_us
+        |FROM iv GROUP BY state ORDER BY state""".stripMargin) { (spark, sfDir) =>
+      val wSeq = Window.partitionBy("user_id").orderBy(OrderCols.map(col): _*)
+      val wIv = Window.partitionBy("user_id").orderBy("valid_from_us", "state")
+      Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+        .withColumn("prev", lag("event_type", 1).over(wSeq))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("us").as("valid_from_us"))
+        .withColumn("valid_to_us", lead("valid_from_us", 1).over(wIv))
+        .withColumn("dwell", col("valid_to_us") - col("valid_from_us"))
+        .groupBy("state")
+        .agg(count(col("valid_to_us")).as("n_closed"),
+          (count(lit(1)) - count(col("valid_to_us"))).as("n_open"),
+          sum("dwell").as("dwell_sum_us"),
+          min("dwell").as("dwell_min_us"), max("dwell").as("dwell_max_us"))
+        .orderBy("state")
+    },
+
     GraftQuery("stream_scd2",
       """WITH e AS (SELECT event_id, user_id, event_type,
         |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

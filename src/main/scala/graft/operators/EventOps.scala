@@ -827,6 +827,43 @@ object EventOps {
         .orderBy("latency_days")
     },
 
+    // Inter-arrival time distribution per event type, log2-bucketed — the
+    // traffic-model read (burstiness, heavy tails) a capacity planner or
+    // session-gap tuner takes before fixing timeouts/watermarks: gap
+    // seconds between a user's consecutive same-type events, bucketed by
+    // bit width (length(bin(s + 1)) — the graph_link_predict integer-log2
+    // device, identical in both engines). One lag window keyed by
+    // (user, type) + one hash agg to a (types × ~40 buckets) frame.
+    GraftQuery("events_interarrival",
+      """WITH e AS (SELECT user_id, event_type,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |l AS (SELECT user_id, event_type, us,
+        |        lag(us) OVER (PARTITION BY user_id, event_type
+        |          ORDER BY us) AS prev_us
+        |      FROM e),
+        |g AS (SELECT event_type,
+        |        CAST(length(bin((us - prev_us) // 1000000 + 1)) AS BIGINT) AS bucket,
+        |        (us - prev_us) // 1000000 AS gap_s
+        |      FROM l WHERE prev_us IS NOT NULL)
+        |SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n_gaps,
+        |       CAST(min(gap_s) AS BIGINT) AS min_s, CAST(max(gap_s) AS BIGINT) AS max_s
+        |FROM g GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin) { (spark, sfDir) =>
+      val w = Window.partitionBy("user_id", "event_type").orderBy("us")
+      Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+        .withColumn("prev_us", lag("us", 1).over(w))
+        .filter(col("prev_us").isNotNull)
+        .select(col("event_type"),
+          expr("(us - prev_us) DIV 1000000").as("gap_s"))
+        .withColumn("bucket", length(bin(col("gap_s") + 1)).cast("long"))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n_gaps"), min("gap_s").as("min_s"),
+          max("gap_s").as("max_s"))
+        .orderBy("event_type", "bucket")
+    },
+
     // STREAMING twin of events_time_to_convert: per-user O(1) state
     // (first signup day + emitted flag) converts the latency measurement
     // into an incremental operator — each user's (user_id, k) row appends

@@ -1661,6 +1661,40 @@ object SimilarityOps {
         .orderBy("qid")
     },
 
+    // Clustering PURITY against the ground-truth label column — the
+    // external-validity eval (vs sim_silhouette's internal one): per
+    // k-means cluster, the majority true label and its share in exact
+    // ppm; corpus purity is the Σ maj_n / n one division away. Reuses the
+    // shared assignment (kmeansAssign ≡ sim_kmeans_clusters by
+    // construction); the label-contingency frame is bounded by K × labels.
+    GraftQuery("sim_cluster_purity",
+      s"""WITH $kmeansOracleCtes,
+         |asg AS (SELECT vec_id, c AS cluster FROM ranked WHERE r = 1),
+         |lc AS (SELECT a.cluster, e.label, CAST(count(*) AS BIGINT) AS n
+         |       FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id
+         |       GROUP BY a.cluster, e.label),
+         |tt AS (SELECT cluster, CAST(sum(n) AS BIGINT) AS n_total FROM lc GROUP BY cluster),
+         |mj AS (SELECT cluster, CAST(label AS BIGINT) AS maj_label, n AS maj_n FROM (
+         |         SELECT cluster, label, n, row_number() OVER (PARTITION BY cluster
+         |           ORDER BY n DESC, label) AS rn FROM lc) WHERE rn = 1)
+         |SELECT mj.cluster, tt.n_total, mj.maj_label, mj.maj_n,
+         |       CAST(mj.maj_n * 1000000 // tt.n_total AS BIGINT) AS purity_ppm
+         |FROM mj JOIN tt USING (cluster) ORDER BY cluster""".stripMargin) {
+      (spark, sfDir) =>
+      val lc = kmeansAssign(spark, sfDir)
+        .join(embeddings(spark, sfDir).select(col("vec_id"), col("label")), "vec_id")
+        .groupBy("cluster", "label").agg(count(lit(1)).as("n"))
+      val tt = lc.groupBy("cluster").agg(sum("n").as("n_total"))
+      val w = Window.partitionBy("cluster").orderBy(col("n").desc, col("label"))
+      lc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("cluster"), col("label").cast("long").as("maj_label"),
+          col("n").as("maj_n"))
+        .join(tt, "cluster")
+        .select(col("cluster"), col("n_total"), col("maj_label"), col("maj_n"),
+          expr("maj_n * 1000000 DIV n_total").as("purity_ppm"))
+        .orderBy("cluster")
+    },
+
     // Embedding drift monitor: per-dimension mean shift between two
     // corpus slices (vec_id parity stands in for old-batch/new-batch) —
     // the check a serving pipeline runs before trusting yesterday's

@@ -886,6 +886,47 @@ object TextOps {
         .select(col("k"), lit(nTypes).as("n_types"), col("covered"),
           expr(s"covered * 1000000 DIV $total").as("coverage_ppm"))
         .orderBy("k")
+    },
+
+    // Zipf-law fit of the vocabulary: OLS slope of milli-log2(freq) on
+    // milli-log2(rank) — the one-number distributional sanity check a
+    // corpus audit runs (natural language sits near −1000; a flat slope
+    // means templated/synthetic text, a cliff means boilerplate). Each
+    // row's x/y are round(1000·log2(·)) of EXACT integers — deterministic
+    // per row — and the regression runs on integer sums (the
+    // stats_trend_ols discipline), so no float accumulation order can
+    // flip a bit. Rank via the distributed two-phase rank; the OLS frame
+    // never exceeds the type vocabulary. Overflow bound: the n·Σxy moment
+    // term reaches n²·(1000·log2 n)² — int64-safe to ~3e6 types (real
+    // vocabularies); past that, pre-bucket ranks before the fit. The
+    // slope numerator is negative, and BOTH engines' integer division
+    // truncates toward zero (the probed stats_trend_ols property).
+    GraftQuery("text_zipf_slope",
+      """WITH tok AS (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+        |             FROM documents),
+        |tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY tok),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rn FROM tf),
+        |xy AS (SELECT CAST(round(1000 * log2(CAST(rn AS DOUBLE))) AS BIGINT) AS x,
+        |              CAST(round(1000 * log2(CAST(cnt AS DOUBLE))) AS BIGINT) AS y
+        |       FROM r),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |        CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+        |        CAST(sum(x * y) AS BIGINT) AS sxy FROM xy)
+        |SELECT n AS n_types, sx, sy, sxx, sxy,
+        |  CAST((n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx) AS BIGINT)
+        |    AS slope_milli
+        |FROM m""".stripMargin) { (spark, sfDir) =>
+      val tf = docs(spark, sfDir)
+        .select(explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val xy = TwoPhaseRank.rowNumber(tf, "rn", -1,
+          col("cnt").desc, col("tok").asc)
+        .select(round(lit(1000) * log2(col("rn").cast("double"))).cast("long").as("x"),
+          round(lit(1000) * log2(col("cnt").cast("double"))).cast("long").as("y"))
+      xy.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+        .selectExpr("n AS n_types", "sx", "sy", "sxx", "sxy",
+          "(n * sxy - sx * sy) * 1000 DIV (n * sxx - sx * sx) AS slope_milli")
     }
   )
 }

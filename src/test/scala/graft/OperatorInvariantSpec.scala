@@ -304,6 +304,85 @@ class OperatorInvariantSpec extends AnyFunSuite with CacheDrained {
     }
   }
 
+  test("events_interarrival: bucket law holds and gap mass replays exactly") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("events_interarrival")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val ev = Tables.events(spark, TestSpark.Sf)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val gaps = ev.groupBy(e => (e._1, e._2)).values.flatMap { g =>
+      val s = g.map(_._3).sorted
+      s.zip(s.tail).map { case (a, b) => (g.head._2, (b - a) / 1000000L) }
+    }.toSeq
+    assert(rows.map(_._3).sum == gaps.length.toLong, "gap mass conserved")
+    rows.foreach { case (t, bucket, n, mn, mx) =>
+      // bucket = bit width of (gap_s + 1): 2^(b-1) <= gap+1 < 2^b
+      assert(mn + 1 >= (1L << (bucket - 1).toInt) && mx + 1 < (1L << bucket.toInt),
+        s"type $t bucket $bucket bounds [$mn, $mx]")
+      assert(n == gaps.count(g => g._1 == t &&
+        java.lang.Long.toBinaryString(g._2 + 1).length.toLong == bucket),
+        s"type $t bucket $bucket count")
+    }
+  }
+
+  test("text_zipf_slope: integer OLS replays from token counts; slope is negative") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("text_zipf_slope")(spark, TestSpark.Sf).head()
+    val counts = Tables.documents(spark, TestSpark.Sf)
+      .select(explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("t"))
+      .groupBy("t").count().collect().map(r0 => (r0.getString(0), r0.getLong(1)))
+      .sortBy { case (t, c) => (-c, t) }
+    def ml2(v: Long) = math.round(1000.0 * math.log(v.toDouble) / math.log(2))
+    val xy = counts.zipWithIndex.map { case ((_, c), i) => (ml2(i + 1L), ml2(c)) }
+    val n = xy.length.toLong
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val (sxx, sxy) = (xy.map(p => p._1 * p._1).sum, xy.map(p => p._1 * p._2).sum)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((n, sx, sy, sxx, sxy)), "OLS moments replay")
+    assert(r.getLong(5) == (n * sxy - sx * sy) * 1000 / (n * sxx - sx * sx))
+    assert(r.getLong(5) < 0, "frequency must fall with rank")
+  }
+
+  test("sim_cluster_purity agrees with the shared assignment and the label table") {
+    val spark = TestSpark.spark
+    val asg = SparkEntry.queries("sim_kmeans_clusters")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue))
+    val labels = Tables.embeddings(spark, TestSpark.Sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val expect = asg.groupBy(_._2).map { case (c, ms) =>
+      val byLabel = ms.map(m => labels(m._1)).groupBy(identity)
+        .map { case (l, xs) => (l, xs.length.toLong) }
+      val (majL, majN) = byLabel.toSeq.sortBy { case (l, n) => (-n, l) }.head
+      (c, (ms.length.toLong, majL, majN, majN * 1000000L / ms.length))
+    }
+    val got = SparkEntry.queries("sim_cluster_purity")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getAs[Number](0).longValue,
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect, "purity table drifted from the assignment replay")
+  }
+
+  test("cdc_dwell_time: per-state masses replay from the scd2 intervals") {
+    val spark = TestSpark.spark
+    val hist = SparkEntry.queries("cdc_scd2")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val got = SparkEntry.queries("cdc_dwell_time")(spark, TestSpark.Sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    hist.groupBy(_._1).foreach { case (state, ivs) =>
+      val closed = ivs.collect { case (_, f, Some(t)) => t - f }
+      val (nc, no, sum0, mn, mx) = got(state)
+      assert(nc == closed.length && no == ivs.count(_._3.isEmpty), s"$state counts")
+      assert(sum0 == closed.sum && mn == closed.min && mx == closed.max, s"$state dwell")
+    }
+  }
+
   test("events_cusum equals the sequential max(0, S+dev) recurrence replay") {
     val spark = TestSpark.spark
     val rows = SparkEntry.queries("events_cusum")(spark, TestSpark.Sf)
