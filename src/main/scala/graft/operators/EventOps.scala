@@ -864,6 +864,33 @@ object EventOps {
         .orderBy("event_type", "bucket")
     },
 
+    // STREAMING twin of events_funnel, registered and oracled: the
+    // per-user Funnel state (three timestamps, O(1) forever) advances
+    // view→click→purchase in event-time order and the drained frame IS
+    // the batch funnel table — same oracle SQL, so the incremental
+    // stage machine cannot drift from the three-aggregation batch form.
+    GraftQuery("stream_funnel",
+      """WITH e AS (SELECT user_id, event_type,
+        |            epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |v AS (SELECT user_id, CAST(min(us) AS BIGINT) AS t_view
+        |      FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, CAST(min(us) AS BIGINT) AS t_click
+        |      FROM e JOIN v ON v.user_id = e.user_id
+        |      WHERE event_type = 'click' AND us >= t_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, CAST(min(us) AS BIGINT) AS t_purchase
+        |      FROM e JOIN c ON c.user_id = e.user_id
+        |      WHERE event_type = 'purchase' AND us >= t_click GROUP BY e.user_id)
+        |SELECT v.user_id, t_view, t_click, t_purchase
+        |FROM v LEFT JOIN c ON c.user_id = v.user_id
+        |       LEFT JOIN p ON p.user_id = v.user_id
+        |ORDER BY v.user_id""".stripMargin) { (spark, sfDir) =>
+      graft.streaming.StreamOps.runAppendToCompletion(
+        graft.streaming.StreamOps.statefulFunnel(spark,
+          graft.streaming.StreamOps.eventStream(spark, sfDir)),
+        s"stream_funnel_${streamRunId.incrementAndGet()}")
+        .orderBy("user_id")
+    },
+
     // STREAMING twin of events_time_to_convert: per-user O(1) state
     // (first signup day + emitted flag) converts the latency measurement
     // into an incremental operator — each user's (user_id, k) row appends

@@ -40,12 +40,20 @@ object MultimodalOps {
   /** perceptual-hash row (hi/lo 32-bit halves; see MediaPipeline.aHash) */
   final case class PhashFeat(doc_id: Long, h_hi: Long, h_lo: Long, lum_total: Long)
 
+  final case class CutFeat(doc_id: Long, f_from: Long, n_px: Long,
+      sad: Long, is_cut: Boolean)
+
   /** windowed-audio-analysis row */
   final case class AudioWin(doc_id: Long, win: Long, n_samples: Long,
       energy: Long, max_abs: Long, zero_cross: Long)
 
   /** pairs farther than this hamming distance are not near-dups */
   private val PhashMaxDist = 3
+
+  /** scene-cut threshold: mean per-pixel |Δlum| above this flags a cut
+    * (lum ∈ [0, 2040]; independent pseudo-random frames sit near E|Δ|≈680,
+    * so the flag splits the synthetic transitions rather than saturating) */
+  private val CutThresh = 680L
 
   /** the closed-form phash oracle chain, shared by multimodal_phash and
     * multimodal_phash_pairs: hh(doc_id, h_hi, h_lo) + t(doc_id, total).
@@ -328,6 +336,56 @@ object MultimodalOps {
           VideoFeat(d, frames.length.toLong, w, h, lumSum, pc)
         })
         .toDF().orderBy("doc_id")
+    },
+
+    // Scene-cut detection over REAL decoded frames: per consecutive frame
+    // pair, the sum of absolute per-pixel luminance deltas (SAD — the
+    // classic shot-boundary signal), flagged as a cut when the mean
+    // per-pixel delta exceeds CutThresh. This is the frame-level dedup /
+    // keyframe-selection primitive a video-ingest pipeline runs before
+    // sampling frames for embedding: only transitions that ARE cuts spend
+    // model budget. One codec pass per asset inside mapPartitions; the
+    // oracle replays the synthetic pixel formula closed-form, so a codec
+    // or frame-ordering bug shifts the SADs.
+    GraftQuery("multimodal_video_cuts",
+      s"""WITH m AS (SELECT doc_id, CAST(1 + doc_id % 16 AS BIGINT) AS w,
+         |                  CAST(1 + (doc_id * 3) % 16 AS BIGINT) AS h
+         |           FROM documents WHERE doc_id % 3 = 2),
+         |fr AS (SELECT doc_id, w, h, unnest([0, 1]) AS f FROM m),
+         |p AS (SELECT doc_id, w, h, f, unnest(generate_series(0, w * h - 1)) AS i FROM fr),
+         |c AS (SELECT doc_id, w, h, f, i,
+         |   2 * ((doc_id * 31 + f * 71 + (i % w) * 7 + (i // w) * 13) % 256)
+         | + 5 * ((doc_id * 17 + f * 43 + (i % w) * 11 + (i // w) * 5) % 256)
+         | +     ((doc_id * 29 + f * 97 + (i % w) * 3 + (i // w) * 19) % 256) AS l0,
+         |   2 * ((doc_id * 31 + (f + 1) * 71 + (i % w) * 7 + (i // w) * 13) % 256)
+         | + 5 * ((doc_id * 17 + (f + 1) * 43 + (i % w) * 11 + (i // w) * 5) % 256)
+         | +     ((doc_id * 29 + (f + 1) * 97 + (i % w) * 3 + (i // w) * 19) % 256) AS l1
+         |      FROM p)
+         |SELECT doc_id, CAST(f AS BIGINT) AS f_from, CAST(w * h AS BIGINT) AS n_px,
+         |       CAST(sum(abs(l0 - l1)) AS BIGINT) AS sad,
+         |       CAST(sum(abs(l0 - l1)) AS BIGINT) > $CutThresh * w * h AS is_cut
+         |FROM c GROUP BY doc_id, f, w, h ORDER BY doc_id, f_from""".stripMargin) {
+      (spark, sfDir) =>
+      import spark.implicits._
+      Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.flatMap { d =>
+          val frames = BmpCodec.decodeFrames(MediaSynth.videoFor(d))
+          def lum(fr: Int, i: Int): Long = {
+            val dec = frames(fr)
+            2L * (dec.rgb(i * 3) & 0xff) + 5L * (dec.rgb(i * 3 + 1) & 0xff) +
+              (dec.rgb(i * 3 + 2) & 0xff)
+          }
+          (0 until frames.length - 1).map { f =>
+            val n = frames(f).w * frames(f).h
+            var sad = 0L
+            var i = 0
+            while (i < n) { sad += math.abs(lum(f, i) - lum(f + 1, i)); i += 1 }
+            CutFeat(d, f.toLong, n.toLong, sad, sad > CutThresh * n)
+          }
+        })
+        .toDF().orderBy("doc_id", "f_from")
     },
 
     // REAL perceptual hash: decode → nearest-neighbour resample to 8×8

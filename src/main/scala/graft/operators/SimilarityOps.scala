@@ -1661,6 +1661,54 @@ object SimilarityOps {
         .orderBy("qid")
     },
 
+    // k-NN classification eval: predict each query vector's label as the
+    // majority label of its 10 float-brute-force neighbors (ties to the
+    // smaller label) and score against the ground truth — the
+    // embedding-quality eval that asks "does proximity predict the
+    // label", which is what retrieval/dedup by cosine implicitly assumes.
+    // Reuses the shared bruteForce ground-truth pass; the vote frame is
+    // queries × ≤ labels.
+    GraftQuery("sim_knn_classify",
+      s"""WITH bq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |           WHERE vec_id < $NumQueries),
+         |bp AS (SELECT bq.qid, e.vec_id AS nid,
+         |        list_sum(list_transform(generate_series(1, len(e.embedding)),
+         |          i -> CAST(bq.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS dp,
+         |        sqrt(list_sum(list_transform(generate_series(1, len(bq.qe)),
+         |          i -> CAST(bq.qe[i] AS DOUBLE) * CAST(bq.qe[i] AS DOUBLE)))) AS nq,
+         |        sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+         |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) AS ne
+         |      FROM embeddings e, bq WHERE e.vec_id <> bq.qid),
+         |br AS (SELECT qid, nid,
+         |        row_number() OVER (PARTITION BY qid
+         |                           ORDER BY round(dp / (nq * ne), 6) DESC, nid) AS rnk
+         |      FROM bp),
+         |nb AS (SELECT br.qid, e.label FROM br
+         |       JOIN embeddings e ON e.vec_id = br.nid WHERE br.rnk <= $TopK),
+         |votes AS (SELECT qid, label, CAST(count(*) AS BIGINT) AS n
+         |          FROM nb GROUP BY qid, label),
+         |pred AS (SELECT qid, CAST(label AS BIGINT) AS pred_label, n AS n_votes FROM (
+         |           SELECT qid, label, n, row_number() OVER (PARTITION BY qid
+         |             ORDER BY n DESC, label) AS rn FROM votes) WHERE rn = 1)
+         |SELECT p.qid, CAST(e.label AS BIGINT) AS true_label, p.pred_label, p.n_votes,
+         |       p.pred_label = CAST(e.label AS BIGINT) AS correct
+         |FROM pred p JOIN embeddings e ON e.vec_id = p.qid
+         |ORDER BY p.qid""".stripMargin) { (spark, sfDir) =>
+      val labels = embeddings(spark, sfDir)
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+      val votes = bruteForce(spark, sfDir).select("qid", "nid")
+        .join(labels.select(col("vec_id").as("nid"), col("label")), "nid")
+        .groupBy("qid", "label").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("qid").orderBy(col("n").desc, col("label"))
+      votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("qid"), col("label").as("pred_label"), col("n").as("n_votes"))
+        .join(labels.select(col("vec_id").as("qid"), col("label").as("true_label")),
+          "qid")
+        .select(col("qid"), col("true_label"), col("pred_label"), col("n_votes"),
+          (col("pred_label") === col("true_label")).as("correct"))
+        .orderBy("qid")
+    },
+
     // Clustering PURITY against the ground-truth label column — the
     // external-validity eval (vs sim_silhouette's internal one): per
     // k-means cluster, the majority true label and its share in exact

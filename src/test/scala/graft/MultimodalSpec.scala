@@ -278,4 +278,28 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getLong(3) == sr)
     }
   }
+
+  test("multimodal_video_cuts: codec-path SADs equal the synthetic formula replay") {
+    val spark = TestSpark.spark
+    val rows = SparkEntry.queries("multimodal_video_cuts")(spark, TestSpark.Sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(rows.nonEmpty)
+    assert(rows.values.exists(_._3) && rows.values.exists(!_._3),
+      "the threshold must split transitions, not saturate")
+    // formula replay (no codec) for every asset's transitions
+    rows.keys.map(_._1).toSeq.distinct.sorted.take(10).foreach { d =>
+      val w = 1 + d % 16; val h = 1 + (d * 3) % 16
+      (0L to 1L).foreach { f =>
+        def lum(fr: Long, i: Long): Long =
+          2 * ((d * 31 + fr * 71 + (i % w) * 7 + (i / w) * 13) % 256) +
+            5 * ((d * 17 + fr * 43 + (i % w) * 11 + (i / w) * 5) % 256) +
+            ((d * 29 + fr * 97 + (i % w) * 3 + (i / w) * 19) % 256)
+        val sad = (0L until w * h).map(i => math.abs(lum(f, i) - lum(f + 1, i))).sum
+        val (nPx, gotSad, isCut) = rows((d, f))
+        assert(nPx == w * h && gotSad == sad, s"asset $d f=$f SAD")
+        assert(isCut == (sad > 680L * w * h), s"asset $d f=$f flag")
+      }
+    }
+  }
 }

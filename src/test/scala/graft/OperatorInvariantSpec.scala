@@ -213,6 +213,17 @@ class OperatorInvariantSpec extends AnyFunSuite with CacheDrained {
     assert(got.toSeq == expect.toSeq, "nearest-match replay")
   }
 
+  test("stream_funnel equals the batch funnel table row-for-row") {
+    val spark = TestSpark.spark
+    def tab(name: String) = SparkEntry.queries(name)(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(tab("stream_funnel") == tab("events_funnel"),
+      "stateful funnel drifted from the batch three-aggregation form")
+  }
+
   test("stream_time_to_convert equals the batch histogram row-for-row") {
     val spark = TestSpark.spark
     val batch = SparkEntry.queries("events_time_to_convert")(spark, TestSpark.Sf)

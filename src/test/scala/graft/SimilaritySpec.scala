@@ -389,4 +389,24 @@ class SimilaritySpec extends AnyFunSuite {
     val mean = rows.map(_._3).sum / rows.length
     assert(mean >= 70, s"int8 brute-force mean recall $mean% — quantization broke ranking")
   }
+
+  test("sim_knn_classify: votes replay from the brute-force neighbors + labels") {
+    val spark = TestSpark.spark
+    import graft.operators.SimilarityOps
+    val labels = Tables.embeddings(spark, TestSpark.Sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val nbrs = SimilarityOps.bruteForce(spark, TestSpark.Sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = nbrs.groupBy(_._1).map { case (q, ns) =>
+      val votes = ns.map(n => labels(n._2)).groupBy(identity)
+        .map { case (l, xs) => (l, xs.length.toLong) }
+      val (pl, pn) = votes.toSeq.sortBy { case (l, n) => (-n, l) }.head
+      q -> ((labels(q), pl, pn, pl == labels(q)))
+    }
+    val got = SparkEntry.queries("sim_knn_classify")(spark, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got == expect, "kNN vote table drifted from the neighbor replay")
+  }
 }
