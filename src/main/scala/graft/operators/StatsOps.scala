@@ -481,6 +481,56 @@ object StatsOps {
         .orderBy("variant")
     },
 
+    // CUPED-adjusted experiment moments (Deng et al., WSDM 2013): the
+    // variance-reduction every mature experimentation platform applies —
+    // regress the in-experiment metric on a PRE-PERIOD covariate and
+    // analyze the residual. The engine ships the exact per-variant joint
+    // integer moments of (pre, post) per user — n, Σx, Σy, Σxx, Σyy, Σxy
+    // — from which θ = cov/var, the adjusted means and the variance
+    // reduction are driver-side formulas (the events_ab_test discipline,
+    // extended to the bivariate case). Pre/post split at the data-derived
+    // midpoint day, broadcast back as a 1-row frame; users keyed into
+    // variants by the same portable hash as events_ab_test so the two
+    // readouts line up.
+    GraftQuery("events_ab_cuped",
+      s"""WITH e AS (SELECT user_id,
+         |        epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+         |        CASE WHEN event_type = 'purchase'
+         |             THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END AS cents
+         |      FROM events),
+         |t AS (SELECT (min(d) + max(d)) // 2 AS split_d FROM e),
+         |u AS (SELECT user_id,
+         |        CAST(sum(CASE WHEN d < split_d THEN cents ELSE 0 END) AS BIGINT) AS x,
+         |        CAST(sum(CASE WHEN d >= split_d THEN cents ELSE 0 END) AS BIGINT) AS y
+         |      FROM e CROSS JOIN t GROUP BY user_id),
+         |v AS (SELECT ${graft.functions.PortableHash.h8Sql(
+                  "lpad(CAST(user_id AS VARCHAR), 8, '0')")} % 2 AS variant, x, y FROM u)
+         |SELECT CAST(variant AS BIGINT) AS variant,
+         |       CAST(count(*) AS BIGINT) AS n_users,
+         |       CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |       CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+         |       CAST(sum(x * y) AS BIGINT) AS sxy
+         |FROM v GROUP BY variant ORDER BY variant""".stripMargin) { (spark, sfDir) =>
+      val e = Tables.events(spark, sfDir)
+        .select(col("user_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("d"),
+          when(col("event_type") === "purchase",
+            floor(col("value") * 100).cast("long")).otherwise(0L).as("cents"))
+      val t = e.agg(expr("(min(d) + max(d)) DIV 2").as("split_d"))
+      val u = e.join(broadcast(t))
+        .groupBy("user_id")
+        .agg(sum(when(col("d") < col("split_d"), col("cents")).otherwise(0L)).as("x"),
+          sum(when(col("d") >= col("split_d"), col("cents")).otherwise(0L)).as("y"))
+      u.select((graft.functions.PortableHash.h8(
+            lpad(col("user_id").cast("string"), 8, "0")) % 2).as("variant"),
+          col("x"), col("y"))
+        .groupBy("variant")
+        .agg(count(lit(1)).as("n_users"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .orderBy("variant")
+    },
+
     // EXACT global quantiles WITHOUT a global sort: the distributed
     // selection a fleet-level SLO/pricing report needs when
     // percentile_approx isn't contractual and `percentile()` would buffer

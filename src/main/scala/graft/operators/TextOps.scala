@@ -927,6 +927,69 @@ object TextOps {
           sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
         .selectExpr("n AS n_types", "sx", "sy", "sxx", "sxy",
           "(n * sxy - sx * sy) * 1000 DIV (n * sxx - sx * sx) AS slope_milli")
+    },
+
+    // Sparse TF-IDF cosine similarity join — the WEIGHTED sparse-vector
+    // twin of the shingle-Jaccard dedup family (documents as tf·idf
+    // vectors over the token vocabulary, not shingle sets): pairs share
+    // mass only through common tokens, so the join is the inverted-index
+    // equi-join on token with a df cap (Σ df² bounded — the dedup
+    // MaxDf discipline), never all-pairs. Weights are integer milli-idf
+    // w = tf · round(1000·log2(N/df)) (deterministic per row), dots and
+    // norms are exact integer sums, and the final cosine is one double
+    // division rounded to 6dp on identical exact inputs. Top-20 pairs by
+    // similarity — the related-documents / near-topic-dup readout.
+    GraftQuery("text_tfidf_pairs",
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+         |             FROM documents),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tok GROUP BY doc_id, tok),
+         |nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+         |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+         |w AS (SELECT tf.doc_id, tf.tok,
+         |        tf.tf * CAST(round(1000 * log2(CAST(nn.n AS DOUBLE) / dfq.df)) AS BIGINT)
+         |          AS wt
+         |      FROM tf JOIN dfq USING (tok) CROSS JOIN nn
+         |      WHERE dfq.df * 2 <= nn.n),
+         |nrm AS (SELECT doc_id, CAST(sum(wt * wt) AS BIGINT) AS n2
+         |        FROM w GROUP BY doc_id),
+         |dots AS (SELECT a.doc_id AS a, b.doc_id AS b,
+         |           CAST(sum(a.wt * b.wt) AS BIGINT) AS dp
+         |         FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |         GROUP BY a.doc_id, b.doc_id)
+         |SELECT d.a, d.b,
+         |       round(d.dp / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6)
+         |         AS sim6
+         |FROM dots d JOIN nrm na ON na.doc_id = d.a JOIN nrm nb ON nb.doc_id = d.b
+         |ORDER BY sim6 DESC, a, b LIMIT 20""".stripMargin) { (spark, sfDir) =>
+      val tf = docs(spark, sfDir)
+        .select(col("doc_id"),
+          explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(tf)
+      val n = tf.select("doc_id").distinct().count()
+      // df cap: tokens in more than half the corpus carry ~no idf signal
+      // and quadratically dominate the join — same role as dedup's MaxDf
+      val w = tf.join(tf.groupBy("tok").agg(count(lit(1)).as("df")), "tok")
+        .filter(col("df") * 2 <= n)
+        .select(col("doc_id"), col("tok"),
+          (col("tf") * round(lit(1000) * log2(lit(n.toDouble) / col("df"))).cast("long"))
+            .as("wt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(w)
+      val nrm = w.groupBy("doc_id").agg(sum(col("wt") * col("wt")).as("n2"))
+      val dots = w.as("a").join(w.as("b"),
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+        .agg(sum(col("a.wt") * col("b.wt")).as("dp"))
+      dots.join(nrm.select(col("doc_id").as("a"), col("n2").as("na")), Seq("a"))
+        .join(nrm.select(col("doc_id").as("b"), col("n2").as("nb")), Seq("b"))
+        .select(col("a"), col("b"),
+          round(col("dp").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+            .as("sim6"))
+        .orderBy(col("sim6").desc, col("a"), col("b")).limit(20)
     }
   )
 }

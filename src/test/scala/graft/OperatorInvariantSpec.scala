@@ -213,6 +213,37 @@ class OperatorInvariantSpec extends AnyFunSuite with CacheDrained {
     assert(got.toSeq == expect.toSeq, "nearest-match replay")
   }
 
+  test("text_tfidf_pairs: cosines replay from a driver sparse-vector build") {
+    val spark = TestSpark.spark
+    val docs = Tables.documents(spark, TestSpark.Sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> "[a-z0-9]+".r.findAllIn(r.getString(1)).toSeq)
+    val n = docs.length.toLong
+    val tf = docs.map { case (id, ts) =>
+      id -> ts.groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
+    }
+    val df = tf.flatMap(_._2.keys).groupBy(identity)
+      .map { case (t, xs) => (t, xs.length.toLong) }
+    def ml2idf(d: Long) = math.round(1000.0 * math.log(n.toDouble / d) / math.log(2))
+    val w = tf.map { case (id, m) =>
+      id -> m.collect { case (t, f) if df(t) * 2 <= n => (t, f * ml2idf(df(t))) }.toMap
+    }.toMap
+    val ids = w.keys.toSeq.sorted
+    val sims = for {
+      i <- ids.indices; j <- i + 1 until ids.length
+      a = w(ids(i)); b = w(ids(j))
+      dp = a.keySet.intersect(b.keySet).toSeq.map(t => a(t) * b(t)).sum
+      if dp != 0L
+    } yield (ids(i), ids(j),
+      BigDecimal(dp.toDouble / (math.sqrt(a.values.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.values.map(x => x * x).sum.toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val expect = sims.sortBy { case (a, b, s) => (-s, a, b) }.take(20)
+    val got = SparkEntry.queries("text_tfidf_pairs")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expect, s"tfidf pairs drifted:\n$got\nvs\n$expect")
+  }
+
   test("stream_funnel equals the batch funnel table row-for-row") {
     val spark = TestSpark.spark
     def tab(name: String) = SparkEntry.queries(name)(spark, TestSpark.Sf)

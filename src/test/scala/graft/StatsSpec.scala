@@ -387,6 +387,29 @@ class StatsSpec extends AnyFunSuite with CacheDrained {
     assert(rec >= 900000L, s"banding recall $rec ppm collapsed")
   }
 
+  test("events_ab_cuped: bivariate moments replay; x+y equals the univariate metric") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("events_ab_cuped")(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L))
+    // pre + post totals per user must equal events_ab_test's metric
+    val ab = SparkEntry.queries("events_ab_test")(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    rows.zip(ab).foreach { case ((v, n, sx, sy, sxx, syy, sxy), (v2, n2, s, _)) =>
+      assert(v == v2 && n == n2, s"variant $v population")
+      assert(sx + sy == s, s"variant $v mass split")
+      // Cauchy-Schwarz on the exact moments
+      assert(sxy.toDouble * sxy <= sxx.toDouble * syy + 1e-6, s"variant $v CS")
+    }
+    // θ and the variance reduction are finite (driver-side formulas work)
+    rows.foreach { case (v, n, sx, _, sxx, _, _) =>
+      val varX = n.toDouble * sxx - sx.toDouble * sx
+      assert(varX >= 0, s"variant $v pre-period variance")
+    }
+  }
+
   test("events_mad_outliers: median/MAD recompute exactly; fence is one-sided robust") {
     val spark = TestSpark.spark
     val rows = SparkEntry.queries("events_mad_outliers")(spark, TestSpark.Sf)
