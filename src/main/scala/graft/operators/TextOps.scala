@@ -933,8 +933,13 @@ object TextOps {
     // twin of the shingle-Jaccard dedup family (documents as tf·idf
     // vectors over the token vocabulary, not shingle sets): pairs share
     // mass only through common tokens, so the join is the inverted-index
-    // equi-join on token with a df cap (Σ df² bounded — the dedup
-    // MaxDf discipline), never all-pairs. Weights are integer milli-idf
+    // equi-join on token with a df cap, never all-pairs. At production
+    // scale the cap must be ABSOLUTE (df ≤ K bounds Σdf² ≤ K·Σdf — the
+    // dedup MaxDf discipline); here it is the relative df·2 ≤ N because
+    // this synthetic corpus has a ~31-type vocabulary where every token's
+    // df ≫ any absolute K (an absolute cap would empty the vectors) — the
+    // join SHAPE is identical, only the constant differs, and the oracle
+    // pins whichever constant is configured. Weights are integer milli-idf
     // w = tf · round(1000·log2(N/df)) (deterministic per row), dots and
     // norms are exact integer sums, and the final cosine is one double
     // division rounded to 6dp on identical exact inputs. Top-20 pairs by
