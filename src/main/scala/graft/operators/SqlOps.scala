@@ -128,6 +128,54 @@ object SqlOps {
       spark.sql(
         """SELECT count(*) AS n FROM customer_v
           |WHERE c_custkey IN (SELECT o_custkey FROM orders_v WHERE o_totalprice > 450000)""".stripMargin)
+    },
+
+    // WITH RECURSIVE through the SQL front door (new in Spark 4):
+    // transitive closure — every event type reachable from 'signup' in
+    // the session-transition digraph. Spark 4.1 supports only UNION ALL
+    // recursion, so termination on this cyclic graph comes from a depth
+    // bound (depth < 6 ≥ any diameter of the bounded type alphabet; walk
+    // fan-out ≤ |types|^6 — fine on a type graph, and the standard guard
+    // wherever UNION-fixpoint recursion is unavailable); the DISTINCT
+    // projection collapses the walk to the closure. Both engines run the
+    // same shape — the operator family the engine previously expressed
+    // only as unrolled fixed-round CTE chains (pagerank/k-means/BFS
+    // oracles) now has its declarative form.
+    GraftQuery("sql_recursive_cte",
+      s"""WITH RECURSIVE ed AS (
+         |  SELECT src, dst FROM (
+         |    SELECT lag(event_type) OVER (PARTITION BY user_id
+         |             ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_type, event_id) AS src,
+         |           event_type AS dst,
+         |           epoch_us(CAST(ts AS TIMESTAMP))
+         |             - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id
+         |               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_type, event_id) AS gap
+         |    FROM events) WHERE src IS NOT NULL AND gap < ${EventOps.GapUs}
+         |  GROUP BY src, dst),
+         |reach(node, depth) AS (
+         |  SELECT 'signup' AS node, 0 AS depth
+         |  UNION ALL
+         |  SELECT ed.dst, r.depth + 1 FROM reach r JOIN ed ON ed.src = r.node
+         |  WHERE r.depth < 6)
+         |SELECT DISTINCT node FROM reach ORDER BY node""".stripMargin) { (spark, sfDir) =>
+      Tables.events(spark, sfDir).createOrReplaceTempView("events_v")
+      spark.sql(
+        s"""WITH RECURSIVE ed AS (
+           |  SELECT src, dst FROM (
+           |    SELECT lag(event_type) OVER (PARTITION BY user_id
+           |             ORDER BY unix_micros(CAST(ts AS TIMESTAMP)), event_type, event_id) AS src,
+           |           event_type AS dst,
+           |           unix_micros(CAST(ts AS TIMESTAMP))
+           |             - lag(unix_micros(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id
+           |               ORDER BY unix_micros(CAST(ts AS TIMESTAMP)), event_type, event_id) AS gap
+           |    FROM events_v) WHERE src IS NOT NULL AND gap < ${EventOps.GapUs}
+           |  GROUP BY src, dst),
+           |reach(node, depth) AS (
+           |  SELECT 'signup' AS node, 0 AS depth
+           |  UNION ALL
+           |  SELECT ed.dst, r.depth + 1 FROM reach r JOIN ed ON ed.src = r.node
+           |  WHERE r.depth < 6)
+           |SELECT DISTINCT node FROM reach ORDER BY node""".stripMargin)
     }
   )
 }

@@ -244,6 +244,30 @@ class OperatorInvariantSpec extends AnyFunSuite with CacheDrained {
     assert(got == expect, s"tfidf pairs drifted:\n$got\nvs\n$expect")
   }
 
+  test("sql_recursive_cte equals a driver BFS closure over the transition edges") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("us", "event_type", "event_id")
+    val edges = Tables.events(spark, TestSpark.Sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+      .withColumn("src", lag("event_type", 1).over(w))
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .filter(col("src").isNotNull &&
+        col("us") - col("prev_us") < graft.operators.EventOps.GapUs)
+      .select("src", "event_type").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    var reach = Set("signup")
+    var grew = true
+    while (grew) {
+      val next = reach ++ edges.collect { case (s, d) if reach(s) => d }
+      grew = next.size > reach.size; reach = next
+    }
+    val got = SparkEntry.queries("sql_recursive_cte")(spark, TestSpark.Sf)
+      .collect().map(_.getString(0)).toSet
+    assert(got == reach, s"closure drifted: got $got expected $reach")
+  }
+
   test("stream_funnel equals the batch funnel table row-for-row") {
     val spark = TestSpark.spark
     def tab(name: String) = SparkEntry.queries(name)(spark, TestSpark.Sf)
