@@ -466,4 +466,43 @@ class PlanSpec extends AnyFunSuite with CacheDrained {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       s"pagerank final plan still carries join rounds:\n$p")
   }
+
+  test("bucketed tables co-locate the fact join: zero exchanges in the joined plan") {
+    // THE 100 TB recurring-join pattern: pay the shuffle once at WRITE
+    // time (bucketBy on the join key), then every subsequent join on that
+    // key is exchange-free — the plan must show SortMergeJoin with NO
+    // Exchange below it. This is the storage-layout twin of the zorder
+    // work: layout decided at write time buys plan shape forever after.
+    val spark = TestSpark.spark
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val li = Tables.lineitem(spark, TestSpark.Sf)
+        .select("l_orderkey", "l_quantity")
+      val o = Tables.orders(spark, TestSpark.Sf)
+        .select("o_orderkey", "o_totalprice")
+      li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("li_bkt")
+      o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("o_bkt")
+      val joined = spark.table("li_bkt")
+        .join(spark.table("o_bkt"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey").count()
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected SMJ on the bucketed pair:\n$p")
+      assert(!p.substring(p.indexOf("SortMergeJoin")).contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$p")
+      // control: the same join over the raw parquet MUST shuffle both sides
+      val raw = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey").count()
+      raw.collect()
+      val rp = raw.queryExecution.executedPlan.toString
+      assert(rp.contains("Exchange hashpartitioning"),
+        s"control join unexpectedly exchange-free:\n$rp")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS li_bkt")
+      spark.sql("DROP TABLE IF EXISTS o_bkt")
+    }
+  }
 }
