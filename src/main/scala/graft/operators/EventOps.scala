@@ -864,6 +864,44 @@ object EventOps {
         .orderBy("event_type", "bucket")
     },
 
+    // DAU / WAU / stickiness — the product-analytics headline triple:
+    // daily active users, trailing-7-day active users (a rolling DISTINCT,
+    // not a rolling sum — users active on 3 days count once), and
+    // stickiness DAU/WAU in exact ppm. The rolling distinct realizes as
+    // the (user, day) presence frame range-joined to the bounded day
+    // spine (days × avg-DAU rows — linear in the presence frame, never
+    // user × day dense), then one exact count-distinct per day. Day spine
+    // derived from the data; the trailing window is ROWS-free (calendar
+    // range d−6..d), so missing days shrink WAU honestly.
+    GraftQuery("events_wau_stickiness",
+      """WITH e AS (SELECT DISTINCT user_id,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d FROM events),
+        |days AS (SELECT DISTINCT d FROM e),
+        |dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM e GROUP BY d),
+        |wau AS (SELECT days.d, CAST(count(DISTINCT e.user_id) AS BIGINT) AS wau
+        |        FROM days JOIN e ON e.d BETWEEN days.d - 6 AND days.d
+        |        GROUP BY days.d)
+        |SELECT CAST(dau.d AS BIGINT) AS day, dau.dau, wau.wau,
+        |       CAST(dau.dau * 1000000 // wau.wau AS BIGINT) AS stickiness_ppm
+        |FROM dau JOIN wau ON wau.d = dau.d ORDER BY day""".stripMargin) {
+      (spark, sfDir) =>
+      val e = Tables.events(spark, sfDir)
+        .select(col("user_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("d"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(e)
+      val days = e.select(col("d").as("day")).distinct()
+      val dau = e.groupBy(col("d").as("day")).agg(count(lit(1)).as("dau"))
+      val wau = days.join(e,
+          col("d").between(col("day") - 6, col("day")))
+        .groupBy("day").agg(countDistinct("user_id").as("wau"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          expr("dau * 1000000 DIV wau").as("stickiness_ppm"))
+        .orderBy("day")
+    },
+
     // STREAMING twin of events_funnel, registered and oracled: the
     // per-user Funnel state (three timestamps, O(1) forever) advances
     // view→click→purchase in event-time order and the drained frame IS

@@ -8,9 +8,10 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -77,13 +78,79 @@ object InventoryDataSource {
 }
 
 private final class InventoryTable(root: String, hadoopConf: Map[String, String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-inventory($root)"
   override def schema(): StructType = InventoryDataSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new InventoryScanBuilder(root, hadoopConf)
+
+  /** the WRITE path: a frame of (name, parent_directory, is_folder,
+    * length[, mtime_ms]) rows MATERIALIZES the tree under root — mkdirs
+    * for folder rows, zero-filled files of `length` bytes for file rows
+    * (the CopyExecutor mkdir+create phases as a V2 sink). Each task
+    * writes its partition directly through the Hadoop FS (same fan-out
+    * as the executor copy loop); creation is idempotent, so task retries
+    * are safe and commit is a no-op. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val s = info.schema()
+    Seq("name", "is_folder", "length").foreach(c =>
+      require(s.fieldNames.contains(c),
+        s"graft-inventory write needs column $c (got ${s.fieldNames.mkString(",")})"))
+    val (ni, fi, li) =
+      (s.fieldIndex("name"), s.fieldIndex("is_folder"), s.fieldIndex("length"))
+    val r = root; val hc = hadoopConf
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+            InventoryWriterFactory(r, hc, ni, fi, li)
+          override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+          override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+        }
+      }
+    }
+  }
+}
+
+private final case class InventoryWriterFactory(root: String,
+    hadoopConf: Map[String, String], nameIdx: Int, folderIdx: Int, lenIdx: Int)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new InventoryWriter(root, hadoopConf, nameIdx, folderIdx, lenIdx)
+}
+
+private final case class InventoryCommit() extends WriterCommitMessage
+
+private final class InventoryWriter(root: String, hadoopConf: Map[String, String],
+    nameIdx: Int, folderIdx: Int, lenIdx: Int) extends DataWriter[InternalRow] {
+  private val conf = InventoryScan.configuration(hadoopConf)
+  private val fs = new Path(root).getFileSystem(conf)
+  private val rootPath = fs.makeQualified(new Path(root))
+
+  private def abs(rel: String): Path = new Path(rootPath, rel.stripPrefix("/"))
+
+  override def write(row: InternalRow): Unit = {
+    val rel = row.getUTF8String(nameIdx).toString
+    if (row.getBoolean(folderIdx)) { fs.mkdirs(abs(rel)); () }
+    else {
+      val out = fs.create(abs(rel), true)
+      try {
+        val n = row.getLong(lenIdx)
+        val chunk = new Array[Byte](math.min(n, 65536L).toInt)
+        var left = n
+        while (left > 0) {
+          val k = math.min(left, chunk.length.toLong).toInt
+          out.write(chunk, 0, k); left -= k
+        }
+      } finally out.close()
+    }
+  }
+
+  override def commit(): WriterCommitMessage = InventoryCommit()
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
 }
 
 private final class InventoryScanBuilder(root: String, hadoopConf: Map[String, String])

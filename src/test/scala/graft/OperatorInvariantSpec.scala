@@ -244,6 +244,25 @@ class OperatorInvariantSpec extends AnyFunSuite with CacheDrained {
     assert(got == expect, s"tfidf pairs drifted:\n$got\nvs\n$expect")
   }
 
+  test("events_wau_stickiness: rolling distinct replays; DAU never exceeds WAU") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("events_wau_stickiness")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val pres = Tables.events(spark, TestSpark.Sf)
+      .select(col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    rows.foreach { case (day, dau, wau, ppm) =>
+      val expDau = pres.count(_._2 == day).toLong
+      val expWau = pres.filter(p => p._2 <= day && p._2 > day - 7).map(_._1)
+        .distinct.length.toLong
+      assert(dau == expDau && wau == expWau, s"day $day active counts")
+      assert(dau <= wau && ppm == dau * 1000000L / wau, s"day $day stickiness")
+    }
+  }
+
   test("sql_recursive_cte equals a driver BFS closure over the transition edges") {
     val spark = TestSpark.spark
     import org.apache.spark.sql.expressions.Window

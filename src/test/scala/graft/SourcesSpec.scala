@@ -267,6 +267,27 @@ class SourcesSpec extends AnyFunSuite {
       s"residual filter missing:\n$plan")
   }
 
+  test("graft-inventory DSv2: write path materializes a tree that reads back identically") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-dsv2-w").toString
+    val rows = Seq(
+      ("/d1", "/", true, 0L, 0L),
+      ("/d1/a.dat", "/d1", false, 100L, 0L),
+      ("/d1/b.dat", "/d1", false, 7L, 0L),
+      ("/d2", "/", true, 0L, 0L),
+      ("/d2/c.dat", "/d2", false, 0L, 0L))
+      .toDF("name", "parent_directory", "is_folder", "length", "mtime_ms")
+    rows.write.format("graft-inventory").option("root", out).mode("append").save()
+    val back = spark.read.format("graft-inventory").option("root", out).load()
+      .select("name", "parent_directory", "is_folder", "length")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2), r.getLong(3)))
+      .toSet
+    val expect = rows.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2), r.getLong(3))).toSet
+    assert(back == expect, s"V2 write→read round trip drifted: $back")
+  }
+
   test("graft-inventory DSv2: column pruning reaches the scan; length/folder pushdown correct") {
     val spark = TestSpark.spark
     val tmp = buildTree()
