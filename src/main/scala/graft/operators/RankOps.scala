@@ -46,6 +46,12 @@ object RankOps {
   // neighbors kept per item by the item-item recommender
   private val RecTop = 5
 
+  // unreachable sentinel for the min-plus path rounds (far above any
+  // real path cost: 6 hops × ≤ ~20k milli-bits each), and the entry node
+  // the conversion paths start from
+  private val PathInf = 1000000000L
+  private val PathSeed = "signup"
+
   /** the unrolled peel rounds: d{i}/v{i} CTE pairs over `e` and v{i-1}.
     * v{i} MUST be MATERIALIZED (DuckDB-only syntax — oracle never runs in
     * Spark): each round references its predecessor twice, so un-pinned
@@ -470,6 +476,66 @@ object RankOps {
           round((col("n") * col("sxy") - col("sx") * col("sx")).cast("double") /
             (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
             .as("r6"))
+    },
+
+    // Most-probable path costs from 'signup' (min-plus shortest path on
+    // SURPRISAL weights): edge cost w(u,v) = round(1000·log2(outW(u)/n_uv))
+    // — the milli-bits of surprise of taking that transition — so the
+    // min-plus distance IS −log2 of the most probable walk, and argmin
+    // paths are the likeliest conversion routes (the funnel-mining read
+    // events_top_paths approximates by frequency). Six Bellman-Ford
+    // rounds (≥ any diameter of the type alphabet), each one join + min
+    // aggregation over the bounded edge frame, unrolled in the oracle
+    // exactly like the pagerank rounds. Costs are per-row-deterministic
+    // integers; unreachable nodes stay at the INF sentinel and are
+    // filtered, not emitted.
+    GraftQuery("graph_best_path",
+      s"""WITH $transitionGraphCte,
+         |wt AS MATERIALIZED (SELECT src, dst,
+         |        CAST(round(1000 * log2(CAST(w AS DOUBLE) / n)) AS BIGINT) AS c
+         |      FROM ew),
+         |d0 AS (SELECT node, CASE WHEN node = '$PathSeed' THEN CAST(0 AS BIGINT)
+         |         ELSE CAST($PathInf AS BIGINT) END AS dist FROM nodes),
+         |${(1 to 6).map(k =>
+           s"""d$k AS (SELECT nd.node,
+              |  least(nd.dist, coalesce(m.best, $PathInf)) AS dist
+              |  FROM d${k - 1} nd LEFT JOIN (
+              |    SELECT wt.dst AS node, min(p.dist + wt.c) AS best
+              |    FROM d${k - 1} p JOIN wt ON wt.src = p.node
+              |    WHERE p.dist < $PathInf GROUP BY wt.dst) m ON m.node = nd.node)"""
+             .stripMargin).mkString(",\n")}
+         |SELECT node, dist AS cost_milli FROM d6 WHERE dist < $PathInf
+         |ORDER BY node""".stripMargin) { (spark, sfDir) =>
+      val ew = transitionEdges(spark, sfDir)
+      val wt = ew.join(ew.groupBy("src").agg(sum("n").as("w")), "src")
+        .select(col("src"), col("dst"),
+          round(lit(1000) * log2(col("w").cast("double") / col("n"))).cast("long")
+            .as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(wt)
+      val nodes = wt.select(col("src").as("node"))
+        .unionByName(wt.select(col("dst").as("node"))).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(nodes)
+      var dist = nodes.select(col("node"),
+          when(col("node") === PathSeed, 0L).otherwise(PathInf).as("dist"))
+        .localCheckpoint()
+      (1 to 6).foreach { _ =>
+        val relaxed = dist.filter(col("dist") < PathInf)
+          .join(wt, col("node") === col("src"))
+          .select(col("dst").as("node"), (col("dist") + col("c")).as("cand"))
+          .groupBy("node").agg(min("cand").as("best"))
+        val next = dist.join(relaxed, Seq("node"), "left")
+          .select(col("node"),
+            least(col("dist"), coalesce(col("best"), lit(PathInf))).as("dist"))
+          .localCheckpoint()
+        graft.CacheTracker.checkpointRdds(dist).foreach(_.unpersist(false))
+        dist = next
+      }
+      graft.CacheTracker.trackCheckpointed(dist)
+      dist.filter(col("dist") < PathInf)
+        .select(col("node"), col("dist").as("cost_milli"))
+        .orderBy("node")
     },
 
     // Reciprocity of the session-transition digraph — how much of the

@@ -393,6 +393,39 @@ class RankSketchSpec extends AnyFunSuite with CacheDrained {
       r.getLong(5) == wRecip * 1000000L / ed.map(_._3).sum)
   }
 
+  test("graph_best_path: min-plus costs equal a driver Bellman-Ford on surprisal weights") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("graph_best_path")(spark, TestSpark.Sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us", "event_type", "event_id")
+    val ed = Tables.events(spark, TestSpark.Sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+      .withColumn("src", lag("event_type", 1).over(w))
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .filter(col("src").isNotNull &&
+        col("us") - col("prev_us") < graft.operators.EventOps.GapUs)
+      .groupBy(col("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect()
+    val outW = ed.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val cost = ed.map { case (s, d, n) =>
+      (s, d) -> math.round(1000.0 * math.log(outW(s).toDouble / n) / math.log(2))
+    }
+    val nodes = ed.flatMap(e => Seq(e._1, e._2)).distinct
+    val inf = 1000000000L
+    val dist = scala.collection.mutable.Map(
+      nodes.map(n => n -> (if (n == "signup") 0L else inf)): _*)
+    (1 to 6).foreach { _ =>
+      cost.foreach { case ((s, d), c) =>
+        if (dist(s) < inf && dist(s) + c < dist(d)) dist(d) = dist(s) + c
+      }
+    }
+    val expect = dist.filter(_._2 < inf).toMap
+    assert(got == expect, s"path costs drifted: got $got expected $expect")
+  }
+
   test("stats_rolling_robust: quantiles recompute from the trailing frames") {
     val rows = SparkEntry.queries("stats_rolling_robust")(spark, TestSpark.Sf)
       .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
