@@ -864,6 +864,102 @@ object EventOps {
         .orderBy("event_type", "bucket")
     },
 
+    // Longest daily-activity streaks (gaps-and-islands): per user, group
+    // consecutive active days by the d − dense_rank(d) invariant (equal
+    // within an unbroken run, shifts at every gap — the canonical islands
+    // kernel, here on the per-user bounded day frame), then the top-20
+    // longest streaks corpus-wide. The per-user window is entity-keyed
+    // (one shuffle by user); the global top-20 rides TakeOrdered. The
+    // engagement read behind streak-based retention features.
+    GraftQuery("events_streaks",
+      """WITH d AS (SELECT DISTINCT user_id,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d FROM events),
+        |g AS (SELECT user_id, d,
+        |        d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+        |      FROM d),
+        |s AS (SELECT user_id, CAST(min(d) AS BIGINT) AS start_d,
+        |        CAST(count(*) AS BIGINT) AS len
+        |      FROM g GROUP BY user_id, grp)
+        |SELECT user_id, start_d, len FROM s
+        |ORDER BY len DESC, user_id, start_d LIMIT 20""".stripMargin) { (spark, sfDir) =>
+      val w = Window.partitionBy("user_id").orderBy("d")
+      Tables.events(spark, sfDir)
+        .select(col("user_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("d"))
+        .distinct()
+        .withColumn("grp", col("d") - row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(min("d").as("start_d"), count(lit(1)).as("len"))
+        .select("user_id", "start_d", "len")
+        .orderBy(col("len").desc, col("user_id"), col("start_d")).limit(20)
+    },
+
+    // Seasonally-ADJUSTED anomaly screen: subtract each (type, dow)'s
+    // mean daily value (the events_dow_profile signal) before the
+    // z-score, so a quiet-Sunday spike that a raw z-test buries under
+    // weekday variance surfaces, and routine Monday peaks stop alarming —
+    // the composition every monitoring pipeline eventually ships.
+    // Moments of the RESIDUAL accumulate as exact integers (residual =
+    // x·c_dow − s_dow stays integral by clearing the mean's denominator),
+    // z is computed as doubles on exact inputs, rounded identically.
+    // Output: per type, the top-3 |z| days after adjustment.
+    GraftQuery("events_anomaly_seasonal",
+      """WITH e AS (SELECT event_type,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |        CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |d AS (SELECT event_type, day, CAST(sum(cents) AS BIGINT) AS x
+        |      FROM e GROUP BY event_type, day),
+        |m AS (SELECT event_type, day % 7 AS dow,
+        |        CAST(count(*) AS BIGINT) AS c, CAST(sum(x) AS BIGINT) AS s
+        |      FROM d GROUP BY event_type, day % 7),
+        |r AS (SELECT d.event_type, d.day, d.x,
+        |        d.x * m.c - m.s AS res_c  -- residual × c_dow, exact
+        |      FROM d JOIN m ON m.event_type = d.event_type AND m.dow = d.day % 7),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(res_c) AS BIGINT) AS sr,
+        |         CAST(sum(res_c * res_c) AS BIGINT) AS srr
+        |       FROM r GROUP BY event_type),
+        |z AS (SELECT r.event_type, r.day, r.x, r.res_c,
+        |        round((st.n * r.res_c - st.sr) /
+        |              sqrt(CAST(st.n AS DOUBLE) * st.srr - CAST(st.sr AS DOUBLE) * st.sr)
+        |              * sqrt(CAST(st.n AS DOUBLE)), 6) AS z6
+        |      FROM r JOIN st ON st.event_type = r.event_type),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |         ORDER BY abs(z6) DESC, day) AS rn FROM z)
+        |SELECT event_type, CAST(day AS BIGINT) AS day, x, res_c, z6
+        |FROM rk WHERE rn <= 3 ORDER BY event_type, day""".stripMargin) {
+      (spark, sfDir) =>
+      val d = Tables.events(spark, sfDir)
+        .select(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy("event_type", "day").agg(sum("cents").as("x"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(d)
+      val m = d.select(col("event_type").as("m_type"), expr("day % 7").as("dow"),
+          col("x"))
+        .groupBy("m_type", "dow")
+        .agg(count(lit(1)).as("c"), sum("x").as("s"))
+      val r = d.join(m,
+          col("event_type") === col("m_type") && expr("day % 7") === col("dow"))
+        .select(col("event_type"), col("day"), col("x"),
+          (col("x") * col("c") - col("s")).as("res_c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(r)
+      val st = r.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("res_c").as("sr"),
+          sum(col("res_c") * col("res_c")).as("srr"))
+      val w = Window.partitionBy("event_type").orderBy(abs(col("z6")).desc, col("day"))
+      r.join(st, "event_type")
+        .withColumn("z6", round((col("n") * col("res_c") - col("sr")) /
+          sqrt(col("n").cast("double") * col("srr") - col("sr").cast("double") * col("sr"))
+          * sqrt(col("n").cast("double")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("event_type", "day", "x", "res_c", "z6")
+        .orderBy("event_type", "day")
+    },
+
     // DAU / WAU / stickiness — the product-analytics headline triple:
     // daily active users, trailing-7-day active users (a rolling DISTINCT,
     // not a rolling sum — users active on 3 days count once), and

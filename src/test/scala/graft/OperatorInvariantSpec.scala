@@ -244,6 +244,52 @@ class OperatorInvariantSpec extends AnyFunSuite with CacheDrained {
     assert(got == expect, s"tfidf pairs drifted:\n$got\nvs\n$expect")
   }
 
+  test("events_streaks: islands replay from a driver scan of per-user active days") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val pres = Tables.events(spark, TestSpark.Sf)
+      .select(col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val streaks = pres.groupBy(_._1).toSeq.flatMap { case (u, ds) =>
+      val sorted = ds.map(_._2).sorted
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var start = sorted.head; var prev = sorted.head
+      sorted.tail.foreach { d =>
+        if (d != prev + 1) { runs += ((start, prev - start + 1)); start = d }
+        prev = d
+      }
+      runs += ((start, prev - start + 1))
+      runs.map { case (s, l) => (u, s, l) }
+    }
+    val expect = streaks.sortBy { case (u, s, l) => (-l, u, s) }.take(20)
+    val got = SparkEntry.queries("events_streaks")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect, s"streaks drifted: $got vs $expect")
+  }
+
+  test("events_anomaly_seasonal: residuals are exact and dow-mean-free per cell") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("events_anomaly_seasonal")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.groupBy(_._1).forall(_._2.length <= 3))
+    // recompute res_c for each flagged day from the raw daily frame
+    val d = Tables.events(spark, TestSpark.Sf)
+      .select(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("day"),
+        floor(col("value") * 100).cast("long").as("c"))
+      .groupBy("event_type", "day").agg(sum("c").as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val cells = d.groupBy(r => (r._1, r._2 % 7))
+      .map { case (k, g) => k -> (g.length.toLong, g.map(_._3).sum) }
+    rows.foreach { case (t, day, x, resC) =>
+      val (c, s) = cells((t, day % 7))
+      assert(x == d.find(r => r._1 == t && r._2 == day).get._3, s"$t/$day x")
+      assert(resC == x * c - s, s"$t/$day residual")
+    }
+  }
+
   test("events_wau_stickiness: rolling distinct replays; DAU never exceeds WAU") {
     val spark = TestSpark.spark
     import org.apache.spark.sql.functions._
