@@ -651,6 +651,58 @@ object ExtraAggOps {
         .orderBy("rule")
     },
 
+    // Cross-table key-coverage profile — the completeness companion to
+    // dq_violations' orphan rules: for each dimension→fact relationship,
+    // how many dimension keys actually appear in the fact (a dimension
+    // row nothing references is dead weight; coverage collapsing release
+    // over release is the classic silent-upstream-change smell). One
+    // distinct-project + semi-join count per pair, exact ppm.
+    GraftQuery("prof_key_coverage",
+      """WITH c1 AS (SELECT 'customer->orders' AS rel,
+        |        CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_keys,
+        |        CAST((SELECT count(*) FROM customer c
+        |              WHERE EXISTS (SELECT 1 FROM orders o
+        |                            WHERE o.o_custkey = c.c_custkey)) AS BIGINT) AS n_used),
+        |c2 AS (SELECT 'part->lineitem',
+        |        CAST((SELECT count(*) FROM part) AS BIGINT),
+        |        CAST((SELECT count(*) FROM part p
+        |              WHERE EXISTS (SELECT 1 FROM lineitem l
+        |                            WHERE l.l_partkey = p.p_partkey)) AS BIGINT)),
+        |c3 AS (SELECT 'supplier->lineitem',
+        |        CAST((SELECT count(*) FROM supplier) AS BIGINT),
+        |        CAST((SELECT count(*) FROM supplier s
+        |              WHERE EXISTS (SELECT 1 FROM lineitem l
+        |                            WHERE l.l_suppkey = s.s_suppkey)) AS BIGINT)),
+        |c4 AS (SELECT 'orders->lineitem',
+        |        CAST((SELECT count(*) FROM orders) AS BIGINT),
+        |        CAST((SELECT count(*) FROM orders o
+        |              WHERE EXISTS (SELECT 1 FROM lineitem l
+        |                            WHERE l.l_orderkey = o.o_orderkey)) AS BIGINT)),
+        |u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+        |      UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4)
+        |SELECT rel, n_keys, n_used,
+        |       CAST(n_used * 1000000 // n_keys AS BIGINT) AS coverage_ppm
+        |FROM u ORDER BY rel""".stripMargin) { (spark, sfDir) =>
+      def cov(rel: String, dim: org.apache.spark.sql.DataFrame, key: String,
+          fact: org.apache.spark.sql.DataFrame, fkey: String) =
+        dim.agg(count(lit(1)).as("n_keys"))
+          .join(dim.join(fact.select(col(fkey).as(key)).distinct(), Seq(key), "left_semi")
+            .agg(count(lit(1)).as("n_used")))
+          .select(lit(rel).as("rel"), col("n_keys"), col("n_used"))
+      Seq(
+        cov("customer->orders", customer(spark, sfDir).select("c_custkey"),
+          "c_custkey", orders(spark, sfDir), "o_custkey"),
+        cov("part->lineitem", part(spark, sfDir).select("p_partkey"),
+          "p_partkey", lineitem(spark, sfDir), "l_partkey"),
+        cov("supplier->lineitem", supplier(spark, sfDir).select("s_suppkey"),
+          "s_suppkey", lineitem(spark, sfDir), "l_suppkey"),
+        cov("orders->lineitem", orders(spark, sfDir).select("o_orderkey"),
+          "o_orderkey", lineitem(spark, sfDir), "l_orderkey"))
+        .reduce(_ unionByName _)
+        .withColumn("coverage_ppm", expr("n_used * 1000000 DIV n_keys"))
+        .orderBy("rel")
+    },
+
     // Collision-entropy profile of the categorical columns — the
     // cardinality/uniformity audit a planner, partitioner or DQ monitor
     // reads per column: exact row count, distinct count, collision mass

@@ -1743,6 +1743,32 @@ object SimilarityOps {
         .orderBy("cluster")
     },
 
+    // Vector-norm distribution, log2-bucketed on the exact integer
+    // squared norm of 1e-3-quantized components — the
+    // normalize-or-don't decision input (cosine vs dot ranking agree only
+    // when norms concentrate; a wide histogram says normalize first).
+    // Integer end to end: ‖v‖² in milli-units², bucket = bit width.
+    GraftQuery("sim_norm_hist",
+      """WITH q AS (SELECT vec_id,
+        |        CAST(list_sum(list_transform(embedding,
+        |          x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+        |             * CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS n2
+        |      FROM embeddings)
+        |SELECT CAST(length(bin(n2 + 1)) AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_vecs,
+        |       CAST(min(n2) AS BIGINT) AS min_n2, CAST(max(n2) AS BIGINT) AS max_n2
+        |FROM q GROUP BY bucket ORDER BY bucket""".stripMargin) { (spark, sfDir) =>
+      embeddings(spark, sfDir)
+        .select(aggregate(
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1000).cast("long")),
+          lit(0L), (a, v) => a + v * v).as("n2"))
+        .withColumn("bucket", length(bin(col("n2") + 1)).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_vecs"), min("n2").as("min_n2"), max("n2").as("max_n2"))
+        .orderBy("bucket")
+    },
+
     // Embedding drift monitor: per-dimension mean shift between two
     // corpus slices (vec_id parity stands in for old-batch/new-batch) —
     // the check a serving pipeline runs before trusting yesterday's

@@ -410,6 +410,39 @@ class StatsSpec extends AnyFunSuite with CacheDrained {
     }
   }
 
+  test("prof_key_coverage replays from distinct key-set intersections") {
+    val spark = TestSpark.spark
+    val got = SparkEntry.queries("prof_key_coverage")(spark, TestSpark.Sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    def keys(t: String, c: String) =
+      Tables.table(spark, TestSpark.Sf, t).select(c).collect().map(_.getLong(0))
+    def chk(rel: String, dim: Array[Long], fact: Set[Long]): Unit = {
+      val used = dim.count(fact).toLong
+      assert(got(rel) == ((dim.length.toLong, used, used * 1000000L / dim.length)), rel)
+    }
+    chk("customer->orders", keys("customer", "c_custkey"),
+      keys("orders", "o_custkey").toSet)
+    chk("part->lineitem", keys("part", "p_partkey"),
+      keys("lineitem", "l_partkey").toSet)
+    chk("supplier->lineitem", keys("supplier", "s_suppkey"),
+      keys("lineitem", "l_suppkey").toSet)
+    chk("orders->lineitem", keys("orders", "o_orderkey"),
+      keys("lineitem", "l_orderkey").toSet)
+  }
+
+  test("sim_norm_hist: mass equals corpus size and bucket bounds obey the bit law") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = SparkEntry.queries("sim_norm_hist")(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.map(_._2).sum == Tables.embeddings(spark, TestSpark.Sf).count())
+    rows.foreach { case (b, _, mn, mx) =>
+      assert(mn + 1 >= (1L << (b - 1).toInt) && mx + 1 < (1L << b.toInt),
+        s"bucket $b bounds [$mn, $mx]")
+    }
+  }
+
   test("events_mad_outliers: median/MAD recompute exactly; fence is one-sided robust") {
     val spark = TestSpark.spark
     val rows = SparkEntry.queries("events_mad_outliers")(spark, TestSpark.Sf)
