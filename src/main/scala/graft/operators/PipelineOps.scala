@@ -106,7 +106,7 @@ object PipelineOps {
 
       // stage 1-2: quality + language gate (corpus_clean's exact flags)
       val surv = TextOps.cleanFlags(spark, sfDir)
-        .filter(col("keep_q") && col("is_en"))
+        .filter(col("clean"))
         .select("doc_id", "text")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.CacheTracker.track(surv)

@@ -52,22 +52,54 @@ object TextOps {
        |  FROM t),
        |surv AS (SELECT doc_id, text FROM f WHERE keep_q AND is_en)""".stripMargin
 
-  /** Spark twin of [[cleanCtesSql]]'s `f`: (doc_id, text, keep_q, is_en) */
-  private[operators] def cleanFlags(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = docs(spark, sfDir)
-      .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
-    t.select(col("doc_id"), col("text"),
-      (length(col("text")).cast("long") >= 100 &&
-        size(col("toks")).cast("long") >= 20 &&
-        when(size(col("toks")) === 0, lit(0.0))
-          .otherwise(size(array_distinct(col("toks"))).cast("long") * lit(1.0)
-            / size(col("toks")).cast("long")) >= 0.2 &&
-        when(size(col("toks")) === 0, lit(0.0))
-          .otherwise(hits(col("toks"), StopEn) * lit(1.0) / size(col("toks")).cast("long"))
-          .between(0.01, 0.6)).as("keep_q"),
-      (hits(col("toks"), StopEn) >= hits(col("toks"), StopDe) &&
-        hits(col("toks"), StopEn) >= hits(col("toks"), StopFr)).as("is_en"))
+  /** `size(filter(toks, ∈ ws))` with `toks` a lambda-bound variable */
+  private def hitsL(ws: Seq[String]): String = {
+    val in = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+    s"CAST(size(filter(toks, t -> t IN $in)) AS BIGINT)"
   }
+
+  /** The quality/language flags as ONE expression that tokenizes exactly
+    * once per row: `toks` is bound as a higher-order-function lambda
+    * variable (`transform(array(re), toks -> …)[0]`), which Catalyst's
+    * alias-inlining (CollapseProject / PushPredicateThroughNonJoin) cannot
+    * substitute through — previously the `toks` alias was inlined into
+    * every gate conjunct and the corpus-prep hot path ran
+    * `regexp_extract_all` ~10× per document. The struct also carries the
+    * combined `clean` verdict so a survivor filter is a single opaque
+    * conjunct (split-conjunct pushdown would otherwise duplicate the
+    * tokenize once per conjunct). Value-identical to the old column forms:
+    * ratios are computed as DOUBLE/DOUBLE, matching `long * 1.0 / long`.
+    */
+  private def flagsExprSql: String =
+    s"""transform(array(regexp_extract_all(text, '[a-z0-9]+', 0)), toks -> named_struct(
+       |  'keep_q', (CAST(length(text) AS BIGINT) >= 100
+       |    AND CAST(size(toks) AS BIGINT) >= 20
+       |    AND (CASE WHEN size(toks) = 0 THEN CAST(0.0 AS DOUBLE)
+       |         ELSE CAST(size(array_distinct(toks)) AS DOUBLE) / CAST(size(toks) AS DOUBLE) END) >= 0.2
+       |    AND ((CASE WHEN size(toks) = 0 THEN CAST(0.0 AS DOUBLE)
+       |          ELSE CAST(${hitsL(StopEn)} AS DOUBLE) / CAST(size(toks) AS DOUBLE) END)
+       |         BETWEEN 0.01 AND 0.6)),
+       |  'is_en', (${hitsL(StopEn)} >= ${hitsL(StopDe)}
+       |    AND ${hitsL(StopEn)} >= ${hitsL(StopFr)}),
+       |  'clean', (CAST(length(text) AS BIGINT) >= 100
+       |    AND CAST(size(toks) AS BIGINT) >= 20
+       |    AND (CASE WHEN size(toks) = 0 THEN CAST(0.0 AS DOUBLE)
+       |         ELSE CAST(size(array_distinct(toks)) AS DOUBLE) / CAST(size(toks) AS DOUBLE) END) >= 0.2
+       |    AND ((CASE WHEN size(toks) = 0 THEN CAST(0.0 AS DOUBLE)
+       |          ELSE CAST(${hitsL(StopEn)} AS DOUBLE) / CAST(size(toks) AS DOUBLE) END)
+       |         BETWEEN 0.01 AND 0.6)
+       |    AND ${hitsL(StopEn)} >= ${hitsL(StopDe)}
+       |    AND ${hitsL(StopEn)} >= ${hitsL(StopFr)})))[0]""".stripMargin
+
+  /** Spark twin of [[cleanCtesSql]]'s `f`: (doc_id, text, keep_q, is_en,
+    * clean). Filter survivors on `clean` (one conjunct → one tokenize per
+    * row even after predicate pushdown), never on `keep_q && is_en`. */
+  private[operators] def cleanFlags(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("text"), expr(flagsExprSql).as("fl"))
+      .select(col("doc_id"), col("text"),
+        col("fl.keep_q").as("keep_q"), col("fl.is_en").as("is_en"),
+        col("fl.clean").as("clean"))
 
   val queries: Seq[GraftQuery] = Seq(
 
@@ -335,8 +367,9 @@ object TextOps {
       val f = cleanFlags(spark, sfDir)
       // dedup runs over the documents that SURVIVED the earlier gates: a
       // surviving doc must never be dropped because a rejected duplicate
-      // had a lower doc_id (dedup-after-filter semantics)
-      val surv = f.filter(col("keep_q") && col("is_en"))
+      // had a lower doc_id (dedup-after-filter semantics). Filter on the
+      // single `clean` conjunct: one tokenize per row after pushdown.
+      val surv = f.filter(col("clean"))
       val u = surv.withColumn("is_uniq",
         row_number().over(Window.partitionBy(md5(col("text").cast("binary")))
           .orderBy("doc_id")) === 1)
@@ -344,7 +377,7 @@ object TextOps {
       val c = f.agg(
         count(lit(1)).as("n1"),
         sum(when(col("keep_q"), 1).otherwise(0)).cast("long").as("n2"),
-        sum(when(col("keep_q") && col("is_en"), 1).otherwise(0)).cast("long").as("n3"))
+        sum(when(col("clean"), 1).otherwise(0)).cast("long").as("n3"))
       val c4 = u.agg(sum(when(col("is_uniq"), 1).otherwise(0)).cast("long").as("n4"))
       val stages = c.crossJoin(c4).select(explode(array(
         struct(lit("1_total").as("stage"), col("n1").as("n")),
@@ -388,7 +421,7 @@ object TextOps {
       val d = docs(spark, sfDir).select(col("doc_id"), col("source"), col("lang"),
         size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).cast("long").as("n_toks"))
       val g = cleanFlags(spark, sfDir)
-        .select(col("doc_id"), (col("keep_q") && col("is_en")).as("clean"))
+        .select(col("doc_id"), col("clean"))
         .join(d, Seq("doc_id"))
         .groupBy("source", "lang")
         .agg(count(lit(1)).as("n_docs"),

@@ -29,7 +29,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `SupportsPushDownFilters`: a `parent_directory STARTS WITH p`
   *    predicate prunes the TREE WALK itself — partitions whose subtree
   *    cannot intersect the prefix are never listed (the reference's
-  *    "pruned recursion" usage scan, lsr-cache-maker.sh:21-28, expressed
+  *    "pruned recursion" usage scan, generate-file-list.py:28-31, expressed
   *    as a pushdown instead of a bespoke walker). `is_folder` equality
   *    and `length` range filters evaluate during the walk, before rows
   *    reach Spark. Remaining predicates stay in the plan (the contract:

@@ -73,6 +73,25 @@ class PlanSpec extends AnyFunSuite with CacheDrained {
     }
   }
 
+  test("corpus clean gate tokenizes once per scan (no alias-inlined regexp fan-out)") {
+    // r7 verdict weak #1: Catalyst inlined the `toks` alias into every gate
+    // conjunct, so the corpus-prep hot path ran regexp_extract_all ~10x per
+    // row. The gate now binds toks as a lambda variable (opaque to
+    // CollapseProject / PushPredicateThroughNonJoin): every plan node must
+    // evaluate regexp_extract_all at most ONCE.
+    Seq("corpus_clean", "corpus_mix_report").foreach { q =>
+      val p = plan(q)
+      val bad = p.linesIterator
+        .filter(l => "regexp_extract_all".r.findAllIn(l).length > 1).toList
+      assert(bad.isEmpty,
+        s"$q has a plan node that re-tokenizes: " +
+          bad.headOption.getOrElse("").take(300))
+      // and the gate really is the lambda-bound form, not a rewritten alias
+      assert(p.contains("lambdafunction(named_struct(keep_q"),
+        s"$q gate lost the lambda binding:\n${p.take(1500)}")
+    }
+  }
+
   test("capped sessionization rides one window exchange (carry-forward start, no per-session shuffle)") {
     val p = plan("events_sessionize_capped")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
