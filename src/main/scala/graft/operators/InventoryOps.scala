@@ -449,6 +449,41 @@ object InventoryOps {
         .groupBy(col("parent_directory").as("dir"))
         .agg(count(lit(1)).as("n_files"), sum("length").as("bytes"))
         .orderBy("dir")
+    },
+
+    // AGGREGATE pushdown through the V2 source: the most common query over
+    // a billion-file listing is exactly this manifest rollup —
+    // count/sum/min/max per directory — and with
+    // SupportsPushDownAggregates the walk computes the partials DURING the
+    // listing, so one row per (subtree-partition, directory) reaches Spark
+    // instead of one per file (the reference's driver-side `hadoop fs -du`
+    // rollup, generate-file-list.py:20-26, as a distributed pushdown).
+    // Folders count as entries of their parent (length 0), so the oracle
+    // reconstructs the full tree — files from lineitem, the part=pk folder
+    // set, and the root's /data folder — and replays the same rollup.
+    // Plan + the rows-emitted observable are pinned in PlanSpec.
+    GraftQuery("inv_agg_pushdown",
+      """WITH f AS (SELECT l_partkey AS pk, l_linenumber
+        |           FROM lineitem WHERE l_partkey % 200 = 0),
+        |entries AS (
+        |  SELECT concat('/data/part=', pk) AS dir,
+        |         CAST(l_linenumber AS BIGINT) AS length FROM f
+        |  UNION ALL
+        |  SELECT '/data' AS dir, CAST(0 AS BIGINT) FROM (SELECT DISTINCT pk FROM f)
+        |  UNION ALL
+        |  SELECT '/' AS dir, CAST(0 AS BIGINT))
+        |SELECT dir, CAST(count(*) AS BIGINT) AS n_entries,
+        |       CAST(sum(length) AS BIGINT) AS total_bytes,
+        |       CAST(min(length) AS BIGINT) AS min_bytes,
+        |       CAST(max(length) AS BIGINT) AS max_bytes
+        |FROM entries GROUP BY dir ORDER BY dir""".stripMargin) { (spark, sfDir) =>
+      val root = dsv2FixtureTree(spark, sfDir)
+      spark.read.format("graft-inventory").option("root", root).load()
+        .groupBy(col("parent_directory"))
+        .agg(count(lit(1)).as("n_entries"), sum("length").as("total_bytes"),
+          min("length").as("min_bytes"), max("length").as("max_bytes"))
+        .withColumnRenamed("parent_directory", "dir")
+        .orderBy("dir")
     }
   )
 

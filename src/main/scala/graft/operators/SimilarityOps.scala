@@ -1037,11 +1037,14 @@ object SimilarityOps {
     // force is asserted in SimilaritySpec — the learned codebook beats the
     // supervised label centroids it replaced because Lloyd rounds balance
     // the lists to the actual geometry.
+    // NOT benched since r8: the fixed-K build is the demo shape SCALING.md
+    // documents as a small-sf constraint; round-over-round ANN numbers
+    // track sim_ann_ivf_scaled (the production K ≈ n/occupancy shape)
+    // instead. Still oracled + spec-pinned here.
     GraftQuery("sim_ann_ivf",
       s"""WITH $ivfOracleCtes
          |SELECT qid, rnk, nid, sim6 FROM r2 WHERE rnk <= $TopK
-         |ORDER BY qid, rnk""".stripMargin,
-      bench = true) { (spark, sfDir) =>
+         |ORDER BY qid, rnk""".stripMargin) { (spark, sfDir) =>
       ivfTopK(spark, sfDir).orderBy("qid", "rnk")
     },
 

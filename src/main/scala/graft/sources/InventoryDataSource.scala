@@ -9,8 +9,9 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{Expression => VExpression, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructType}
@@ -75,6 +76,42 @@ object InventoryDataSource {
     * pushdown spec pins (subtree pruning must shrink this, not just the
     * row count). Test hook only; one JVM in local mode. */
   val dirsListed = new AtomicLong(0L)
+
+  /** rows actually handed to Spark across all readers — the observable the
+    * AGGREGATE-pushdown spec pins: with a pushed group-by, the source
+    * emits one partial row per (partition, group), never one per file.
+    * Test hook only; one JVM in local mode. */
+  val rowsEmitted = new AtomicLong(0L)
+
+  /** aggregate functions the walk can compute per subtree (partial —
+    * Spark merges partials across partitions) */
+  private[sources] sealed trait AggSpec
+  private[sources] object AggSpec {
+    case object CountAll extends AggSpec
+    final case class CountCol(col: String) extends AggSpec // all cols non-null
+    final case class MinCol(col: String) extends AggSpec
+    final case class MaxCol(col: String) extends AggSpec
+    final case class SumCol(col: String) extends AggSpec
+  }
+  private[sources] final case class PushedAgg(groupCols: Seq[String], aggs: Seq[AggSpec]) {
+    /** scan output: group columns first (in groupBy order), then one LONG
+      * per aggregate — the shape V2ScanRelationPushDown expects for
+      * PARTIAL pushdown (it rewrites the final Aggregate to merge these) */
+    def schema: StructType = {
+      val base = InventoryDataSource.Schema
+      val g = groupCols.foldLeft(new StructType()) { (st, c) => st.add(base(c)) }
+      aggs.zipWithIndex.foldLeft(g) { case (st, (a, i)) =>
+        val nm = a match {
+          case AggSpec.CountAll => s"count_star_$i"
+          case AggSpec.CountCol(c) => s"count_${c}_$i"
+          case AggSpec.MinCol(c) => s"min_${c}_$i"
+          case AggSpec.MaxCol(c) => s"max_${c}_$i"
+          case AggSpec.SumCol(c) => s"sum_${c}_$i"
+        }
+        st.add(nm, LongType, nullable = false)
+      }
+    }
+  }
 }
 
 private final class InventoryTable(root: String, hadoopConf: Map[String, String])
@@ -154,10 +191,14 @@ private final class InventoryWriter(root: String, hadoopConf: Map[String, String
 }
 
 private final class InventoryScanBuilder(root: String, hadoopConf: Map[String, String])
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
+
+  import InventoryDataSource.{AggSpec, PushedAgg}
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = InventoryDataSource.Schema
+  private var agg: Option[PushedAgg] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
@@ -181,16 +222,56 @@ private final class InventoryScanBuilder(root: String, hadoopConf: Map[String, S
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = InventoryScan(root, hadoopConf, pushed, required)
+  /** Aggregate pushdown — the billion-file-listing shape: count / sum /
+    * min / max (of the long columns) per directory computed DURING the
+    * walk, so one partial row per (subtree-partition, group) reaches
+    * Spark instead of one row per file (the reference computes exactly
+    * this rollup driver-side over `hadoop fs -du` lines,
+    * generate-file-list.py:20-26 / adls_copy_utils.py:67-86). PARTIAL
+    * pushdown only (supportCompletePushDown stays false): Spark's final
+    * Aggregate merges the per-partition partials, which is what keeps the
+    * answer exact under any partitioning. Only a filterless scan
+    * qualifies: our filter pushdown is conservative (residuals stay in
+    * the plan), and an aggregate must never jump a residual Filter. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (pushed.nonEmpty) return false
+    val base = InventoryDataSource.Schema
+    def fieldOf(e: VExpression): Option[String] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 &&
+          base.fieldNames.contains(f.fieldNames.head) => Some(f.fieldNames.head)
+      case _ => None
+    }
+    val longCols = Set("length", "mtime_ms")
+    val groups = aggregation.groupByExpressions.toSeq.map(fieldOf)
+    if (groups.exists(_.isEmpty)) return false
+    val specs: Seq[Option[AggSpec]] = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(AggSpec.CountAll)
+      case c: Count if !c.isDistinct =>
+        fieldOf(c.column).map(AggSpec.CountCol) // every column is non-null
+      case m: Min => fieldOf(m.column).filter(longCols).map(AggSpec.MinCol)
+      case m: Max => fieldOf(m.column).filter(longCols).map(AggSpec.MaxCol)
+      case s: Sum if !s.isDistinct => fieldOf(s.column).filter(longCols).map(AggSpec.SumCol)
+      case _ => None
+    }
+    if (specs.exists(_.isEmpty)) return false
+    agg = Some(PushedAgg(groups.flatten, specs.flatten))
+    true
+  }
+
+  override def build(): Scan =
+    InventoryScan(root, hadoopConf, pushed, agg.map(_.schema).getOrElse(required), agg)
 }
 
 private final case class InventoryScan(root: String, hadoopConf: Map[String, String],
-    pushed: Array[Filter], required: StructType) extends Scan with Batch {
+    pushed: Array[Filter], required: StructType,
+    agg: Option[InventoryDataSource.PushedAgg]) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-inventory root=$root PushedFilters: ${pushed.mkString("[", ", ", "]")}"
+    s"graft-inventory root=$root PushedFilters: ${pushed.mkString("[", ", ", "]")}" +
+      agg.map(a => s" PushedAggregation: [${a.aggs.mkString(", ")}] " +
+        s"PushedGroupBy: [${a.groupCols.mkString(", ")}]").getOrElse("")
 
   private def prefixFilter: Option[String] = pushed.collectFirst {
     case StringStartsWith("parent_directory", p) => p
@@ -221,11 +302,15 @@ private final case class InventoryScan(root: String, hadoopConf: Map[String, Str
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val r = root; val hc = hadoopConf; val p = pushed; val req = required
+    val r = root; val hc = hadoopConf; val p = pushed; val req = required; val a = agg
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-        new InventoryReader(r, hc, p, req,
-          partition.asInstanceOf[InventoryPartition])
+        a match {
+          case Some(pa) => new InventoryAggReader(r, hc, p, pa,
+            partition.asInstanceOf[InventoryPartition])
+          case None => new InventoryReader(r, hc, p, req,
+            partition.asInstanceOf[InventoryPartition])
+        }
     }
   }
 }
@@ -249,12 +334,12 @@ private object InventoryScan {
 private final case class InventoryPartition(startDir: String, ownFilesOnly: Boolean)
     extends InputPartition
 
-/** depth-first walk of one subtree, emitting rows lazily; pushed filters
-  * prune descent (prefix) and drop entries (is_folder / length) before a
-  * row is ever built */
-private final class InventoryReader(root: String, hadoopConf: Map[String, String],
-    pushed: Array[Filter], required: StructType, part: InventoryPartition)
-    extends PartitionReader[InternalRow] {
+/** depth-first walk of one subtree as a lazy iterator of
+  * (name, parent, isFolder, length, mtime) entries; pushed filters prune
+  * descent (prefix) and drop entries (is_folder / length) before a row is
+  * ever built. Shared by the row reader and the aggregating reader. */
+private final class InventoryWalk(root: String, hadoopConf: Map[String, String],
+    pushed: Array[Filter], part: InventoryPartition) {
 
   private val conf = InventoryScan.configuration(hadoopConf)
   private val fs: FileSystem = new Path(root).getFileSystem(conf)
@@ -280,10 +365,8 @@ private final class InventoryReader(root: String, hadoopConf: Map[String, String
     prefix.forall(p => dir.startsWith(p) || p.startsWith(dir))
   private def dirMatches(dir: String): Boolean = prefix.forall(dir.startsWith)
 
-  // (name, parent, isFolder, length, mtime)
   private val stack = scala.collection.mutable.Stack[String](part.startDir)
   private var queued: List[(String, String, Boolean, Long, Long)] = Nil
-  private var current: (String, String, Boolean, Long, Long) = _
 
   private def abs(rel: String): Path =
     if (rel == "/") rootPath else new Path(rootPath, rel.stripPrefix("/"))
@@ -309,12 +392,26 @@ private final class InventoryReader(root: String, hadoopConf: Map[String, String
     }
   }
 
-  override def next(): Boolean = {
+  /** advance; Some(entry) or None when the subtree is exhausted */
+  def nextEntry(): Option[(String, String, Boolean, Long, Long)] = {
     fill()
     queued match {
-      case h :: t => current = h; queued = t; true
-      case Nil => false
+      case h :: t => queued = t; Some(h)
+      case Nil => None
     }
+  }
+}
+
+private final class InventoryReader(root: String, hadoopConf: Map[String, String],
+    pushed: Array[Filter], required: StructType, part: InventoryPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val walk = new InventoryWalk(root, hadoopConf, pushed, part)
+  private var current: (String, String, Boolean, Long, Long) = _
+
+  override def next(): Boolean = walk.nextEntry() match {
+    case Some(e) => current = e; InventoryDataSource.rowsEmitted.incrementAndGet(); true
+    case None => false
   }
 
   override def get(): InternalRow = {
@@ -328,5 +425,70 @@ private final class InventoryReader(root: String, hadoopConf: Map[String, String
     InternalRow.fromSeq(vals.toIndexedSeq)
   }
 
+  override def close(): Unit = ()
+}
+
+/** aggregate-pushdown reader: folds the subtree walk into one partial row
+  * per group — a billion-file manifest crosses the wire as one row per
+  * (partition, directory), never one per file. Memory is bounded by the
+  * number of DISTINCT GROUPS in this subtree (directories, typically),
+  * not by file count. */
+private final class InventoryAggReader(root: String, hadoopConf: Map[String, String],
+    pushed: Array[Filter], agg: InventoryDataSource.PushedAgg, part: InventoryPartition)
+    extends PartitionReader[InternalRow] {
+
+  import InventoryDataSource.AggSpec
+
+  private def colOf(e: (String, String, Boolean, Long, Long), c: String): Any = c match {
+    case "name" => e._1
+    case "parent_directory" => e._2
+    case "is_folder" => e._3
+    case "length" => e._4
+    case "mtime_ms" => e._5
+  }
+  private def longOf(e: (String, String, Boolean, Long, Long), c: String): Long = c match {
+    case "length" => e._4
+    case "mtime_ms" => e._5
+    case other => sys.error(s"non-long aggregate column $other")
+  }
+
+  private lazy val groups: Iterator[InternalRow] = {
+    val walk = new InventoryWalk(root, hadoopConf, pushed, part)
+    val acc = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Array[Long]]
+    var e = walk.nextEntry()
+    while (e.isDefined) {
+      val entry = e.get
+      val key = agg.groupCols.map(c => colOf(entry, c))
+      val cells = acc.getOrElseUpdate(key, agg.aggs.map {
+        case AggSpec.MinCol(_) => Long.MaxValue
+        case AggSpec.MaxCol(_) => Long.MinValue
+        case _ => 0L
+      }.toArray)
+      var i = 0
+      agg.aggs.foreach { a =>
+        a match {
+          case AggSpec.CountAll | AggSpec.CountCol(_) => cells(i) += 1L
+          case AggSpec.MinCol(c) => cells(i) = math.min(cells(i), longOf(entry, c))
+          case AggSpec.MaxCol(c) => cells(i) = math.max(cells(i), longOf(entry, c))
+          case AggSpec.SumCol(c) => cells(i) += longOf(entry, c)
+        }
+        i += 1
+      }
+      e = walk.nextEntry()
+    }
+    acc.iterator.map { case (key, cells) =>
+      InventoryDataSource.rowsEmitted.incrementAndGet()
+      val keyVals: Seq[Any] = key.map {
+        case s: String => UTF8String.fromString(s)
+        case other => other
+      }
+      InternalRow.fromSeq(keyVals ++ cells.toSeq)
+    }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (groups.hasNext) { current = groups.next(); true } else false
+  override def get(): InternalRow = current
   override def close(): Unit = ()
 }

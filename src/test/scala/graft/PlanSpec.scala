@@ -73,6 +73,12 @@ class PlanSpec extends AnyFunSuite with CacheDrained {
     }
   }
 
+  test("inv_agg_pushdown pushes the manifest rollup into the V2 walk") {
+    val p = plan("inv_agg_pushdown")
+    assert(p.contains("PushedAggregation") && p.contains("PushedGroupBy: [parent_directory]"),
+      s"manifest aggregation not pushed into the source:\n${p.take(2000)}")
+  }
+
   test("corpus clean gate tokenizes once per scan (no alias-inlined regexp fan-out)") {
     // r7 verdict weak #1: Catalyst inlined the `toks` alias into every gate
     // conjunct, so the corpus-prep hot path ran regexp_extract_all ~10x per

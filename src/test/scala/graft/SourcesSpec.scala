@@ -288,6 +288,36 @@ class SourcesSpec extends AnyFunSuite {
     assert(back == expect, s"V2 write→read round trip drifted: $back")
   }
 
+  test("graft-inventory DSv2: aggregate pushdown folds the walk into one partial row per (partition, group)") {
+    val spark = TestSpark.spark
+    import graft.sources.InventoryDataSource
+    val tmp = buildTree()
+    def read() = spark.read.format("graft-inventory").option("root", tmp).load()
+    val df = read().groupBy("parent_directory")
+      .agg(count(lit(1)).as("n"), sum("length").as("bytes"), max("length").as("max_b"))
+    InventoryDataSource.rowsEmitted.set(0L)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val emitted = InventoryDataSource.rowsEmitted.get()
+    assert(got == Set(("/", 3L, 2L, 2L), ("/a", 3L, 8L, 5L),
+      ("/a/sub", 1L, 7L, 7L), ("/b", 1L, 11L, 11L)), s"rollup drifted: $got")
+    // the tree has 8 entries; partials are per (partition, group):
+    // "/" own-files (1 group) + /a subtree (/a, /a/sub) + /b subtree (1)
+    assert(emitted == 4L, s"source leaked row-level rows: emitted $emitted")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation"), s"aggregation not pushed:\n$plan")
+    // exactness guard: our filter pushdown is conservative (residuals stay
+    // in the plan), so a filtered aggregate must NOT push the aggregation
+    // below the residual filter
+    val filtered = read().filter(col("length") > 0L)
+      .groupBy("parent_directory").agg(count(lit(1)).as("n"))
+    val fplan = filtered.queryExecution.executedPlan.toString
+    assert(!fplan.contains("PushedAggregation"),
+      s"aggregate jumped a residual filter:\n$fplan")
+    val fgot = filtered.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(fgot == Set(("/", 1L), ("/a", 2L), ("/a/sub", 1L), ("/b", 1L)))
+  }
+
   test("graft-inventory DSv2: column pruning reaches the scan; length/folder pushdown correct") {
     val spark = TestSpark.spark
     val tmp = buildTree()
