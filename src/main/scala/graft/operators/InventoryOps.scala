@@ -484,6 +484,36 @@ object InventoryOps {
           min("length").as("min_bytes"), max("length").as("max_bytes"))
         .withColumnRenamed("parent_directory", "dir")
         .orderBy("dir")
+    },
+
+    // Aggregate pushdown COMPOSED with an exactly-pushed prefix filter —
+    // "manifest rollup UNDER A PREFIX", the single most common real
+    // listing query at 100 TB (the reference always rolls up one
+    // migration root, never the whole namespace —
+    // generate-file-list.py:20-26 takes a source-path argument). The walk
+    // applies the StartsWith exactly per entry (so the filter is claimed,
+    // not residual), prunes descent to compatible subtrees, AND folds the
+    // rollup during the listing: one partial row per (partition, matching
+    // directory) reaches Spark. Plan (PushedAggregation + PushedFilters,
+    // no post-scan Filter) and the rows-emitted observable are pinned in
+    // PlanSpec/SourcesSpec.
+    GraftQuery("inv_agg_pushdown_prefix",
+      """WITH f AS (SELECT l_partkey AS pk, l_linenumber
+        |           FROM lineitem WHERE l_partkey % 200 = 0)
+        |SELECT concat('/data/part=', pk) AS dir,
+        |       CAST(count(*) AS BIGINT) AS n_entries,
+        |       CAST(sum(l_linenumber) AS BIGINT) AS total_bytes,
+        |       CAST(min(l_linenumber) AS BIGINT) AS min_bytes,
+        |       CAST(max(l_linenumber) AS BIGINT) AS max_bytes
+        |FROM f GROUP BY pk ORDER BY dir""".stripMargin) { (spark, sfDir) =>
+      val root = dsv2FixtureTree(spark, sfDir)
+      spark.read.format("graft-inventory").option("root", root).load()
+        .filter(col("parent_directory").startsWith("/data/"))
+        .groupBy(col("parent_directory"))
+        .agg(count(lit(1)).as("n_entries"), sum("length").as("total_bytes"),
+          min("length").as("min_bytes"), max("length").as("max_bytes"))
+        .withColumnRenamed("parent_directory", "dir")
+        .orderBy("dir")
     }
   )
 

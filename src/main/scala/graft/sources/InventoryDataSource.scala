@@ -33,8 +33,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    "pruned recursion" usage scan, generate-file-list.py:28-31, expressed
   *    as a pushdown instead of a bespoke walker). `is_folder` equality
   *    and `length` range filters evaluate during the walk, before rows
-  *    reach Spark. Remaining predicates stay in the plan (the contract:
-  *    pushdown is an optimization, never a semantics change).
+  *    reach Spark. Accepted filters are applied EXACTLY per entry (see
+  *    InventoryWalk.isExact), so they are claimed — not re-evaluated
+  *    post-scan — which lets aggregate pushdown compose with a filtered
+  *    scan; predicates the walk can't apply exactly stay in the plan.
   *  - `SupportsPushDownRequiredColumns`: readers materialize only the
   *    projected columns (ReadSchema in the plan shows the pruned struct).
   *  - one `InputPartition` per top-level child of `root` (+ one for the
@@ -82,6 +84,23 @@ object InventoryDataSource {
     * emits one partial row per (partition, group), never one per file.
     * Test hook only; one JVM in local mode. */
   val rowsEmitted = new AtomicLong(0L)
+
+  /** Overflow-checked partial-SUM step. The unpushed plan under Spark's
+    * ANSI default would raise ARITHMETIC_OVERFLOW on a Long sum overflow;
+    * unchecked `+` here would instead wrap silently — and sum(mtime_ms)
+    * (~1.7e12 per file) crosses Long.MaxValue around 5M files per
+    * (partition, group), well inside the advertised billion-file scale.
+    * Pushdown must never be a semantics change, so surface the same
+    * failure instead of a wrong answer. */
+  private[graft] def addExactSum(acc: Long, x: Long, col: String): Long =
+    try Math.addExact(acc, x)
+    catch {
+      case _: ArithmeticException => throw new ArithmeticException(
+        s"graft-inventory pushed SUM($col) overflowed Long in a partial " +
+          "aggregate (the unpushed ANSI plan would raise the same " +
+          "ARITHMETIC_OVERFLOW); aggregate a narrower subtree or cast " +
+          "before summing")
+    }
 
   /** aggregate functions the walk can compute per subtree (partial —
     * Spark merges partials across partitions) */
@@ -197,27 +216,31 @@ private final class InventoryScanBuilder(root: String, hadoopConf: Map[String, S
   import InventoryDataSource.{AggSpec, PushedAgg}
 
   private var pushed: Array[Filter] = Array.empty
+  /** accepted-but-not-exact filters (currently none; see pushFilters) —
+    * kept residual and a hard block for aggregate pushdown */
+  private var bestEffort: Array[Filter] = Array.empty
   private var required: StructType = InventoryDataSource.Schema
   private var agg: Option[PushedAgg] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (accepted, rejected) = filters.partition {
-      case StringStartsWith("parent_directory", _) => true
-      case EqualTo("is_folder", _: java.lang.Boolean) => true
-      case GreaterThan("length", _: java.lang.Long) => true
-      case GreaterThanOrEqual("length", _: java.lang.Long) => true
-      case LessThan("length", _: java.lang.Long) => true
-      case LessThanOrEqual("length", _: java.lang.Long) => true
-      case _ => false
-    }
-    pushed = accepted
-    // hand EVERYTHING back as residual: the source prunes work with the
-    // accepted filters but never claims exactness for them — Spark keeps
-    // the authoritative evaluation (mirrors parquet's conservative model)
-    rejected ++ accepted
+    // Exactness is tracked PER FILTER: a filter is claimed as exact only
+    // when the walk applies its full semantics to every emitted entry
+    // (InventoryWalk evaluates prefix / is_folder / length per entry, and
+    // `planInputPartitions` + the walk's descent pruning are strictly
+    // conservative supersets of it). Exact filters are NOT returned as
+    // residual, so Spark drops the post-scan Filter — which is what lets
+    // V2ScanRelationPushDown compose aggregate pushdown with a filtered
+    // scan ("manifest rollup UNDER A PREFIX", the most common real listing
+    // query at scale). Any future best-effort acceptance must go through
+    // `bestEffort` instead: it stays residual AND blocks pushAggregation
+    // (an aggregate must never jump a residual filter).
+    val (exactAccepted, rejected) = filters.partition(InventoryWalk.isExact)
+    pushed = exactAccepted
+    bestEffort = Array.empty
+    rejected ++ bestEffort
   }
 
-  override def pushedFilters(): Array[Filter] = pushed
+  override def pushedFilters(): Array[Filter] = pushed ++ bestEffort
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -230,11 +253,17 @@ private final class InventoryScanBuilder(root: String, hadoopConf: Map[String, S
     * generate-file-list.py:20-26 / adls_copy_utils.py:67-86). PARTIAL
     * pushdown only (supportCompletePushDown stays false): Spark's final
     * Aggregate merges the per-partition partials, which is what keeps the
-    * answer exact under any partitioning. Only a filterless scan
-    * qualifies: our filter pushdown is conservative (residuals stay in
-    * the plan), and an aggregate must never jump a residual Filter. */
+    * answer exact under any partitioning. Composes with EXACTLY-pushed
+    * filters (the walk drops non-matching entries before they reach the
+    * accumulator, so "rollup under a prefix" is one partial row per
+    * (partition, matching directory)); a best-effort filter — one Spark
+    * still re-evaluates post-scan — blocks pushdown, because an aggregate
+    * must never jump a residual Filter. (Spark's own rule enforces the
+    * same invariant: it only attempts aggregate pushdown on a scan with
+    * no post-scan filters. The guard here keeps the source sound even if
+    * that changes.) */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    if (pushed.nonEmpty) return false
+    if (bestEffort.nonEmpty) return false
     val base = InventoryDataSource.Schema
     def fieldOf(e: VExpression): Option[String] = e match {
       case f: NamedReference if f.fieldNames.length == 1 &&
@@ -273,7 +302,7 @@ private final case class InventoryScan(root: String, hadoopConf: Map[String, Str
       agg.map(a => s" PushedAggregation: [${a.aggs.mkString(", ")}] " +
         s"PushedGroupBy: [${a.groupCols.mkString(", ")}]").getOrElse("")
 
-  private def prefixFilter: Option[String] = pushed.collectFirst {
+  private def prefixFilters: Seq[String] = pushed.toSeq.collect {
     case StringStartsWith("parent_directory", p) => p
   }
 
@@ -283,11 +312,12 @@ private final case class InventoryScan(root: String, hadoopConf: Map[String, Str
     val rootPath = fs.makeQualified(new Path(root))
     InventoryDataSource.dirsListed.incrementAndGet()
     val children = fs.listStatus(rootPath)
-    val prefix = prefixFilter
+    val prefixes = prefixFilters
     // a subtree rooted at dir D can only contain parent_directory values
     // with prefix D — compatible with `starts with p` iff one of the two
-    // strings is a prefix of the other
-    def compatible(dir: String): Boolean = prefix.forall(p =>
+    // strings is a prefix of the other (must hold for EVERY pushed prefix:
+    // the filters are a conjunction)
+    def compatible(dir: String): Boolean = prefixes.forall(p =>
       dir.startsWith(p) || p.startsWith(dir))
     val subtrees = children.filter(_.isDirectory)
       .map(st => InventoryScan.relative(rootPath, st.getPath))
@@ -295,8 +325,7 @@ private final case class InventoryScan(root: String, hadoopConf: Map[String, Str
       .map(d => InventoryPartition(d, ownFilesOnly = false))
     // the root's immediate files belong to parent_directory "/"
     val rootFiles =
-      if (prefix.forall(p => "/".startsWith(p) || p.startsWith("/")))
-        Array(InventoryPartition("/", ownFilesOnly = true))
+      if (compatible("/")) Array(InventoryPartition("/", ownFilesOnly = true))
       else Array.empty[InventoryPartition]
     (rootFiles ++ subtrees).toArray[InputPartition]
   }
@@ -334,10 +363,31 @@ private object InventoryScan {
 private final case class InventoryPartition(startDir: String, ownFilesOnly: Boolean)
     extends InputPartition
 
+private object InventoryWalk {
+  /** Filters whose FULL semantics the walk applies to every emitted entry
+    * — the exactness contract behind pushFilters' non-residual claim.
+    * Every shape listed here must be evaluated per-entry in [[fill]]
+    * (descent pruning alone is a superset, never sufficient): prefix
+    * conjunctions via `dirMatches`, folder equality via `folderEq`,
+    * length ranges via `lenPred` (folders carry length 0). */
+  def isExact(f: Filter): Boolean = f match {
+    case StringStartsWith("parent_directory", _) => true
+    case EqualTo("is_folder", _: java.lang.Boolean) => true
+    case GreaterThan("length", _: java.lang.Long) => true
+    case GreaterThanOrEqual("length", _: java.lang.Long) => true
+    case LessThan("length", _: java.lang.Long) => true
+    case LessThanOrEqual("length", _: java.lang.Long) => true
+    case _ => false
+  }
+}
+
 /** depth-first walk of one subtree as a lazy iterator of
   * (name, parent, isFolder, length, mtime) entries; pushed filters prune
   * descent (prefix) and drop entries (is_folder / length) before a row is
-  * ever built. Shared by the row reader and the aggregating reader. */
+  * ever built. The drop is EXACT (every pushed filter's semantics applied
+  * per entry — see [[InventoryWalk.isExact]]), which is what lets the
+  * scan builder keep pushed filters out of the residual set. Shared by
+  * the row reader and the aggregating reader. */
 private final class InventoryWalk(root: String, hadoopConf: Map[String, String],
     pushed: Array[Filter], part: InventoryPartition) {
 
@@ -345,7 +395,7 @@ private final class InventoryWalk(root: String, hadoopConf: Map[String, String],
   private val fs: FileSystem = new Path(root).getFileSystem(conf)
   private val rootPath = fs.makeQualified(new Path(root))
 
-  private val prefix = pushed.collectFirst {
+  private val prefixes: Seq[String] = pushed.toSeq.collect {
     case StringStartsWith("parent_directory", p) => p
   }
   private val folderEq = pushed.collectFirst {
@@ -362,8 +412,8 @@ private final class InventoryWalk(root: String, hadoopConf: Map[String, String],
   }
 
   private def dirCompatible(dir: String): Boolean =
-    prefix.forall(p => dir.startsWith(p) || p.startsWith(dir))
-  private def dirMatches(dir: String): Boolean = prefix.forall(dir.startsWith)
+    prefixes.forall(p => dir.startsWith(p) || p.startsWith(dir))
+  private def dirMatches(dir: String): Boolean = prefixes.forall(dir.startsWith)
 
   private val stack = scala.collection.mutable.Stack[String](part.startDir)
   private var queued: List[(String, String, Boolean, Long, Long)] = Nil
@@ -470,7 +520,8 @@ private final class InventoryAggReader(root: String, hadoopConf: Map[String, Str
           case AggSpec.CountAll | AggSpec.CountCol(_) => cells(i) += 1L
           case AggSpec.MinCol(c) => cells(i) = math.min(cells(i), longOf(entry, c))
           case AggSpec.MaxCol(c) => cells(i) = math.max(cells(i), longOf(entry, c))
-          case AggSpec.SumCol(c) => cells(i) += longOf(entry, c)
+          case AggSpec.SumCol(c) =>
+            cells(i) = InventoryDataSource.addExactSum(cells(i), longOf(entry, c), c)
         }
         i += 1
       }

@@ -79,6 +79,21 @@ class PlanSpec extends AnyFunSuite with CacheDrained {
       s"manifest aggregation not pushed into the source:\n${p.take(2000)}")
   }
 
+  test("inv_agg_pushdown_prefix composes the rollup with the exactly-pushed prefix filter") {
+    val p = plan("inv_agg_pushdown_prefix")
+    // both pushdowns visible on the SAME scan: the rollup under a prefix
+    // is one partial row per (partition, matching directory)
+    assert(p.contains("PushedAggregation") && p.contains("PushedGroupBy: [parent_directory]"),
+      s"prefix rollup lost the aggregate pushdown:\n${p.take(2000)}")
+    assert(p.contains("StringStartsWith(parent_directory"),
+      s"prefix rollup lost the filter pushdown:\n${p.take(2000)}")
+    // the exactly-applied prefix must not be re-evaluated post-scan (a
+    // residual Filter would also have blocked the aggregate pushdown)
+    val residual = p.linesIterator
+      .filter(l => l.contains("Filter ") && l.toLowerCase.contains("startswith"))
+    assert(residual.isEmpty, s"prefix left residual:\n${p.take(2000)}")
+  }
+
   test("corpus clean gate tokenizes once per scan (no alias-inlined regexp fan-out)") {
     // r7 verdict weak #1: Catalyst inlined the `toks` alias into every gate
     // conjunct, so the corpus-prep hot path ran regexp_extract_all ~10x per

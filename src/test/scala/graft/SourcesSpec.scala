@@ -256,15 +256,35 @@ class SourcesSpec extends AnyFunSuite {
     val fullListed = InventoryDataSource.dirsListed.get()
     InventoryDataSource.dirsListed.set(0L)
     val pruned = read().filter(col("parent_directory").startsWith("/a"))
+    InventoryDataSource.rowsEmitted.set(0L)
     val rows = pruned.collect().map(_.getString(0)).toSet
     val prunedListed = InventoryDataSource.dirsListed.get()
+    val emitted = InventoryDataSource.rowsEmitted.get()
     assert(rows == Set("/a/x.dat", "/a/y.dat", "/a/sub", "/a/sub/z.dat"))
     assert(prunedListed < fullListed,
       s"pushdown did not prune the walk: $prunedListed vs $fullListed")
-    // the filter must ALSO remain in the plan (pushdown is advisory)
+    // the walk applies the prefix EXACTLY per entry, so (a) the source
+    // never emits a non-matching row and (b) the filter is CLAIMED — it
+    // appears in the scan's PushedFilters and is NOT re-evaluated by a
+    // post-scan Filter node (the exactness contract that lets aggregate
+    // pushdown compose with a prefix-filtered scan)
+    assert(emitted == 4L, s"source emitted non-matching rows: $emitted")
     val plan = pruned.queryExecution.executedPlan.toString
-    assert(plan.contains("StartsWith") || plan.contains("startswith"),
-      s"residual filter missing:\n$plan")
+    assert(plan.contains("StringStartsWith(parent_directory"),
+      s"prefix filter missing from PushedFilters:\n$plan")
+    val residual = plan.linesIterator
+      .filter(l => l.contains("Filter ") && l.toLowerCase.contains("startswith"))
+    assert(residual.isEmpty,
+      s"exactly-applied prefix filter was left residual:\n$plan")
+    // multiple prefixes are a conjunction — all applied, still exact
+    InventoryDataSource.rowsEmitted.set(0L)
+    val two = read()
+      .filter(col("parent_directory").startsWith("/a") &&
+        col("parent_directory").startsWith("/a/sub"))
+      .collect().map(_.getString(0)).toSet
+    assert(two == Set("/a/sub/z.dat"), s"multi-prefix conjunction drifted: $two")
+    assert(InventoryDataSource.rowsEmitted.get() == 1L,
+      "multi-prefix walk emitted rows matching only one prefix")
   }
 
   test("graft-inventory DSv2: write path materializes a tree that reads back identically") {
@@ -306,16 +326,44 @@ class SourcesSpec extends AnyFunSuite {
     assert(emitted == 4L, s"source leaked row-level rows: emitted $emitted")
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("PushedAggregation"), s"aggregation not pushed:\n$plan")
-    // exactness guard: our filter pushdown is conservative (residuals stay
-    // in the plan), so a filtered aggregate must NOT push the aggregation
-    // below the residual filter
+    // composition: an EXACTLY-pushed filter (the walk applies length
+    // ranges per entry, folders carry length 0) no longer blocks the
+    // aggregate — filter + rollup both fold into the walk, and the
+    // per-group partial shape survives (one row per non-empty group)
     val filtered = read().filter(col("length") > 0L)
       .groupBy("parent_directory").agg(count(lit(1)).as("n"))
     val fplan = filtered.queryExecution.executedPlan.toString
-    assert(!fplan.contains("PushedAggregation"),
-      s"aggregate jumped a residual filter:\n$fplan")
+    assert(fplan.contains("PushedAggregation"),
+      s"aggregate did not compose with the exactly-pushed filter:\n$fplan")
+    InventoryDataSource.rowsEmitted.set(0L)
     val fgot = filtered.collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(fgot == Set(("/", 1L), ("/a", 2L), ("/a/sub", 1L), ("/b", 1L)))
+    assert(InventoryDataSource.rowsEmitted.get() == 4L,
+      "filtered aggregate leaked row-level rows")
+    // exactness guard: a filter the walk CANNOT apply exactly (name
+    // suffix) stays residual, and the aggregation must NOT jump it —
+    // Spark's rule declines (post-scan filters present) and the builder's
+    // own best-effort guard backstops it
+    val resid = read().filter(col("name").endsWith(".dat"))
+      .groupBy("parent_directory").agg(count(lit(1)).as("n"))
+    val rplan = resid.queryExecution.executedPlan.toString
+    assert(!rplan.contains("PushedAggregation"),
+      s"aggregate jumped a residual filter:\n$rplan")
+    val rgot = resid.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rgot == Set(("/", 1L), ("/a", 2L), ("/a/sub", 1L), ("/b", 1L)))
+  }
+
+  test("graft-inventory DSv2: pushed partial SUM surfaces Long overflow instead of wrapping") {
+    import graft.sources.InventoryDataSource
+    // the walk-side accumulator must match the unpushed ANSI plan's
+    // ARITHMETIC_OVERFLOW behavior, never wrap silently (sum(mtime_ms)
+    // crosses Long.MaxValue around 5M files per group at real scale)
+    assert(InventoryDataSource.addExactSum(Long.MaxValue - 5L, 5L, "mtime_ms")
+      == Long.MaxValue)
+    val ex = intercept[ArithmeticException] {
+      InventoryDataSource.addExactSum(Long.MaxValue, 1L, "mtime_ms")
+    }
+    assert(ex.getMessage.contains("SUM(mtime_ms)"), ex.getMessage)
   }
 
   test("graft-inventory DSv2: column pruning reaches the scan; length/folder pushdown correct") {
