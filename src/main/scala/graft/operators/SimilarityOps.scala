@@ -704,36 +704,94 @@ object SimilarityOps {
        |${rerankOracleTail("cands")}""".stripMargin
 
   /** DuckDB twin of the corpus-scaled IVF ([[ivfScaledTopK]]): K is
-    * computed FROM THE DATA (⌈n / occupancy⌉) and the sampled coarse
-    * quantizer is one md5-rank window — no per-centroid CTE unrolling, so
-    * the same static SQL is correct at every sf the driver runs. Ends in
-    * `r2(qid, nid, sim6, rnk)`. */
-  private def ivfScaledOracleCtes: String =
-    s"""comps AS MATERIALIZED (SELECT vec_id, i - 1 AS i,
-       |        CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xq
-       |      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) ii),
-       |ksel AS (SELECT greatest(2, CAST(ceil(CAST(count(*) AS DOUBLE)
-       |        / $ScaledAnnOccupancy) AS BIGINT)) AS k FROM embeddings),
-       |csel AS (SELECT vec_id,
-       |        row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c
-       |      FROM embeddings),
-       |cc AS MATERIALIZED (SELECT csel.c, comps.i, comps.xq AS x
-       |      FROM csel JOIN comps ON comps.vec_id = csel.vec_id
-       |      WHERE csel.c < (SELECT k FROM ksel)),
-       |cn AS (SELECT c, CAST(sum(x * x) AS BIGINT) AS n2c FROM cc GROUP BY c),
-       |dps AS (SELECT comps.vec_id, cc.c, CAST(sum(comps.xq * cc.x) AS BIGINT) AS dp
-       |      FROM comps JOIN cc ON cc.i = comps.i GROUP BY comps.vec_id, cc.c),
-       |sranked AS MATERIALIZED (SELECT d.vec_id, d.c,
-       |        row_number() OVER (PARTITION BY d.vec_id
-       |                           ORDER BY cn.n2c - 2 * d.dp, d.c) AS r
-       |      FROM dps d JOIN cn ON cn.c = d.c),
-       |sassign AS (SELECT vec_id, c AS list FROM sranked WHERE r = 1),
-       |sprobes AS (SELECT vec_id AS qid, c AS list FROM sranked
-       |      WHERE r <= $IvfProbes AND vec_id < $NumQueries),
-       |scands AS (SELECT p.qid, a.vec_id AS nid
-       |      FROM sprobes p JOIN sassign a ON a.list = p.list
-       |      WHERE a.vec_id <> p.qid),
-       |${rerankOracleTail("scands")}""".stripMargin
+    * computed FROM THE DATA (⌈n / occupancy⌉), the md5-rank sample init
+    * is one window, and the KmeansIters Lloyd rounds reuse the fixed-K
+    * oracle's GROUP-BY-shaped round pattern — nothing here unrolls per
+    * centroid, so the same static SQL is correct at every sf (and K) the
+    * driver runs. Ends in `r2(qid, nid, sim6, rnk)`. */
+  private def ivfScaledOracleCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s"""comps AS MATERIALIZED (SELECT vec_id, i - 1 AS i,
+              |        CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+              |      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) ii),
+              |ksel AS (SELECT greatest(2, CAST(ceil(CAST(count(*) AS DOUBLE)
+              |        / $ScaledAnnOccupancy) AS BIGINT)) AS k FROM embeddings),
+              |csel AS (SELECT vec_id,
+              |        row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c
+              |      FROM embeddings),
+              |sca0 AS MATERIALIZED (SELECT csel.c, comps.i, comps.xq AS x
+              |      FROM csel JOIN comps ON comps.vec_id = csel.vec_id
+              |      WHERE csel.c < (SELECT k FROM ksel))""".stripMargin
+    for (j <- 0 until KmeansIters) {
+      sb ++= s""",
+                |sdj$j AS (SELECT comps.vec_id, ct.c, CAST(sum(comps.xq * ct.x) AS BIGINT) AS dp
+                |      FROM comps JOIN sca$j ct ON ct.i = comps.i GROUP BY comps.vec_id, ct.c),
+                |scnj$j AS (SELECT c, CAST(sum(x * x) AS BIGINT) AS n2c FROM sca$j GROUP BY c),
+                |sasg$j AS MATERIALIZED (SELECT vec_id, c FROM (
+                |      SELECT d.vec_id, d.c, row_number() OVER (PARTITION BY d.vec_id
+                |          ORDER BY cn.n2c - 2 * d.dp, d.c) AS rn
+                |      FROM sdj$j d JOIN scnj$j cn ON cn.c = d.c) st$j WHERE rn = 1),
+                |ssm$j AS (SELECT a.c, comps.i, CAST(sum(comps.xq) AS BIGINT) AS s,
+                |        CAST(count(*) AS BIGINT) AS cnt
+                |      FROM comps JOIN sasg$j a ON a.vec_id = comps.vec_id GROUP BY a.c, comps.i),
+                |sca${j + 1} AS MATERIALIZED (SELECT p.c, p.i,
+                |        COALESCE((s.s - ((s.s % s.cnt) + s.cnt) % s.cnt) // s.cnt, p.x) AS x
+                |      FROM sca$j p LEFT JOIN ssm$j s ON s.c = p.c AND s.i = p.i)""".stripMargin
+    }
+    val J = KmeansIters
+    sb ++= s""",
+              |cn AS (SELECT c, CAST(sum(x * x) AS BIGINT) AS n2c FROM sca$J GROUP BY c),
+              |dps AS (SELECT comps.vec_id, cc.c, CAST(sum(comps.xq * cc.x) AS BIGINT) AS dp
+              |      FROM comps JOIN sca$J cc ON cc.i = comps.i GROUP BY comps.vec_id, cc.c),
+              |sranked AS MATERIALIZED (SELECT d.vec_id, d.c,
+              |        row_number() OVER (PARTITION BY d.vec_id
+              |                           ORDER BY cn.n2c - 2 * d.dp, d.c) AS r
+              |      FROM dps d JOIN cn ON cn.c = d.c),
+              |sassign AS (SELECT vec_id, c AS list FROM sranked WHERE r = 1),
+              |sprobes AS (SELECT vec_id AS qid, c AS list FROM sranked
+              |      WHERE r <= $IvfProbes AND vec_id < $NumQueries),
+              |scands AS (SELECT p.qid, a.vec_id AS nid
+              |      FROM sprobes p JOIN sassign a ON a.list = p.list
+              |      WHERE a.vec_id <> p.qid),
+              |${rerankOracleTail("scands")}""".stripMargin
+    sb.result()
+  }
+
+  /** Brute-force truth + per-query hit-count CTEs shared by the recall
+    * evaluations (sim_ann_recall / sim_ann_recall_scaled): consumes an
+    * `ivf(qid, nid)` CTE already in scope, ends in `hit(qid, n_hit)`. */
+  private def recallOracleTail: String =
+    s"""bq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |       WHERE vec_id < $NumQueries),
+       |bp AS (SELECT bq.qid, e.vec_id AS nid,
+       |        list_sum(list_transform(generate_series(1, len(e.embedding)),
+       |          i -> CAST(bq.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS dp,
+       |        sqrt(list_sum(list_transform(generate_series(1, len(bq.qe)),
+       |          i -> CAST(bq.qe[i] AS DOUBLE) * CAST(bq.qe[i] AS DOUBLE)))) AS nq,
+       |        sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+       |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) AS ne
+       |      FROM embeddings e, bq WHERE e.vec_id <> bq.qid),
+       |br AS (SELECT qid, nid,
+       |        row_number() OVER (PARTITION BY qid
+       |                           ORDER BY round(dp / (nq * ne), 6) DESC, nid) AS rnk
+       |      FROM bp),
+       |brute AS (SELECT qid, nid FROM br WHERE rnk <= $TopK),
+       |hit AS (SELECT brute.qid, CAST(count(ivf.nid) AS BIGINT) AS n_hit
+       |        FROM brute LEFT JOIN ivf ON ivf.qid = brute.qid AND ivf.nid = brute.nid
+       |        GROUP BY brute.qid)""".stripMargin
+
+  /** Spark twin of [[recallOracleTail]]: per-query recall@TopK of any
+    * (qid, rnk, nid, sim6) ANN result against the brute-force truth. */
+  private def recallEval(spark: SparkSession, sfDir: String,
+      ann: DataFrame): DataFrame = {
+    val ivf = ann.select(col("qid"), col("nid"), lit(1).as("hit"))
+    bruteForce(spark, sfDir).select("qid", "nid")
+      .join(ivf, Seq("qid", "nid"), "left_outer")
+      .groupBy("qid").agg(count(col("hit")).as("n_hit"))
+      .select(col("qid"), col("n_hit"),
+        expr(s"(n_hit * 100) DIV $TopK").as("recall_pct"))
+      .orderBy("qid")
+  }
 
   /** the 1e6-quantized integer component CTE the LSH chain hashes over —
     * same rows as the kmeans oracle's `comps`, so sim_ann_hybrid (which
@@ -808,32 +866,65 @@ object SimilarityOps {
       nprobe: Int = IvfProbes): DataFrame =
     rerankCands(spark, sfDir, ivfCandidates(spark, sfDir, nprobe))
 
-  /** Corpus-scaled coarse quantizer: the K = ⌈n / ScaledAnnOccupancy⌉
-    * md5-ranked sample vectors, quantized to the shared 1e-6 integer
-    * grid. A sampled (un-Lloyd'd) coarse quantizer is the standard IVF
-    * bootstrap (Jégou et al., "Product quantization for nearest neighbor
-    * search", PAMI 2011 trains k-means ON A SAMPLE; the sample itself is
-    * the zero-iteration cut of that) and — unlike the Lloyd'd fixed-K
-    * codebook — is expressible with a DATA-DEPENDENT K in one SQL window,
-    * which is what lets this production shape be a CORRECTNESS row
-    * rather than library surface. The md5 rank is a deterministic
-    * uniform shuffle, so list sizes concentrate at the occupancy target.
-    * Driver footprint: K×64 longs (~512 B per list) — the same
-    * collect-then-broadcast budget as the fixed codebook; at K beyond
-    * ~100k lists a production run would keep the centroids as a frame
-    * and assign via the join-shaped ranking instead. */
-  private def scaledCodebook(spark: SparkSession, sfDir: String): Array[Array[Long]] = {
-    val e = embeddings(spark, sfDir)
-    val k = math.max(2,
-      math.ceil(e.count().toDouble / ScaledAnnOccupancy).toInt)
-    // orderBy+limit plans as TakeOrderedAndProject — a per-partition
-    // top-K fold, never a global sort materialization
-    e.withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
-      .orderBy("h", "vec_id").limit(k)
-      .selectExpr(
-        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xq")
-      .collect().map(_.getSeq[Long](0).toArray)
-  }
+  /** Corpus-scaled coarse quantizer: K = ⌈n / ScaledAnnOccupancy⌉
+    * md5-ranked sample vectors (quantized to the shared 1e-6 integer
+    * grid) refined by KmeansIters Lloyd rounds over the corpus. The
+    * sampled init is the standard IVF bootstrap (Jégou et al., "Product
+    * quantization for nearest neighbor search", PAMI 2011 trains k-means
+    * on a sample) and — unlike farthest-point — is expressible with a
+    * DATA-DEPENDENT K in one SQL window; the Lloyd rounds reuse the
+    * fixed-K oracle's GROUP-BY round pattern, which is K-independent.
+    * Together that keeps this production shape a CORRECTNESS row while
+    * closing the recall gap the un-Lloyd'd sample left (measured at
+    * IvfProbes=6: 0.75/0.71 sampled vs 0.81/0.87 after Lloyd at
+    * sf0.001/sf0.01 — list boundaries adapt to the actual geometry).
+    * Scale shape: each round is ONE CentroidArgmin codegen pass over the
+    * corpus plus a K×64-row aggregation back to the driver (map-side
+    * combine compresses each partition to K×64 rows); centroids live on
+    * the driver as K×64 longs. Memoized per (session, sfDir) — a
+    * pipeline trains the index once and serves the ANN queries and the
+    * recall evaluation against the same codebook. */
+  private val scaledCodebookCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Array[Array[Long]]]
+
+  private def scaledCodebook(spark: SparkSession, sfDir: String): Array[Array[Long]] =
+    scaledCodebookCache.getOrElseUpdate((spark, sfDir), {
+      val q = embeddings(spark, sfDir)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("xq"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(q)
+      val k = math.max(2,
+        math.ceil(q.count().toDouble / ScaledAnnOccupancy).toInt)
+      // orderBy+limit plans as TakeOrderedAndProject — a per-partition
+      // top-K fold, never a global sort materialization
+      var cents: Vector[Array[Long]] = q
+        .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
+        .orderBy("h", "vec_id").limit(k)
+        .select("xq")
+        .collect().map(_.getSeq[Long](0).toArray).toVector
+      // Lloyd rounds: identical semantics to kmeansCodebookUncached's
+      // (floor-mean integer centroids, ties to the lower list id, empty
+      // lists keep their previous centroid) so the oracle's unrolled
+      // round CTEs land on bit-identical centroids
+      for (_ <- 0 until KmeansIters) {
+        val sums = q.select(
+            graft.functions.CentroidArgmin
+              .centroidArgmin(col("xq"), cents.toArray).as("c"),
+            posexplode(col("xq")).as(Seq("i", "x")))
+          .groupBy("c", "i")
+          .agg(sum("x").as("s"), count(lit(1)).as("cnt"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+          .toMap
+        cents = cents.zipWithIndex.map { case (prev, c) =>
+          Array.tabulate(prev.length) { i =>
+            sums.get((c, i)).fold(prev(i)) { case (s, n) => Math.floorDiv(s, n) }
+          }
+        }
+      }
+      cents.toArray
+    })
 
   /** Production-shape IVF top-k: K scales with the corpus, so candidates
     * per query stay ~nprobe·occupancy at any n (the sim_ann_ivf_scaled
@@ -1073,34 +1164,25 @@ object SimilarityOps {
     GraftQuery("sim_ann_recall",
       s"""WITH $ivfOracleCtes,
          |ivf AS (SELECT qid, nid FROM r2 WHERE rnk <= $TopK),
-         |bq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-         |       WHERE vec_id < $NumQueries),
-         |bp AS (SELECT bq.qid, e.vec_id AS nid,
-         |        list_sum(list_transform(generate_series(1, len(e.embedding)),
-         |          i -> CAST(bq.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS dp,
-         |        sqrt(list_sum(list_transform(generate_series(1, len(bq.qe)),
-         |          i -> CAST(bq.qe[i] AS DOUBLE) * CAST(bq.qe[i] AS DOUBLE)))) AS nq,
-         |        sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
-         |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) AS ne
-         |      FROM embeddings e, bq WHERE e.vec_id <> bq.qid),
-         |br AS (SELECT qid, nid,
-         |        row_number() OVER (PARTITION BY qid
-         |                           ORDER BY round(dp / (nq * ne), 6) DESC, nid) AS rnk
-         |      FROM bp),
-         |brute AS (SELECT qid, nid FROM br WHERE rnk <= $TopK),
-         |hit AS (SELECT brute.qid, CAST(count(ivf.nid) AS BIGINT) AS n_hit
-         |        FROM brute LEFT JOIN ivf ON ivf.qid = brute.qid AND ivf.nid = brute.nid
-         |        GROUP BY brute.qid)
+         |$recallOracleTail
          |SELECT qid, n_hit, (n_hit * 100) // $TopK AS recall_pct
          |FROM hit ORDER BY qid""".stripMargin) { (spark, sfDir) =>
-      val ivf = ivfTopK(spark, sfDir)
-        .select(col("qid"), col("nid"), lit(1).as("hit"))
-      bruteForce(spark, sfDir).select("qid", "nid")
-        .join(ivf, Seq("qid", "nid"), "left_outer")
-        .groupBy("qid").agg(count(col("hit")).as("n_hit"))
-        .select(col("qid"), col("n_hit"),
-          expr(s"(n_hit * 100) DIV $TopK").as("recall_pct"))
-        .orderBy("qid")
+      recallEval(spark, sfDir, ivfTopK(spark, sfDir))
+    },
+
+    // Recall@k of the PRODUCTION ANN shape — sim_ann_ivf_scaled is the
+    // benched index (K ≈ n/occupancy, sampled coarse quantizer), so its
+    // quality bound must be a correctness row too, not just the fixed-K
+    // demo's: the round-over-round perf number and the pinned recall
+    // floor (SimilaritySpec) now describe the SAME index. Same
+    // brute-force truth and hit-count tail as sim_ann_recall.
+    GraftQuery("sim_ann_recall_scaled",
+      s"""WITH $ivfScaledOracleCtes,
+         |ivf AS (SELECT qid, nid FROM r2 WHERE rnk <= $TopK),
+         |$recallOracleTail
+         |SELECT qid, n_hit, (n_hit * 100) // $TopK AS recall_pct
+         |FROM hit ORDER BY qid""".stripMargin) { (spark, sfDir) =>
+      recallEval(spark, sfDir, ivfScaledTopK(spark, sfDir))
     },
 
     // The quality/cost dial as a correctness row: aggregate recall@TopK
