@@ -70,26 +70,27 @@ object TextOps {
     * tokenize once per conjunct). Value-identical to the old column forms:
     * ratios are computed as DOUBLE/DOUBLE, matching `long * 1.0 / long`.
     */
-  private def flagsExprSql: String =
+  private def flagsExprSql: String = {
+    // ONE definition each for the quality and language verdicts; `clean`
+    // is their conjunction BY CONSTRUCTION, so a future threshold tweak
+    // cannot desynchronize the combined gate (and the survivor sets it
+    // selects) from keep_q AND is_en
+    val keepQSql =
+      s"""(CAST(length(text) AS BIGINT) >= 100
+         |    AND CAST(size(toks) AS BIGINT) >= 20
+         |    AND (CASE WHEN size(toks) = 0 THEN CAST(0.0 AS DOUBLE)
+         |         ELSE CAST(size(array_distinct(toks)) AS DOUBLE) / CAST(size(toks) AS DOUBLE) END) >= 0.2
+         |    AND ((CASE WHEN size(toks) = 0 THEN CAST(0.0 AS DOUBLE)
+         |          ELSE CAST(${hitsL(StopEn)} AS DOUBLE) / CAST(size(toks) AS DOUBLE) END)
+         |         BETWEEN 0.01 AND 0.6))""".stripMargin
+    val isEnSql =
+      s"""(${hitsL(StopEn)} >= ${hitsL(StopDe)}
+         |    AND ${hitsL(StopEn)} >= ${hitsL(StopFr)})""".stripMargin
     s"""transform(array(regexp_extract_all(text, '[a-z0-9]+', 0)), toks -> named_struct(
-       |  'keep_q', (CAST(length(text) AS BIGINT) >= 100
-       |    AND CAST(size(toks) AS BIGINT) >= 20
-       |    AND (CASE WHEN size(toks) = 0 THEN CAST(0.0 AS DOUBLE)
-       |         ELSE CAST(size(array_distinct(toks)) AS DOUBLE) / CAST(size(toks) AS DOUBLE) END) >= 0.2
-       |    AND ((CASE WHEN size(toks) = 0 THEN CAST(0.0 AS DOUBLE)
-       |          ELSE CAST(${hitsL(StopEn)} AS DOUBLE) / CAST(size(toks) AS DOUBLE) END)
-       |         BETWEEN 0.01 AND 0.6)),
-       |  'is_en', (${hitsL(StopEn)} >= ${hitsL(StopDe)}
-       |    AND ${hitsL(StopEn)} >= ${hitsL(StopFr)}),
-       |  'clean', (CAST(length(text) AS BIGINT) >= 100
-       |    AND CAST(size(toks) AS BIGINT) >= 20
-       |    AND (CASE WHEN size(toks) = 0 THEN CAST(0.0 AS DOUBLE)
-       |         ELSE CAST(size(array_distinct(toks)) AS DOUBLE) / CAST(size(toks) AS DOUBLE) END) >= 0.2
-       |    AND ((CASE WHEN size(toks) = 0 THEN CAST(0.0 AS DOUBLE)
-       |          ELSE CAST(${hitsL(StopEn)} AS DOUBLE) / CAST(size(toks) AS DOUBLE) END)
-       |         BETWEEN 0.01 AND 0.6)
-       |    AND ${hitsL(StopEn)} >= ${hitsL(StopDe)}
-       |    AND ${hitsL(StopEn)} >= ${hitsL(StopFr)})))[0]""".stripMargin
+       |  'keep_q', $keepQSql,
+       |  'is_en', $isEnSql,
+       |  'clean', ($keepQSql AND $isEnSql)))[0]""".stripMargin
+  }
 
   /** Spark twin of [[cleanCtesSql]]'s `f`: (doc_id, text, keep_q, is_en,
     * clean). Filter survivors on `clean` (one conjunct → one tokenize per
