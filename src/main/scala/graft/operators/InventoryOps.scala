@@ -514,6 +514,34 @@ object InventoryOps {
           min("length").as("min_bytes"), max("length").as("max_bytes"))
         .withColumnRenamed("parent_directory", "dir")
         .orderBy("dir")
+    },
+
+    // Incremental rescan — "what changed since the last sync watermark",
+    // the query every RE-RUN migration issues before copying (the
+    // reference's pre-flight re-run skips already-copied files,
+    // README.md:150-152; expressed here as an mtime watermark over the
+    // listing instead of a per-file existence probe). `mtime_ms >= T` and
+    // `is_folder = false` are exactly-applied pushed filters, and the
+    // per-directory delta rollup folds into the walk on top of them —
+    // three pushdowns composed on one scan, one partial row per changed
+    // directory back to Spark. Fixture file mtimes are deterministic
+    // ((orderkey mod 1000) seconds), so the whole thing oracles from
+    // lineitem.
+    GraftQuery("inv_incremental_scan",
+      """WITH f AS (SELECT l_partkey AS pk, l_orderkey AS ok, l_linenumber
+        |           FROM lineitem WHERE l_partkey % 200 = 0)
+        |SELECT concat('/data/part=', pk) AS dir,
+        |       CAST(count(*) AS BIGINT) AS n_new,
+        |       CAST(sum(l_linenumber) AS BIGINT) AS new_bytes
+        |FROM f WHERE (ok % 1000) * 1000 >= 500000
+        |GROUP BY pk ORDER BY dir""".stripMargin) { (spark, sfDir) =>
+      val root = dsv2FixtureTree(spark, sfDir)
+      spark.read.format("graft-inventory").option("root", root).load()
+        .filter(!col("is_folder") && col("mtime_ms") >= 500000L)
+        .groupBy(col("parent_directory"))
+        .agg(count(lit(1)).as("n_new"), sum("length").as("new_bytes"))
+        .withColumnRenamed("parent_directory", "dir")
+        .orderBy("dir")
     }
   )
 
@@ -534,7 +562,12 @@ object InventoryOps {
       rows.foreach { case (pk, ok, ln) =>
         val dir = Paths.get(s"$root/data/part=$pk")
         Files.createDirectories(dir)
-        Files.write(dir.resolve(s"f-$ok-$ln.dat"), Array.fill(ln)(0.toByte))
+        val f = dir.resolve(s"f-$ok-$ln.dat")
+        Files.write(f, Array.fill(ln)(0.toByte))
+        // deterministic modification time — (orderkey mod 1000) seconds —
+        // so "modified since X" scans are oracle-able from lineitem
+        Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis((ok % 1000) * 1000L))
       }
       root
     })

@@ -13,7 +13,7 @@ import org.apache.spark.sql.connector.expressions.{Expression => VExpression, Na
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, StringStartsWith}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Not, StringStartsWith}
 import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -369,14 +369,18 @@ private object InventoryWalk {
     * Every shape listed here must be evaluated per-entry in [[fill]]
     * (descent pruning alone is a superset, never sufficient): prefix
     * conjunctions via `dirMatches`, folder equality via `folderEq`,
-    * length ranges via `lenPred` (folders carry length 0). */
+    * length / mtime_ms ranges via `rangePred` (folders carry length 0
+    * and their directory's modification time). */
   def isExact(f: Filter): Boolean = f match {
     case StringStartsWith("parent_directory", _) => true
     case EqualTo("is_folder", _: java.lang.Boolean) => true
-    case GreaterThan("length", _: java.lang.Long) => true
-    case GreaterThanOrEqual("length", _: java.lang.Long) => true
-    case LessThan("length", _: java.lang.Long) => true
-    case LessThanOrEqual("length", _: java.lang.Long) => true
+    // `!is_folder` reaches the source as Not(EqualTo(is_folder, true));
+    // is_folder is non-null, so the negation is the flipped equality
+    case Not(EqualTo("is_folder", _: java.lang.Boolean)) => true
+    case GreaterThan("length" | "mtime_ms", _: java.lang.Long) => true
+    case GreaterThanOrEqual("length" | "mtime_ms", _: java.lang.Long) => true
+    case LessThan("length" | "mtime_ms", _: java.lang.Long) => true
+    case LessThanOrEqual("length" | "mtime_ms", _: java.lang.Long) => true
     case _ => false
   }
 }
@@ -400,16 +404,21 @@ private final class InventoryWalk(root: String, hadoopConf: Map[String, String],
   }
   private val folderEq = pushed.collectFirst {
     case EqualTo("is_folder", b: java.lang.Boolean) => b.booleanValue()
+    case Not(EqualTo("is_folder", b: java.lang.Boolean)) => !b.booleanValue()
   }
-  private val lenPred: Long => Boolean = {
+  private def rangePred(column: String): Long => Boolean = {
     val preds = pushed.collect {
-      case GreaterThan("length", v: java.lang.Long) => (x: Long) => x > v
-      case GreaterThanOrEqual("length", v: java.lang.Long) => (x: Long) => x >= v
-      case LessThan("length", v: java.lang.Long) => (x: Long) => x < v
-      case LessThanOrEqual("length", v: java.lang.Long) => (x: Long) => x <= v
+      case GreaterThan(`column`, v: java.lang.Long) => (x: Long) => x > v
+      case GreaterThanOrEqual(`column`, v: java.lang.Long) => (x: Long) => x >= v
+      case LessThan(`column`, v: java.lang.Long) => (x: Long) => x < v
+      case LessThanOrEqual(`column`, v: java.lang.Long) => (x: Long) => x <= v
     }
     x => preds.forall(_(x))
   }
+  private val lenPred: Long => Boolean = rangePred("length")
+  /** "modified since X" — the incremental-rescan predicate: a re-run
+    * migration lists only entries newer than the last sync watermark */
+  private val mtimePred: Long => Boolean = rangePred("mtime_ms")
 
   private def dirCompatible(dir: String): Boolean =
     prefixes.forall(p => dir.startsWith(p) || p.startsWith(dir))
@@ -432,9 +441,11 @@ private final class InventoryWalk(root: String, hadoopConf: Map[String, String],
         val rel = InventoryScan.relative(rootPath, st.getPath)
         if (st.isDirectory) {
           if (!part.ownFilesOnly && dirCompatible(rel)) stack.push(rel)
-          if (emitHere && folderEq.forall(_ == true) && lenPred(0L))
+          if (emitHere && folderEq.forall(_ == true) && lenPred(0L) &&
+              mtimePred(st.getModificationTime))
             rows += ((rel, dir, true, 0L, st.getModificationTime))
-        } else if (emitHere && folderEq.forall(_ == false) && lenPred(st.getLen)) {
+        } else if (emitHere && folderEq.forall(_ == false) && lenPred(st.getLen) &&
+            mtimePred(st.getModificationTime)) {
           rows += ((rel, dir, false, st.getLen, st.getModificationTime))
         }
       }

@@ -94,6 +94,14 @@ class PlanSpec extends AnyFunSuite with CacheDrained {
     assert(residual.isEmpty, s"prefix left residual:\n${p.take(2000)}")
   }
 
+  test("inv_incremental_scan composes mtime watermark + files-only + rollup on one scan") {
+    val p = plan("inv_incremental_scan")
+    assert(p.contains("PushedAggregation") && p.contains("PushedGroupBy: [parent_directory]"),
+      s"incremental rollup lost the aggregate pushdown:\n${p.take(2000)}")
+    assert(p.contains("GreaterThanOrEqual(mtime_ms") && p.contains("EqualTo(is_folder"),
+      s"incremental scan lost a pushed filter:\n${p.take(2000)}")
+  }
+
   test("corpus clean gate tokenizes once per scan (no alias-inlined regexp fan-out)") {
     // r7 verdict weak #1: Catalyst inlined the `toks` alias into every gate
     // conjunct, so the corpus-prep hot path ran regexp_extract_all ~10x per

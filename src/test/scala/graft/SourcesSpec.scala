@@ -353,6 +353,31 @@ class SourcesSpec extends AnyFunSuite {
     assert(rgot == Set(("/", 1L), ("/a", 2L), ("/a/sub", 1L), ("/b", 1L)))
   }
 
+  test("graft-inventory DSv2: mtime range pushdown is exact (incremental-rescan watermark)") {
+    val spark = TestSpark.spark
+    import graft.sources.InventoryDataSource
+    val tmp = buildTree()
+    // deterministic mtimes: /a/x.dat=10s, /a/y.dat=20s, /a/sub/z.dat=30s,
+    // /b/w.dat=40s, /top.dat=50s
+    Seq("a/x.dat" -> 10L, "a/y.dat" -> 20L, "a/sub/z.dat" -> 30L,
+      "b/w.dat" -> 40L, "top.dat" -> 50L).foreach { case (rel, s) =>
+      Files.setLastModifiedTime(Paths.get(s"$tmp/$rel"),
+        java.nio.file.attribute.FileTime.fromMillis(s * 1000L))
+    }
+    val df = spark.read.format("graft-inventory").option("root", tmp).load()
+      .filter(!col("is_folder") && col("mtime_ms") >= 25000L && col("mtime_ms") < 45000L)
+    InventoryDataSource.rowsEmitted.set(0L)
+    val rows = df.collect().map(_.getString(0)).toSet
+    assert(rows == Set("/a/sub/z.dat", "/b/w.dat"), s"watermark scan drifted: $rows")
+    // exactness: the walk emits ONLY matching entries (both range bounds
+    // and the files-only equality applied per entry, no residual filter)
+    assert(InventoryDataSource.rowsEmitted.get() == 2L,
+      "mtime watermark left non-matching rows to a residual filter")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(mtime_ms"),
+      s"mtime filter missing from PushedFilters:\n$plan")
+  }
+
   test("graft-inventory DSv2: pushed partial SUM surfaces Long overflow instead of wrapping") {
     import graft.sources.InventoryDataSource
     // the walk-side accumulator must match the unpushed ANSI plan's
