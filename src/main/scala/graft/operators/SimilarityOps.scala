@@ -881,7 +881,12 @@ object SimilarityOps {
     * Scale shape: each round is ONE CentroidArgmin codegen pass over the
     * corpus plus a K×64-row aggregation back to the driver (map-side
     * combine compresses each partition to K×64 rows); centroids live on
-    * the driver as K×64 longs. Memoized per (session, sfDir) — a
+    * the driver as K×64 longs. Training cost is O(n·K·d) per round —
+    * at occupancy 50 that is the textbook ~50-points-per-centroid
+    * training size, and the rounds cost 5× the (already measured,
+    * SCALING.md) assignment pass; past ~100k lists a production build
+    * would train a two-level quantizer and keep centroids as a frame
+    * rather than a driver array. Memoized per (session, sfDir) — a
     * pipeline trains the index once and serves the ANN queries and the
     * recall evaluation against the same codebook. */
   private val scaledCodebookCache =
