@@ -542,6 +542,79 @@ object InventoryOps {
         .agg(count(lit(1)).as("n_new"), sum("length").as("new_bytes"))
         .withColumnRenamed("parent_directory", "dir")
         .orderBy("dir")
+    },
+
+    // The CONTINUOUS sync loop end-to-end: the inventory tree consumed as
+    // a Structured Streaming SOURCE (InventoryMicroBatchStream — mtime
+    // watermark as the stream offset, persisted in the checkpoint), two
+    // checkpointed Trigger.AvailableNow runs over a two-wave tree. Every
+    // file must arrive in EXACTLY the run matching its wave and exactly
+    // once — the oracle replays (dir, wave) rollups from lineitem, so a
+    // duplicate delivery, a missed delta, or a watermark leak all
+    // hash-mismatch. This is the reference's re-run migration
+    // (README.md:150-152) as a streaming dataflow instead of a per-file
+    // existence probe. Fixture tree + checkpoint are rebuilt per
+    // invocation (temp dirs), so re-runs are deterministic.
+    GraftQuery("stream_inventory_sync",
+      """WITH f AS (SELECT l_partkey AS pk, l_orderkey AS ok, l_linenumber
+        |           FROM lineitem WHERE l_partkey % 200 = 0)
+        |SELECT concat('/data/part=', pk) AS dir,
+        |       CAST(CASE WHEN ok % 1000 < 500 THEN 1 ELSE 2 END AS BIGINT) AS wave,
+        |       CAST(count(*) AS BIGINT) AS n_files,
+        |       CAST(sum(l_linenumber) AS BIGINT) AS bytes
+        |FROM f GROUP BY 1, 2 ORDER BY dir, wave""".stripMargin) { (spark, sfDir) =>
+      import java.nio.file.{Files, Paths}
+      import java.nio.file.attribute.FileTime
+      val rows = graft.Tables.lineitem(spark, sfDir)
+        .filter(col("l_partkey") % 200 === 0)
+        .select("l_partkey", "l_orderkey", "l_linenumber")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      val root = Files.createTempDirectory("graft_inv_stream").toString
+      val ckpt = Files.createTempDirectory("graft_inv_stream_ckpt").toString
+      val outBase = Files.createTempDirectory("graft_inv_stream_out").toString
+      // folder mtimes pinned to 0 after every wave: file creation bumps
+      // parent-dir mtimes to "now", which would drag the watermark past
+      // every later wave's file mtimes
+      def resetDirs(): Unit = {
+        val it = Files.walk(Paths.get(root)).iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (Files.isDirectory(p)) Files.setLastModifiedTime(p, FileTime.fromMillis(0L))
+        }
+      }
+      def writeWave(w: Int): Unit = {
+        rows.filter { case (_, ok, _) => (if (ok % 1000 < 500) 1 else 2) == w }
+          .foreach { case (pk, ok, ln) =>
+            val dir = Paths.get(s"$root/data/part=$pk")
+            Files.createDirectories(dir)
+            val f = dir.resolve(s"f-$ok-$ln.dat")
+            Files.write(f, Array.fill(ln)(0.toByte))
+            Files.setLastModifiedTime(f, FileTime.fromMillis((ok % 1000) * 1000L))
+          }
+        resetDirs()
+      }
+      def drain(run: Int): DataFrame = {
+        val out = s"$outBase/run$run"
+        val q = spark.readStream.format("graft-inventory").option("root", root).load()
+          .filter(!col("is_folder"))
+          .writeStream.outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            batch.write.mode("append").parquet(out)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        if (Files.exists(Paths.get(out))) spark.read.parquet(out)
+        else spark.read.format("graft-inventory").option("root", root).load().limit(0)
+      }
+      writeWave(1)
+      val b1 = drain(1)
+      writeWave(2)
+      val b2 = drain(2)
+      b1.withColumn("wave", lit(1L)).unionByName(b2.withColumn("wave", lit(2L)))
+        .groupBy(col("parent_directory").as("dir"), col("wave"))
+        .agg(count(lit(1)).as("n_files"), sum("length").as("bytes"))
+        .orderBy("dir", "wave")
     }
   )
 
