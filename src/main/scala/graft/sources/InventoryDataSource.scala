@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.{Expression => VExpression, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => StreamingOffset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => StreamingOffset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Not, StringStartsWith}
 import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructType}
@@ -142,7 +142,8 @@ private final class InventoryTable(root: String, hadoopConf: Map[String, String]
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new InventoryScanBuilder(root, hadoopConf)
+    new InventoryScanBuilder(root, hadoopConf,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
 
   /** the WRITE path: a frame of (name, parent_directory, is_folder,
     * length[, mtime_ms]) rows MATERIALIZES the tree under root — mkdirs
@@ -211,7 +212,8 @@ private final class InventoryWriter(root: String, hadoopConf: Map[String, String
   override def close(): Unit = ()
 }
 
-private final class InventoryScanBuilder(root: String, hadoopConf: Map[String, String])
+private final class InventoryScanBuilder(root: String, hadoopConf: Map[String, String],
+    maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
@@ -290,12 +292,14 @@ private final class InventoryScanBuilder(root: String, hadoopConf: Map[String, S
   }
 
   override def build(): Scan =
-    InventoryScan(root, hadoopConf, pushed, agg.map(_.schema).getOrElse(required), agg)
+    InventoryScan(root, hadoopConf, pushed, agg.map(_.schema).getOrElse(required), agg,
+      maxFilesPerTrigger)
 }
 
 private final case class InventoryScan(root: String, hadoopConf: Map[String, String],
     pushed: Array[Filter], required: StructType,
-    agg: Option[InventoryDataSource.PushedAgg]) extends Scan with Batch {
+    agg: Option[InventoryDataSource.PushedAgg],
+    maxFilesPerTrigger: Option[Int] = None) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -347,7 +351,7 @@ private final case class InventoryScan(root: String, hadoopConf: Map[String, Str
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     require(agg.isEmpty, "aggregate pushdown is a batch-only optimization")
-    new InventoryMicroBatchStream(root, hadoopConf, pushed, required)
+    new InventoryMicroBatchStream(root, hadoopConf, pushed, required, maxFilesPerTrigger)
   }
 }
 
@@ -371,14 +375,35 @@ private final case class InventoryOffset(ms: Long) extends StreamingOffset {
   * re-modified after delivery is delivered AGAIN with its new mtime
   * (that is the sync semantics — changed files must recopy), and a
   * writer backdating mtimes below the watermark is invisible (same
-  * contract as every listing-based incremental loader). `latestOffset`
-  * walks the tree on the driver — the listing cost every file stream
-  * source pays per batch; at a billion files a production deployment
-  * would shard this walk through the batch aggregate pushdown
-  * (max(mtime_ms) per subtree) instead. */
+  * contract as every listing-based incremental loader). Admission
+  * control (`SupportsAdmissionControl` + `SupportsTriggerAvailableNow`,
+  * `.option("maxFilesPerTrigger", n)`) drains a backlog in bounded
+  * micro-batches — a billion-file backlog must never be one batch — by
+  * setting each batch's end watermark to the n-th smallest entry mtime
+  * past the start (one bounded-heap walk; mtime TIES are all admitted,
+  * so a timestamp is never split across batches). `latestOffset` walks
+  * the tree on the driver — the listing cost every file stream source
+  * pays per batch; at a billion files a production deployment would
+  * shard this walk through the batch aggregate pushdown (max(mtime_ms)
+  * per subtree) instead. */
 private final class InventoryMicroBatchStream(root: String,
-    hadoopConf: Map[String, String], pushed: Array[Filter], required: StructType)
-    extends MicroBatchStream {
+    hadoopConf: Map[String, String], pushed: Array[Filter], required: StructType,
+    maxFilesPerTrigger: Option[Int] = None)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  // Trigger.AvailableNow: Spark IGNORES read limits on sources that don't
+  // implement SupportsTriggerAvailableNow (the wrapper logs a warning and
+  // reads all-available in one batch) — so the trait is implemented here:
+  // the end watermark is snapshotted once, every bounded batch is capped
+  // at it, and the query terminates when the watermark reaches it.
+  private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(walkMaxMtime())
+
+  private def capped(off: Long): StreamingOffset =
+    InventoryOffset(availableNowEnd.fold(off)(math.min(off, _)))
 
   private def fsAndRoot: (FileSystem, Path) = {
     val conf = InventoryScan.configuration(hadoopConf)
@@ -388,7 +413,7 @@ private final class InventoryMicroBatchStream(root: String,
 
   override def initialOffset(): StreamingOffset = InventoryOffset(Long.MinValue)
 
-  override def latestOffset(): StreamingOffset = {
+  private def walkMaxMtime(): Long = {
     val (fs, rootPath) = fsAndRoot
     var mx = Long.MinValue
     val stack = scala.collection.mutable.Stack[Path](rootPath)
@@ -400,7 +425,50 @@ private final class InventoryMicroBatchStream(root: String,
         if (st.isDirectory) stack.push(st.getPath)
       }
     }
-    InventoryOffset(mx)
+    mx
+  }
+
+  override def latestOffset(): StreamingOffset = capped(walkMaxMtime())
+
+  // ---- admission control: bounded sync batches ----------------------
+  // A billion-file backlog must not be one micro-batch: with
+  // .option("maxFilesPerTrigger", n) each batch's end watermark is the
+  // n-th smallest entry mtime past the start watermark, so the stream
+  // drains the backlog in bounded slices (the reference's throttled copy
+  // loop as source-side admission control). The watermark is a TIME, so
+  // entries SHARING the boundary mtime are all admitted — a batch can
+  // exceed n by the tie count, never split a timestamp across batches
+  // (splitting would make redelivery-on-restart ambiguous).
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: StreamingOffset, limit: ReadLimit): StreamingOffset = {
+    val s = start.asInstanceOf[InventoryOffset].ms
+    limit match {
+      case mf: ReadMaxFiles =>
+        // n smallest mtimes past the watermark via one bounded max-heap
+        // walk; offset = the n-th smallest (or the global max if fewer)
+        val n = mf.maxFiles()
+        val (fs, rootPath) = fsAndRoot
+        val heap = new java.util.PriorityQueue[java.lang.Long](
+          math.max(1, n), java.util.Comparator.reverseOrder[java.lang.Long]())
+        val stack = scala.collection.mutable.Stack[Path](rootPath)
+        while (stack.nonEmpty) {
+          val d = stack.pop()
+          InventoryDataSource.dirsListed.incrementAndGet()
+          fs.listStatus(d).foreach { st =>
+            val m = st.getModificationTime
+            if (m > s && (heap.size < n || m < heap.peek())) {
+              heap.add(m)
+              if (heap.size > n) heap.poll()
+            }
+            if (st.isDirectory) stack.push(st.getPath)
+          }
+        }
+        if (heap.isEmpty) capped(s) else capped(heap.peek())
+      case _: ReadAllAvailable => latestOffset()
+      case _ => latestOffset()
+    }
   }
 
   override def planInputPartitions(start: StreamingOffset,

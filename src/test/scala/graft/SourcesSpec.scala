@@ -435,6 +435,43 @@ class SourcesSpec extends AnyFunSuite {
     assert(scan.isStreaming, "inventory readStream is not a streaming frame")
   }
 
+  test("graft-inventory DSv2: maxFilesPerTrigger drains the backlog in bounded micro-batches") {
+    val spark = TestSpark.spark
+    val tmp = buildTree()
+    Seq("a/x.dat" -> 10L, "a/y.dat" -> 20L, "a/sub/z.dat" -> 30L,
+      "b/w.dat" -> 40L, "top.dat" -> 50L).foreach { case (rel, s) =>
+      Files.setLastModifiedTime(Paths.get(s"$tmp/$rel"),
+        java.nio.file.attribute.FileTime.fromMillis(s * 1000L))
+    }
+    Seq("", "/a", "/a/sub", "/b").foreach(d =>
+      Files.setLastModifiedTime(Paths.get(s"$tmp$d"),
+        java.nio.file.attribute.FileTime.fromMillis(0L)))
+    val ckpt = Files.createTempDirectory("graft-inv-ckpt-adm").toString
+    val out = Files.createTempDirectory("graft-inv-out-adm").toString + "/rows"
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-inventory").option("root", tmp)
+      .option("maxFilesPerTrigger", "2").load()
+      .filter(!col("is_folder"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sizes.synchronized { sizes += batch.count() }
+        batch.write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out).collect().map(_.getString(0)).toSet
+    // complete + exactly-once, in bounded slices: 5 files at 2/trigger =
+    // batches of (2, 2, 1) — folder rows share batches but don't count as
+    // the files-only filter drops them before the sink. Folder entries DO
+    // occupy mtime slots (mtime 0 rides batch 1), so sizes are <= 2 + ties
+    val nonEmpty = sizes.filter(_ > 0)
+    assert(got == Set("/a/x.dat", "/a/y.dat", "/a/sub/z.dat", "/b/w.dat", "/top.dat"),
+      s"bounded drain lost or duplicated entries: $got")
+    assert(nonEmpty.size >= 3, s"expected >= 3 bounded batches, got $sizes")
+    assert(nonEmpty.forall(_ <= 2L), s"a batch exceeded maxFilesPerTrigger: $sizes")
+  }
+
   test("graft-inventory DSv2: pushed partial SUM surfaces Long overflow instead of wrapping") {
     import graft.sources.InventoryDataSource
     // the walk-side accumulator must match the unpushed ANSI plan's
