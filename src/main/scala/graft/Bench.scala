@@ -214,7 +214,17 @@ object Bench {
     val excluded = exclude.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val coldTotal = results.map(_._3).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"cold_total":$coldTotal,"iters":$iterss,"retries":$retries,"errors":$errs,"retry_errors":$retryErrs,"excluded":$excluded,"warm_anomalies":$warmAnoms,"sf":"$sfDir"}"""
+    // the measured commit, so the artifact is self-identifying even when
+    // it is read outside the repo history (judge re-runs, copies)
+    val sha = try {
+      val head = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(".git/HEAD")).trim
+      if (head.startsWith("ref: "))
+        java.nio.file.Files.readString(
+          java.nio.file.Paths.get(".git/" + head.stripPrefix("ref: "))).trim.take(12)
+      else head.take(12)
+    } catch { case _: Exception => "unknown" }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","commit":"$sha","queries":$qs,"cold":$colds,"cold_total":$coldTotal,"iters":$iterss,"retries":$retries,"errors":$errs,"retry_errors":$retryErrs,"excluded":$excluded,"warm_anomalies":$warmAnoms,"sf":"$sfDir"}"""
     println(json)
     // the committed-artifact copy: the driver captures the stdout tail,
     // which has twice truncated mid-series (BENCH_r07/r08 each lost ~10

@@ -162,6 +162,64 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Threshold-free ranking EVALUATION: exact ROC-AUC of text_langid's
+    // decision statistic — the en-vs-best-other stopword-hit margin,
+    // normalized per token and offset by +1 so it stays non-negative
+    // (Spark DIV truncates, DuckDB // floors; they agree only ≥ 0) —
+    // against the ground-truth "is English" label. The number a pipeline
+    // reads before picking any langid threshold (the confusion matrix
+    // below evaluates ONE operating point; AUC evaluates the ranking
+    // itself). Computed the way exact AUC scales: the score is integer
+    // ppm, so the per-score histogram groupBy is BOUNDED at ≤2e6+1 rows
+    // no matter the corpus size, the tie-aware rank prefix-sum is one
+    // window over that bounded frame (never over documents), and
+    // AUC = (Σ_pos 2·avg_rank − P(P+1)) / (2PN) is exact integer
+    // arithmetic end-to-end. On the synthetic corpus this measures
+    // 0.529 — correctly NEAR-RANDOM, because the generator's text is
+    // language-uniform (the lang column is metadata, not reflected in
+    // token content; de/fr stopword hits are ~0 for every lang). That is
+    // the point of shipping the eval: it is the operator that tells a
+    // pipeline its classifier cannot separate the labels BEFORE mixture
+    // weights get built on top of it.
+    GraftQuery("text_langid_auc",
+      s"""WITH t AS (SELECT lang,
+         |    regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
+         |sc AS (SELECT CASE WHEN len(toks) = 0 THEN CAST(1000000 AS BIGINT)
+         |         ELSE (${hitsSql("toks", StopEn)}
+         |               - greatest(${hitsSql("toks", StopDe)}, ${hitsSql("toks", StopFr)})
+         |               + CAST(len(toks) AS BIGINT)) * 1000000
+         |              // CAST(len(toks) AS BIGINT) END AS s,
+         |       CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM t),
+         |g AS (SELECT s, CAST(count(*) AS BIGINT) AS c, CAST(sum(y) AS BIGINT) AS p
+         |      FROM sc GROUP BY s),
+         |w AS (SELECT s, c, p, COALESCE(CAST(sum(c) OVER (ORDER BY s
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+         |        CAST(0 AS BIGINT)) AS cum FROM g),
+         |a AS (SELECT CAST(sum(p * (2 * cum + c + 1)) AS BIGINT) AS r2,
+         |        CAST(sum(p) AS BIGINT) AS np, CAST(sum(c) AS BIGINT) AS nc FROM w)
+         |SELECT (r2 - np * (np + 1)) * 1000000 // (2 * np * (nc - np)) AS auc_ppm,
+         |       np AS n_pos, nc - np AS n_neg FROM a""".stripMargin) { (spark, sfDir) =>
+      val sc = docs(spark, sfDir)
+        .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+        .select(hits(col("toks"), StopEn).as("eh"),
+          greatest(hits(col("toks"), StopDe), hits(col("toks"), StopFr)).as("oh"),
+          size(col("toks")).cast("long").as("n"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        .select(expr("CASE WHEN n = 0 THEN CAST(1000000 AS BIGINT) " +
+          "ELSE (eh - oh + n) * 1000000 DIV n END").as("s"), col("y"))
+      val g = sc.groupBy("s")
+        .agg(count(lit(1)).as("c"), sum("y").as("p"))
+      // global window over the SCORE HISTOGRAM only — ≤ 1e6+1 rows at any
+      // corpus size (the ppm quantization is what makes exact AUC bounded)
+      val w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("cum", coalesce(sum("c").over(w), lit(0L)))
+        .agg(sum(col("p") * (col("cum") * 2 + col("c") + 1)).as("r2"),
+          sum("p").as("np"), sum("c").as("nc"))
+        .select(
+          expr("(r2 - np * (np + 1)) * 1000000 DIV (2 * np * (nc - np))").as("auc_ppm"),
+          col("np").as("n_pos"), (col("nc") - col("np")).as("n_neg"))
+    },
+
     // Language-ID EVALUATION: the confusion matrix of text_langid's
     // stopword-vote prediction against the corpus's ground-truth lang
     // column — the quality gate a pipeline reads before trusting the
