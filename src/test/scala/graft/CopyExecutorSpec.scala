@@ -548,4 +548,84 @@ class CopyExecutorSpec extends AnyFunSuite with CacheDrained {
       .collect()
     assert(tornRes.length == 1 && tornRes.head.getString(1) == "mismatch")
   }
+
+  test("streaming inventory source drives the copy sink: delta runs copy only the delta, bytes verified") {
+    // the full MIGRATION.md continuous-sync recipe end-to-end: readStream
+    // over a source tree -> foreachBatch -> copyInventory into a dest
+    // namespace, two checkpointed Trigger.AvailableNow runs. Run 2 must
+    // copy EXACTLY the files written between the runs (the streaming
+    // watermark, not a preflight probe, is what limits the work), and
+    // every copied file must be byte-identical to its source.
+    val spark = TestSpark.spark
+    import java.nio.file.{Files => JF, Paths}
+    import java.nio.file.attribute.FileTime
+    val srcRoot = JF.createTempDirectory("graft-ssync-src").toString
+    val dstRoot = JF.createTempDirectory("graft-ssync-dst").toString
+    val ckpt = JF.createTempDirectory("graft-ssync-ckpt").toString
+    val srcOps = new HadoopFileOps(s"file://$srcRoot")
+    val dstOps = new HadoopFileOps(s"file://$dstRoot")
+
+    def put(rel: String, len: Int, mtimeS: Long): Unit = {
+      val p = Paths.get(s"$srcRoot$rel")
+      JF.createDirectories(p.getParent)
+      JF.write(p, Array.tabulate[Byte](len)(j => ((j * 7 + len) % 251).toByte))
+      JF.setLastModifiedTime(p, FileTime.fromMillis(mtimeS * 1000L))
+    }
+    def resetDirs(): Unit = {
+      val it = JF.walk(Paths.get(srcRoot)).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (JF.isDirectory(p)) JF.setLastModifiedTime(p, FileTime.fromMillis(0L))
+      }
+    }
+    val copied = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    def sync(): Unit = {
+      val q = spark.readStream.format("graft-inventory").option("root", srcRoot).load()
+        .filter(!org.apache.spark.sql.functions.col("is_folder"))
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          import org.apache.spark.sql.functions.lit
+          val inv = batch.select(
+            org.apache.spark.sql.functions.col("name"),
+            org.apache.spark.sql.functions.col("parent_directory"),
+            org.apache.spark.sql.functions.col("is_folder"),
+            lit("u").as("owner"), lit("g").as("grp"), lit("rwxr-x---").as("perms"),
+            org.apache.spark.sql.functions.col("length"))
+          val res = CopyExecutor.copyInventory(spark, inv, dstOps,
+            parallelism = 2, source = Some(srcOps))
+          val ok = res.collect()
+          assert(ok.forall(_.getString(1) == "ok"),
+            s"copy failures: ${ok.filter(_.getString(1) != "ok").mkString(",")}")
+          copied.synchronized { copied += ok.map(_.getString(0)).toSeq }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    put("/a/x.dat", 300, 10); put("/a/y.dat", 5, 20); put("/b/z.dat", 77, 30)
+    resetDirs()
+    sync()
+    val firstCopied = copied.flatten.toSet
+    assert(firstCopied == Set("/a/x.dat", "/a/y.dat", "/b/z.dat"),
+      s"backlog sync drifted: $firstCopied")
+    copied.clear()
+
+    put("/a/new.dat", 42, 40); put("/c/later.dat", 9, 50)
+    resetDirs()
+    sync()
+    val deltaCopied = copied.flatten.toSet
+    assert(deltaCopied == Set("/a/new.dat", "/c/later.dat"),
+      s"delta sync copied the wrong set: $deltaCopied")
+
+    // byte-exactness of everything on the destination
+    Seq("/a/x.dat" -> 300, "/a/y.dat" -> 5, "/b/z.dat" -> 77,
+      "/a/new.dat" -> 42, "/c/later.dat" -> 9).foreach { case (rel, len) =>
+      val src = JF.readAllBytes(Paths.get(s"$srcRoot$rel"))
+      val dst = JF.readAllBytes(Paths.get(s"$dstRoot$rel"))
+      assert(src.length == len && java.util.Arrays.equals(src, dst),
+        s"$rel not byte-identical after streaming sync")
+    }
+  }
 }
