@@ -143,7 +143,8 @@ private final class InventoryTable(root: String, hadoopConf: Map[String, String]
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new InventoryScanBuilder(root, hadoopConf,
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      options.getBoolean("distributedOffsets", false))
 
   /** the WRITE path: a frame of (name, parent_directory, is_folder,
     * length[, mtime_ms]) rows MATERIALIZES the tree under root — mkdirs
@@ -213,7 +214,7 @@ private final class InventoryWriter(root: String, hadoopConf: Map[String, String
 }
 
 private final class InventoryScanBuilder(root: String, hadoopConf: Map[String, String],
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None, distributedOffsets: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
@@ -293,13 +294,14 @@ private final class InventoryScanBuilder(root: String, hadoopConf: Map[String, S
 
   override def build(): Scan =
     InventoryScan(root, hadoopConf, pushed, agg.map(_.schema).getOrElse(required), agg,
-      maxFilesPerTrigger)
+      maxFilesPerTrigger, distributedOffsets)
 }
 
 private final case class InventoryScan(root: String, hadoopConf: Map[String, String],
     pushed: Array[Filter], required: StructType,
     agg: Option[InventoryDataSource.PushedAgg],
-    maxFilesPerTrigger: Option[Int] = None) extends Scan with Batch {
+    maxFilesPerTrigger: Option[Int] = None,
+    distributedOffsets: Boolean = false) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -351,7 +353,8 @@ private final case class InventoryScan(root: String, hadoopConf: Map[String, Str
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     require(agg.isEmpty, "aggregate pushdown is a batch-only optimization")
-    new InventoryMicroBatchStream(root, hadoopConf, pushed, required, maxFilesPerTrigger)
+    new InventoryMicroBatchStream(root, hadoopConf, pushed, required,
+      maxFilesPerTrigger, distributedOffsets)
   }
 }
 
@@ -388,7 +391,7 @@ private final case class InventoryOffset(ms: Long) extends StreamingOffset {
   * per subtree) instead. */
 private final class InventoryMicroBatchStream(root: String,
     hadoopConf: Map[String, String], pushed: Array[Filter], required: StructType,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None, distributedOffsets: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -413,20 +416,38 @@ private final class InventoryMicroBatchStream(root: String,
 
   override def initialOffset(): StreamingOffset = InventoryOffset(Long.MinValue)
 
-  private def walkMaxMtime(): Long = {
-    val (fs, rootPath) = fsAndRoot
-    var mx = Long.MinValue
-    val stack = scala.collection.mutable.Stack[Path](rootPath)
-    while (stack.nonEmpty) {
-      val d = stack.pop()
-      InventoryDataSource.dirsListed.incrementAndGet()
-      fs.listStatus(d).foreach { st =>
-        mx = math.max(mx, st.getModificationTime)
-        if (st.isDirectory) stack.push(st.getPath)
+  /** the next watermark = max mtime in the tree. Default: one driver
+    * walk (the listing cost every file stream source pays per batch).
+    * `.option("distributedOffsets", true)`: the SAME answer as a tiny
+    * batch job over this source riding the AGGREGATE pushdown — the
+    * global max(mtime_ms) folds into the walk, so one partial row per
+    * subtree-partition crosses the wire and the listing fans out across
+    * the cluster. That is the billion-file shape: the driver never
+    * lists anything but the root. */
+  private def walkMaxMtime(): Long =
+    if (distributedOffsets) {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val reader = hadoopConf.foldLeft(
+        spark.read.format("graft-inventory").option("root", root)) {
+        case (r, (k, v)) => r.option("hadoop." + k, v)
       }
+      val row = reader.load()
+        .agg(org.apache.spark.sql.functions.max("mtime_ms")).collect()(0)
+      if (row.isNullAt(0)) Long.MinValue else row.getLong(0)
+    } else {
+      val (fs, rootPath) = fsAndRoot
+      var mx = Long.MinValue
+      val stack = scala.collection.mutable.Stack[Path](rootPath)
+      while (stack.nonEmpty) {
+        val d = stack.pop()
+        InventoryDataSource.dirsListed.incrementAndGet()
+        fs.listStatus(d).foreach { st =>
+          mx = math.max(mx, st.getModificationTime)
+          if (st.isDirectory) stack.push(st.getPath)
+        }
+      }
+      mx
     }
-    mx
-  }
 
   override def latestOffset(): StreamingOffset = capped(walkMaxMtime())
 

@@ -472,6 +472,49 @@ class SourcesSpec extends AnyFunSuite {
     assert(nonEmpty.forall(_ <= 2L), s"a batch exceeded maxFilesPerTrigger: $sizes")
   }
 
+  test("graft-inventory DSv2: distributedOffsets computes the watermark via the pushed aggregate") {
+    val spark = TestSpark.spark
+    import graft.sources.InventoryDataSource
+    val tmp = buildTree()
+    Seq("a/x.dat" -> 10L, "a/y.dat" -> 20L, "a/sub/z.dat" -> 30L,
+      "b/w.dat" -> 40L, "top.dat" -> 50L).foreach { case (rel, s) =>
+      Files.setLastModifiedTime(Paths.get(s"$tmp/$rel"),
+        java.nio.file.attribute.FileTime.fromMillis(s * 1000L))
+    }
+    Seq("", "/a", "/a/sub", "/b").foreach(d =>
+      Files.setLastModifiedTime(Paths.get(s"$tmp$d"),
+        java.nio.file.attribute.FileTime.fromMillis(0L)))
+    val ckpt = Files.createTempDirectory("graft-inv-ckpt-dist").toString
+    val out = Files.createTempDirectory("graft-inv-out-dist").toString + "/rows"
+    // the watermark job itself must ride the aggregate pushdown: the
+    // max(mtime_ms) batch job emits one partial row per subtree partition
+    // ("/" own files + /a + /b = 3), never one per file
+    InventoryDataSource.rowsEmitted.set(0L)
+    val q = spark.readStream.format("graft-inventory").option("root", tmp)
+      .option("distributedOffsets", "true").load()
+      .filter(!col("is_folder"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out).collect().map(_.getString(0)).toSet
+    assert(got == Set("/a/x.dat", "/a/y.dat", "/a/sub/z.dat", "/b/w.dat", "/top.dat"),
+      s"distributed-offset drain drifted: $got")
+    // the batch itself delivers all 8 tree entries (folders drop at the
+    // post-scan filter); every OFFSET job contributes exactly 3 partial
+    // rows (one per subtree partition: "/" own files + /a + /b) — the
+    // streaming engine runs the offset job several times (prepare, per
+    // batch, final no-more-data check), so the total must be
+    // 8 + 3·k for a small k. An unpushed offset job would emit 8 rows
+    // per run (8 + 8·k), which this modular check rejects.
+    val emitted = InventoryDataSource.rowsEmitted.get()
+    assert((emitted - 8) % 3 == 0 && emitted >= 11 && emitted <= 8 + 3 * 5,
+      s"offset job leaked row-level rows (want 8 + 3k, k<=5): $emitted")
+  }
+
   test("graft-inventory DSv2: pushed partial SUM surfaces Long overflow instead of wrapping") {
     import graft.sources.InventoryDataSource
     // the walk-side accumulator must match the unpushed ANSI plan's
