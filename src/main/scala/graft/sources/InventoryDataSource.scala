@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count,
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => StreamingOffset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Not, StringStartsWith}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Not, StringStartsWith}
 import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -310,23 +310,20 @@ private final case class InventoryScan(root: String, hadoopConf: Map[String, Str
       agg.map(a => s" PushedAggregation: [${a.aggs.mkString(", ")}] " +
         s"PushedGroupBy: [${a.groupCols.mkString(", ")}]").getOrElse("")
 
-  private def prefixFilters: Seq[String] = pushed.toSeq.collect {
-    case StringStartsWith("parent_directory", p) => p
-  }
-
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = InventoryScan.configuration(hadoopConf)
     val fs = new Path(root).getFileSystem(conf)
     val rootPath = fs.makeQualified(new Path(root))
     InventoryDataSource.dirsListed.incrementAndGet()
     val children = fs.listStatus(rootPath)
-    val prefixes = prefixFilters
     // a subtree rooted at dir D can only contain parent_directory values
-    // with prefix D — compatible with `starts with p` iff one of the two
-    // strings is a prefix of the other (must hold for EVERY pushed prefix:
-    // the filters are a conjunction)
-    def compatible(dir: String): Boolean = prefixes.forall(p =>
-      dir.startsWith(p) || p.startsWith(dir))
+    // with prefix D — compatible with every pushed prefix / equality /
+    // IN constraint iff one side is a prefix of the other (the filters
+    // are a conjunction; the shared helper keeps this pruning and the
+    // walk's per-entry matching in lockstep)
+    val (prefixes, dirSets) = InventoryWalk.dirConstraints(pushed)
+    def compatible(dir: String): Boolean =
+      InventoryWalk.dirCompatible(dir, prefixes, dirSets)
     val subtrees = children.filter(_.isDirectory)
       .map(st => InventoryScan.relative(rootPath, st.getPath))
       .filter(compatible)
@@ -555,6 +552,12 @@ private object InventoryWalk {
     * and their directory's modification time). */
   def isExact(f: Filter): Boolean = f match {
     case StringStartsWith("parent_directory", _) => true
+    // "exactly this directory" / "exactly these directories" — the most
+    // selective real manifest shapes; prune descent like prefixes, apply
+    // per entry like everything else
+    case EqualTo("parent_directory", _: String) => true
+    case In("parent_directory", vs) =>
+      vs.nonEmpty && vs.forall(_.isInstanceOf[String])
     case EqualTo("is_folder", _: java.lang.Boolean) => true
     // `!is_folder` reaches the source as Not(EqualTo(is_folder, true));
     // is_folder is non-null, so the negation is the flipped equality
@@ -565,6 +568,29 @@ private object InventoryWalk {
     case LessThanOrEqual("length" | "mtime_ms", _: java.lang.Long) => true
     case _ => false
   }
+
+  /** the pushed parent_directory constraints as (prefixes, value-sets) —
+    * shared by the walk and partition planning so descent pruning and
+    * per-entry matching can never disagree */
+  def dirConstraints(pushed: Array[Filter]): (Seq[String], Seq[Set[String]]) = {
+    val prefixes = pushed.toSeq.collect {
+      case StringStartsWith("parent_directory", p) => p
+    }
+    val sets = pushed.toSeq.collect {
+      case EqualTo("parent_directory", d: String) => Set(d)
+      case In("parent_directory", vs) =>
+        vs.collect { case s: String => s }.toSet
+    }
+    (prefixes, sets)
+  }
+
+  /** may the subtree rooted at `dir` contain a parent_directory satisfying
+    * every pushed constraint? Conservative (path-boundary-agnostic prefix
+    * compatibility — exactness is the per-entry check, this only prunes) */
+  def dirCompatible(dir: String, prefixes: Seq[String],
+      sets: Seq[Set[String]]): Boolean =
+    prefixes.forall(p => dir.startsWith(p) || p.startsWith(dir)) &&
+      sets.forall(_.exists(d => d.startsWith(dir) || dir.startsWith(d)))
 }
 
 /** depth-first walk of one subtree as a lazy iterator of
@@ -581,9 +607,7 @@ private final class InventoryWalk(root: String, hadoopConf: Map[String, String],
   private val fs: FileSystem = new Path(root).getFileSystem(conf)
   private val rootPath = fs.makeQualified(new Path(root))
 
-  private val prefixes: Seq[String] = pushed.toSeq.collect {
-    case StringStartsWith("parent_directory", p) => p
-  }
+  private val (prefixes, dirSets) = InventoryWalk.dirConstraints(pushed)
   private val folderEq = pushed.collectFirst {
     case EqualTo("is_folder", b: java.lang.Boolean) => b.booleanValue()
     case Not(EqualTo("is_folder", b: java.lang.Boolean)) => !b.booleanValue()
@@ -603,8 +627,9 @@ private final class InventoryWalk(root: String, hadoopConf: Map[String, String],
   private val mtimePred: Long => Boolean = rangePred("mtime_ms")
 
   private def dirCompatible(dir: String): Boolean =
-    prefixes.forall(p => dir.startsWith(p) || p.startsWith(dir))
-  private def dirMatches(dir: String): Boolean = prefixes.forall(dir.startsWith)
+    InventoryWalk.dirCompatible(dir, prefixes, dirSets)
+  private def dirMatches(dir: String): Boolean =
+    prefixes.forall(dir.startsWith) && dirSets.forall(_.contains(dir))
 
   private val stack = scala.collection.mutable.Stack[String](part.startDir)
   private var queued: List[(String, String, Boolean, Long, Long)] = Nil

@@ -353,6 +353,37 @@ class SourcesSpec extends AnyFunSuite {
     assert(rgot == Set(("/", 1L), ("/a", 2L), ("/a/sub", 1L), ("/b", 1L)))
   }
 
+  test("graft-inventory DSv2: parent_directory equality and IN push exactly and prune descent") {
+    val spark = TestSpark.spark
+    import graft.sources.InventoryDataSource
+    val tmp = buildTree()
+    def read() = spark.read.format("graft-inventory").option("root", tmp).load()
+    // unfiltered baseline listing count, then: equality on /a must list
+    // strictly fewer directories (the /b subtree is never opened)
+    InventoryDataSource.dirsListed.set(0L)
+    read().collect()
+    val fullListed = InventoryDataSource.dirsListed.get()
+    InventoryDataSource.dirsListed.set(0L)
+    InventoryDataSource.rowsEmitted.set(0L)
+    val eq = read().filter(col("parent_directory") === "/a")
+    val eqRows = eq.collect().map(_.getString(0)).toSet
+    assert(eqRows == Set("/a/x.dat", "/a/y.dat", "/a/sub"), s"eq drifted: $eqRows")
+    assert(InventoryDataSource.rowsEmitted.get() == 3L,
+      "equality left non-matching rows to a residual filter")
+    assert(InventoryDataSource.dirsListed.get() < fullListed,
+      s"equality did not prune the walk: ${InventoryDataSource.dirsListed.get()} vs $fullListed")
+    // IN: multiple exact directories, one scan; composes with the rollup
+    InventoryDataSource.rowsEmitted.set(0L)
+    val in = read().filter(col("parent_directory").isin("/a", "/b"))
+      .groupBy("parent_directory").agg(count(lit(1)).as("n"), sum("length").as("b"))
+    val got = in.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("/a", 3L, 8L), ("/b", 1L, 11L)), s"IN rollup drifted: $got")
+    assert(in.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+      "IN-filtered rollup lost the aggregate pushdown")
+    assert(InventoryDataSource.rowsEmitted.get() == 2L,
+      "IN rollup leaked row-level rows")
+  }
+
   test("graft-inventory DSv2: mtime range pushdown is exact (incremental-rescan watermark)") {
     val spark = TestSpark.spark
     import graft.sources.InventoryDataSource
