@@ -615,6 +615,66 @@ object InventoryOps {
         .groupBy(col("parent_directory").as("dir"), col("wave"))
         .agg(count(lit(1)).as("n_files"), sum("length").as("bytes"))
         .orderBy("dir", "wave")
+    },
+
+    // The ADMISSION-CONTROL slicing itself as a correctness row: one
+    // AvailableNow drain of a backlog tree with maxFilesPerTrigger=16,
+    // per-BATCH rollups — and the oracle replays the exact watermark
+    // recurrence sequentially (a recursive CTE: each batch's end
+    // watermark is the 16th-smallest mtime past the previous one, mtime
+    // TIES all admitted — the same never-split-a-timestamp rule the
+    // source implements with its bounded heap). A wrong boundary, a
+    // dropped tie, or batch reordering all hash-mismatch. Folder entries
+    // carry "now" mtimes (> every file's), so they drain in trailing
+    // batches that the files-only filter empties — file batch numbering
+    // is deterministic.
+    GraftQuery("stream_inventory_backlog",
+      """WITH RECURSIVE fl AS (
+        |  SELECT (l_orderkey % 1000) * 1000 AS m, CAST(l_linenumber AS BIGINT) AS ln
+        |  FROM lineitem WHERE l_partkey % 200 = 0),
+        |wm(k, w) AS (
+        |  SELECT CAST(-1 AS BIGINT) AS k, CAST(-1 AS BIGINT) AS w
+        |  UNION ALL
+        |  SELECT k + 1,
+        |    (SELECT max(m) FROM (SELECT m FROM fl WHERE m > w ORDER BY m LIMIT 16) q)
+        |  FROM wm WHERE (SELECT count(*) FROM fl WHERE m > w) > 0),
+        |bounds AS (SELECT k, lag(w) OVER (ORDER BY k) AS lo, w AS hi FROM wm),
+        |asg AS (SELECT b.k AS batch, fl.ln FROM fl
+        |        JOIN bounds b ON fl.m > b.lo AND fl.m <= b.hi)
+        |SELECT batch, CAST(count(*) AS BIGINT) AS n_files,
+        |       CAST(sum(ln) AS BIGINT) AS bytes
+        |FROM asg GROUP BY batch ORDER BY batch""".stripMargin) { (spark, sfDir) =>
+      import java.nio.file.{Files, Paths}
+      import java.nio.file.attribute.FileTime
+      val rows = graft.Tables.lineitem(spark, sfDir)
+        .filter(col("l_partkey") % 200 === 0)
+        .select("l_partkey", "l_orderkey", "l_linenumber")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      val root = Files.createTempDirectory("graft_inv_backlog").toString
+      rows.foreach { case (pk, ok, ln) =>
+        val dir = Paths.get(s"$root/data/part=$pk")
+        Files.createDirectories(dir)
+        val f = dir.resolve(s"f-$ok-$ln.dat")
+        Files.write(f, Array.fill(ln)(0.toByte))
+        Files.setLastModifiedTime(f, FileTime.fromMillis((ok % 1000) * 1000L))
+      }
+      val ckpt = Files.createTempDirectory("graft_inv_backlog_ckpt").toString
+      val out = Files.createTempDirectory("graft_inv_backlog_out").toString + "/rows"
+      val q = spark.readStream.format("graft-inventory").option("root", root)
+        .option("maxFilesPerTrigger", "16").load()
+        .filter(!col("is_folder"))
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          batch.withColumn("batch", lit(id))
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(out)
+        .groupBy("batch")
+        .agg(count(lit(1)).as("n_files"), sum("length").as("bytes"))
+        .orderBy("batch")
     }
   )
 
