@@ -608,10 +608,16 @@ private final class InventoryWalk(root: String, hadoopConf: Map[String, String],
   private val rootPath = fs.makeQualified(new Path(root))
 
   private val (prefixes, dirSets) = InventoryWalk.dirConstraints(pushed)
-  private val folderEq = pushed.collectFirst {
+  // ALL is_folder constraints, applied as a conjunction (like rangePred):
+  // Catalyst's BooleanSimplification collapses duplicates today, but the
+  // exactness contract must not depend on that — two conflicting pushed
+  // equalities must yield the empty conjunction's answer (no rows), never
+  // first-one-wins wrong rows.
+  private val folderEqs: Seq[Boolean] = pushed.toSeq.collect {
     case EqualTo("is_folder", b: java.lang.Boolean) => b.booleanValue()
     case Not(EqualTo("is_folder", b: java.lang.Boolean)) => !b.booleanValue()
   }
+  private def folderOk(isDir: Boolean): Boolean = folderEqs.forall(_ == isDir)
   private def rangePred(column: String): Long => Boolean = {
     val preds = pushed.collect {
       case GreaterThan(`column`, v: java.lang.Long) => (x: Long) => x > v
@@ -648,10 +654,10 @@ private final class InventoryWalk(root: String, hadoopConf: Map[String, String],
         val rel = InventoryScan.relative(rootPath, st.getPath)
         if (st.isDirectory) {
           if (!part.ownFilesOnly && dirCompatible(rel)) stack.push(rel)
-          if (emitHere && folderEq.forall(_ == true) && lenPred(0L) &&
+          if (emitHere && folderOk(true) && lenPred(0L) &&
               mtimePred(st.getModificationTime))
             rows += ((rel, dir, true, 0L, st.getModificationTime))
-        } else if (emitHere && folderEq.forall(_ == false) && lenPred(st.getLen) &&
+        } else if (emitHere && folderOk(false) && lenPred(st.getLen) &&
             mtimePred(st.getModificationTime)) {
           rows += ((rel, dir, false, st.getLen, st.getModificationTime))
         }

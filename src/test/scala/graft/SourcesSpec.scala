@@ -559,6 +559,47 @@ class SourcesSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("SUM(mtime_ms)"), ex.getMessage)
   }
 
+  test("graft-inventory DSv2: conflicting pushed is_folder filters apply as a conjunction (empty), never first-wins") {
+    // Catalyst's BooleanSimplification collapses `is_folder = true AND
+    // NOT(is_folder = true)` before it ever reaches the source, so this
+    // drives the DSv2 interfaces directly: BOTH filters are claimed exact
+    // (no residual backstop), so the walk itself must apply their
+    // conjunction — zero rows — rather than whichever constraint happens
+    // to be collected first (which would return wrong rows with nothing
+    // downstream to catch them).
+    val tmp = buildTree()
+    import org.apache.spark.sql.connector.catalog.SupportsRead
+    import org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    import org.apache.spark.sql.sources.{EqualTo, Not}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val props = new java.util.HashMap[String, String](); props.put("root", tmp)
+    val opts = new CaseInsensitiveStringMap(props)
+    val provider = new graft.sources.InventoryDataSource
+    def rowCount(filters: Array[org.apache.spark.sql.sources.Filter]): Int = {
+      val table = provider.getTable(provider.inferSchema(opts), Array.empty, props)
+      val sb = table.asInstanceOf[SupportsRead].newScanBuilder(opts)
+      val residual = sb.asInstanceOf[SupportsPushDownFilters].pushFilters(filters)
+      assert(residual.isEmpty, s"is_folder filters must be claimed exact: ${residual.mkString(",")}")
+      val batch = sb.build().toBatch
+      val rf = batch.createReaderFactory()
+      batch.planInputPartitions().map { p =>
+        val r = rf.createReader(p)
+        var n = 0
+        while (r.next()) n += 1
+        r.close(); n
+      }.sum
+    }
+    // sanity: each constraint alone selects its side of the tree
+    assert(rowCount(Array(EqualTo("is_folder", java.lang.Boolean.TRUE))) == 3)
+    assert(rowCount(Array(Not(EqualTo("is_folder", java.lang.Boolean.TRUE)))) == 5)
+    // the contradiction: the conjunction is empty — 3 or 5 here means one
+    // constraint silently won
+    assert(rowCount(Array(
+      EqualTo("is_folder", java.lang.Boolean.TRUE),
+      Not(EqualTo("is_folder", java.lang.Boolean.TRUE)))) == 0,
+      "conflicting is_folder equalities must emit the empty conjunction")
+  }
+
   test("graft-inventory DSv2: column pruning reaches the scan; length/folder pushdown correct") {
     val spark = TestSpark.spark
     val tmp = buildTree()
