@@ -197,7 +197,8 @@ object TextOps {
          |        CAST(0 AS BIGINT)) AS cum FROM g),
          |a AS (SELECT CAST(sum(p * (2 * cum + c + 1)) AS BIGINT) AS r2,
          |        CAST(sum(p) AS BIGINT) AS np, CAST(sum(c) AS BIGINT) AS nc FROM w)
-         |SELECT (r2 - np * (np + 1)) * 1000000 // (2 * np * (nc - np)) AS auc_ppm,
+         |SELECT CASE WHEN np = 0 OR nc = np THEN NULL
+         |         ELSE (r2 - np * (np + 1)) * 1000000 // (2 * np * (nc - np)) END AS auc_ppm,
          |       np AS n_pos, nc - np AS n_neg FROM a""".stripMargin) { (spark, sfDir) =>
       val sc = docs(spark, sfDir)
         .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
@@ -216,7 +217,13 @@ object TextOps {
         .agg(sum(col("p") * (col("cum") * 2 + col("c") + 1)).as("r2"),
           sum("p").as("np"), sum("c").as("nc"))
         .select(
-          expr("(r2 - np * (np + 1)) * 1000000 DIV (2 * np * (nc - np))").as("auc_ppm"),
+          // single-class guard: with np = 0 or nc = np there are no
+          // (pos, neg) pairs to rank — "undefined AUC" must surface as
+          // NULL on BOTH sides (Spark's ANSI DIV raises on /0 while
+          // DuckDB's // yields NULL, so an unguarded query crashes
+          // exactly when the eval should report undefined)
+          expr("CASE WHEN np = 0 OR nc = np THEN CAST(NULL AS BIGINT) " +
+            "ELSE (r2 - np * (np + 1)) * 1000000 DIV (2 * np * (nc - np)) END").as("auc_ppm"),
           col("np").as("n_pos"), (col("nc") - col("np")).as("n_neg"))
     },
 
