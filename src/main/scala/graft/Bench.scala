@@ -37,7 +37,14 @@ package graft
   * committed artifact never depends on the driver capturing the full
   * stdout tail — BENCH_r07/r08 each lost ~10 per-query series to a
   * truncated tail, making round-over-round comparison impossible from
-  * repo artifacts alone. */
+  * repo artifacts alone.
+  *
+  * Artifact-stamps-HEAD caveat: the JSON carries the commit the run
+  * measured (`git rev-parse HEAD` at run time), so committing the
+  * artifact necessarily produces a NEW head — a committed
+  * BENCH_LOCAL.json always stamps its parent. When the working tree also
+  * carries a later driver-stamped run, both are valid measurements of
+  * their respective commits; this is inherent, not a staleness bug. */
 object Bench {
 
   private def medianOf(xs: Seq[Double]): Double =
