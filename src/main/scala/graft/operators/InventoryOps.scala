@@ -544,6 +544,35 @@ object InventoryOps {
         .orderBy("dir")
     },
 
+    // `name` prefix pushdown — the literal anchor of every regex
+    // exclusion (op 19: distcp -filters patterns like `.*part=1[0-9]/.*`
+    // anchor at a path literal, README.md:94-99) and of "find this
+    // manifest slice" probes. The StartsWith on the full path is applied
+    // EXACTLY per entry inside the walk (claimed, no residual Filter) and
+    // prunes descent: subtrees that cannot extend the prefix are never
+    // listed — at 100 TB an anchored exclusion scan lists only the
+    // anchored branch instead of the namespace. The prefix is derived
+    // from data (smallest fixture part, order keys starting with '1') so
+    // the same slice oracles from lineitem at every sf.
+    GraftQuery("inv_name_prefix_scan",
+      """WITH f AS (SELECT l_partkey AS pk, l_orderkey AS ok, l_linenumber AS ln
+        |           FROM lineitem WHERE l_partkey % 200 = 0),
+        |m AS (SELECT min(pk) AS pk0 FROM f)
+        |SELECT concat('/data/part=', pk, '/f-', ok, '-', ln, '.dat') AS name,
+        |       CAST(ln AS BIGINT) AS length
+        |FROM f JOIN m ON f.pk = m.pk0
+        |WHERE CAST(ok AS VARCHAR) LIKE '1%'
+        |ORDER BY name""".stripMargin) { (spark, sfDir) =>
+      val root = dsv2FixtureTree(spark, sfDir)
+      val pk0 = graft.Tables.lineitem(spark, sfDir)
+        .filter(col("l_partkey") % 200 === 0)
+        .agg(min("l_partkey")).first().getLong(0)
+      spark.read.format("graft-inventory").option("root", root).load()
+        .filter(col("name").startsWith(s"/data/part=$pk0/f-1"))
+        .select(col("name"), col("length"))
+        .orderBy("name")
+    },
+
     // The CONTINUOUS sync loop end-to-end: the inventory tree consumed as
     // a Structured Streaming SOURCE (InventoryMicroBatchStream — mtime
     // watermark as the stream offset, persisted in the checkpoint), two

@@ -316,14 +316,13 @@ private final case class InventoryScan(root: String, hadoopConf: Map[String, Str
     val rootPath = fs.makeQualified(new Path(root))
     InventoryDataSource.dirsListed.incrementAndGet()
     val children = fs.listStatus(rootPath)
-    // a subtree rooted at dir D can only contain parent_directory values
-    // with prefix D — compatible with every pushed prefix / equality /
-    // IN constraint iff one side is a prefix of the other (the filters
-    // are a conjunction; the shared helper keeps this pruning and the
-    // walk's per-entry matching in lockstep)
-    val (prefixes, dirSets) = InventoryWalk.dirConstraints(pushed)
-    def compatible(dir: String): Boolean =
-      InventoryWalk.dirCompatible(dir, prefixes, dirSets)
+    // a subtree rooted at dir D can only contain parent_directory and
+    // name values with prefix D — compatible with every pushed prefix /
+    // equality / IN constraint iff one side is a prefix of the other (the
+    // filters are a conjunction; the shared helper keeps this pruning and
+    // the walk's per-entry matching in lockstep)
+    val constraints = InventoryWalk.pathConstraints(pushed)
+    def compatible(dir: String): Boolean = constraints.dirCompatible(dir)
     val subtrees = children.filter(_.isDirectory)
       .map(st => InventoryScan.relative(rootPath, st.getPath))
       .filter(compatible)
@@ -546,10 +545,12 @@ private object InventoryWalk {
   /** Filters whose FULL semantics the walk applies to every emitted entry
     * — the exactness contract behind pushFilters' non-residual claim.
     * Every shape listed here must be evaluated per-entry in [[fill]]
-    * (descent pruning alone is a superset, never sufficient): prefix
-    * conjunctions via `dirMatches`, folder equality via `folderEq`,
-    * length / mtime_ms ranges via `rangePred` (folders carry length 0
-    * and their directory's modification time). */
+    * (descent pruning alone is a superset, never sufficient):
+    * parent_directory constraints via `dirMatches` (hoisted per
+    * directory), name constraints via `nameMatches` (per entry), folder
+    * equality via the `folderOk` conjunction, length / mtime_ms ranges
+    * via `rangePred` (folders carry length 0 and their directory's
+    * modification time). */
   def isExact(f: Filter): Boolean = f match {
     case StringStartsWith("parent_directory", _) => true
     // "exactly this directory" / "exactly these directories" — the most
@@ -557,6 +558,18 @@ private object InventoryWalk {
     // per entry like everything else
     case EqualTo("parent_directory", _: String) => true
     case In("parent_directory", vs) =>
+      vs.nonEmpty && vs.forall(_.isInstanceOf[String])
+    // `name` constraints are just as exact per entry and prune descent the
+    // same way: every name in the subtree under D extends D, so a prefix/
+    // value is compatible with D iff one is a prefix of the other. A name
+    // prefix is the literal anchor of every regex-exclusion filter (the
+    // distcp -filters patterns, README.md:94-99 — `.*part=1[0-9]/.*`
+    // anchors at '/data/part=1'), so at 100 TB the exclusion scan prunes
+    // the walk instead of listing the namespace; equality/IN is the "stat
+    // these manifest entries" probe.
+    case StringStartsWith("name", _) => true
+    case EqualTo("name", _: String) => true
+    case In("name", vs) =>
       vs.nonEmpty && vs.forall(_.isInstanceOf[String])
     case EqualTo("is_folder", _: java.lang.Boolean) => true
     // `!is_folder` reaches the source as Not(EqualTo(is_folder, true));
@@ -569,28 +582,48 @@ private object InventoryWalk {
     case _ => false
   }
 
-  /** the pushed parent_directory constraints as (prefixes, value-sets) —
-    * shared by the walk and partition planning so descent pruning and
-    * per-entry matching can never disagree */
-  def dirConstraints(pushed: Array[Filter]): (Seq[String], Seq[Set[String]]) = {
-    val prefixes = pushed.toSeq.collect {
-      case StringStartsWith("parent_directory", p) => p
-    }
-    val sets = pushed.toSeq.collect {
-      case EqualTo("parent_directory", d: String) => Set(d)
-      case In("parent_directory", vs) =>
-        vs.collect { case s: String => s }.toSet
-    }
-    (prefixes, sets)
+  /** the pushed path constraints (parent_directory AND name, each as
+    * prefixes + value-sets) — shared by the walk and partition planning so
+    * descent pruning and per-entry matching can never disagree */
+  final case class PathConstraints(dirPrefixes: Seq[String], dirSets: Seq[Set[String]],
+      namePrefixes: Seq[String], nameSets: Seq[Set[String]]) {
+
+    private def overlaps(a: String, b: String): Boolean =
+      a.startsWith(b) || b.startsWith(a)
+
+    /** may the subtree rooted at `dir` contain an entry satisfying every
+      * pushed constraint? Conservative (path-boundary-agnostic prefix
+      * compatibility — exactness is the per-entry check, this only
+      * prunes). Works for BOTH column families because both are path
+      * strings extending the subtree root: a parent_directory in the
+      * subtree extends `dir`, and so does every entry `name`. */
+    def dirCompatible(dir: String): Boolean =
+      dirPrefixes.forall(overlaps(dir, _)) &&
+        dirSets.forall(_.exists(overlaps(dir, _))) &&
+        namePrefixes.forall(overlaps(dir, _)) &&
+        nameSets.forall(_.exists(overlaps(dir, _)))
+
+    /** exact per-directory check for the parent_directory family (every
+      * child of `dir` shares it, so this hoists out of the entry loop) */
+    def dirMatches(dir: String): Boolean =
+      dirPrefixes.forall(dir.startsWith) && dirSets.forall(_.contains(dir))
+
+    /** exact per-entry check for the name family */
+    def nameMatches(name: String): Boolean =
+      namePrefixes.forall(name.startsWith) && nameSets.forall(_.contains(name))
   }
 
-  /** may the subtree rooted at `dir` contain a parent_directory satisfying
-    * every pushed constraint? Conservative (path-boundary-agnostic prefix
-    * compatibility — exactness is the per-entry check, this only prunes) */
-  def dirCompatible(dir: String, prefixes: Seq[String],
-      sets: Seq[Set[String]]): Boolean =
-    prefixes.forall(p => dir.startsWith(p) || p.startsWith(dir)) &&
-      sets.forall(_.exists(d => d.startsWith(dir) || dir.startsWith(d)))
+  def pathConstraints(pushed: Array[Filter]): PathConstraints = {
+    def prefixesOf(col: String): Seq[String] = pushed.toSeq.collect {
+      case StringStartsWith(`col`, p) => p
+    }
+    def setsOf(col: String): Seq[Set[String]] = pushed.toSeq.collect {
+      case EqualTo(`col`, d: String) => Set(d)
+      case In(`col`, vs) => vs.collect { case s: String => s }.toSet
+    }
+    PathConstraints(prefixesOf("parent_directory"), setsOf("parent_directory"),
+      prefixesOf("name"), setsOf("name"))
+  }
 }
 
 /** depth-first walk of one subtree as a lazy iterator of
@@ -607,7 +640,7 @@ private final class InventoryWalk(root: String, hadoopConf: Map[String, String],
   private val fs: FileSystem = new Path(root).getFileSystem(conf)
   private val rootPath = fs.makeQualified(new Path(root))
 
-  private val (prefixes, dirSets) = InventoryWalk.dirConstraints(pushed)
+  private val constraints = InventoryWalk.pathConstraints(pushed)
   // ALL is_folder constraints, applied as a conjunction (like rangePred):
   // Catalyst's BooleanSimplification collapses duplicates today, but the
   // exactness contract must not depend on that — two conflicting pushed
@@ -632,10 +665,8 @@ private final class InventoryWalk(root: String, hadoopConf: Map[String, String],
     * migration lists only entries newer than the last sync watermark */
   private val mtimePred: Long => Boolean = rangePred("mtime_ms")
 
-  private def dirCompatible(dir: String): Boolean =
-    InventoryWalk.dirCompatible(dir, prefixes, dirSets)
-  private def dirMatches(dir: String): Boolean =
-    prefixes.forall(dir.startsWith) && dirSets.forall(_.contains(dir))
+  private def dirCompatible(dir: String): Boolean = constraints.dirCompatible(dir)
+  private def dirMatches(dir: String): Boolean = constraints.dirMatches(dir)
 
   private val stack = scala.collection.mutable.Stack[String](part.startDir)
   private var queued: List[(String, String, Boolean, Long, Long)] = Nil
@@ -654,11 +685,11 @@ private final class InventoryWalk(root: String, hadoopConf: Map[String, String],
         val rel = InventoryScan.relative(rootPath, st.getPath)
         if (st.isDirectory) {
           if (!part.ownFilesOnly && dirCompatible(rel)) stack.push(rel)
-          if (emitHere && folderOk(true) && lenPred(0L) &&
-              mtimePred(st.getModificationTime))
+          if (emitHere && constraints.nameMatches(rel) && folderOk(true) &&
+              lenPred(0L) && mtimePred(st.getModificationTime))
             rows += ((rel, dir, true, 0L, st.getModificationTime))
-        } else if (emitHere && folderOk(false) && lenPred(st.getLen) &&
-            mtimePred(st.getModificationTime)) {
+        } else if (emitHere && constraints.nameMatches(rel) && folderOk(false) &&
+            lenPred(st.getLen) && mtimePred(st.getModificationTime)) {
           rows += ((rel, dir, false, st.getLen, st.getModificationTime))
         }
       }

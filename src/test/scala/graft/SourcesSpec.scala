@@ -559,6 +559,55 @@ class SourcesSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("SUM(mtime_ms)"), ex.getMessage)
   }
 
+  test("graft-inventory DSv2: name prefix pushdown is exact and prunes descent") {
+    val spark = TestSpark.spark
+    import graft.sources.InventoryDataSource
+    val tmp = buildTree()
+    // baseline: the unfiltered scan's listing cost
+    InventoryDataSource.dirsListed.set(0L)
+    spark.read.format("graft-inventory").option("root", tmp).load().collect()
+    val fullListed = InventoryDataSource.dirsListed.get()
+    // name STARTS WITH '/a/sub' — the anchored-exclusion shape: must
+    // return the folder row AND its file, list only compatible dirs, and
+    // emit nothing extra (exactness: the filter is claimed, not residual)
+    InventoryDataSource.dirsListed.set(0L)
+    InventoryDataSource.rowsEmitted.set(0L)
+    val df = spark.read.format("graft-inventory").option("root", tmp).load()
+      .filter(col("name").startsWith("/a/sub"))
+    val got = df.collect().map(_.getString(0)).toSet
+    assert(got == Set("/a/sub", "/a/sub/z.dat"), s"name prefix scan drifted: $got")
+    assert(InventoryDataSource.rowsEmitted.get() == 2L,
+      "name prefix left non-matching rows to a residual filter")
+    assert(InventoryDataSource.dirsListed.get() < fullListed,
+      s"name prefix did not prune the walk: ${InventoryDataSource.dirsListed.get()} vs $fullListed")
+    assert(df.queryExecution.executedPlan.toString.contains("StringStartsWith(name"),
+      "name prefix missing from PushedFilters")
+    // name EQUALITY — the "stat one manifest entry" probe: one row, one
+    // emitted row, and only the /b branch (plus the root listing) walked
+    InventoryDataSource.dirsListed.set(0L)
+    InventoryDataSource.rowsEmitted.set(0L)
+    val eq = spark.read.format("graft-inventory").option("root", tmp).load()
+      .filter(col("name") === "/b/w.dat")
+    assert(eq.collect().map(_.getString(0)).toSet == Set("/b/w.dat"))
+    assert(InventoryDataSource.rowsEmitted.get() == 1L, "name equality leaked rows")
+    assert(InventoryDataSource.dirsListed.get() < fullListed,
+      s"name equality did not prune: ${InventoryDataSource.dirsListed.get()} vs $fullListed")
+    // composition with the rollup: a name-prefixed aggregate still rides
+    // the aggregate pushdown (the filter is exact, so nothing blocks it)
+    InventoryDataSource.rowsEmitted.set(0L)
+    val agg = spark.read.format("graft-inventory").option("root", tmp).load()
+      .filter(col("name").startsWith("/a/"))
+      .groupBy("parent_directory")
+      .agg(count(lit(1)).as("n"), sum("length").as("bytes"))
+    val rolled = agg.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rolled == Set(("/a", 3L, 8L), ("/a/sub", 1L, 7L)),
+      s"name-prefixed rollup drifted: $rolled")
+    assert(agg.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+      "name-prefixed rollup lost the aggregate pushdown")
+    assert(InventoryDataSource.rowsEmitted.get() == 2L,
+      "name-prefixed rollup leaked row-level rows")
+  }
+
   test("graft-inventory DSv2: conflicting pushed is_folder filters apply as a conjunction (empty), never first-wins") {
     // Catalyst's BooleanSimplification collapses `is_folder = true AND
     // NOT(is_folder = true)` before it ever reaches the source, so this
