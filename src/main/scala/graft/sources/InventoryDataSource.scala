@@ -80,6 +80,15 @@ object InventoryDataSource {
     * row count). Test hook only; one JVM in local mode. */
   val dirsListed = new AtomicLong(0L)
 
+  /** directories listed by DRIVER-LOCAL offset walks (the streaming
+    * source's non-distributed watermark paths). With
+    * `.option("distributedOffsets", true)` this must stay 0 for an entire
+    * drain — bounded or not — because the driver then lists nothing but
+    * the root during partition planning; the spec pins that O(1) contract
+    * (the shared `dirsListed` counter can't, since executor walks land in
+    * the same JVM under local mode). Test hook only. */
+  val driverWalkDirs = new AtomicLong(0L)
+
   /** rows actually handed to Spark across all readers — the observable the
     * AGGREGATE-pushdown spec pins: with a pushed group-by, the source
     * emits one partial row per (partition, group), never one per file.
@@ -380,11 +389,16 @@ private final case class InventoryOffset(ms: Long) extends StreamingOffset {
   * micro-batches — a billion-file backlog must never be one batch — by
   * setting each batch's end watermark to the n-th smallest entry mtime
   * past the start (one bounded-heap walk; mtime TIES are all admitted,
-  * so a timestamp is never split across batches). `latestOffset` walks
-  * the tree on the driver — the listing cost every file stream source
-  * pays per batch; at a billion files a production deployment would
-  * shard this walk through the batch aggregate pushdown (max(mtime_ms)
-  * per subtree) instead. */
+  * so a timestamp is never split across batches; the bound counts
+  * ENTRIES — folder rows are data rows of this source). By default every
+  * `latestOffset` walks the tree on the driver — the listing cost every
+  * file stream source pays per batch. `.option("distributedOffsets",
+  * true)` is the billion-file shape for BOTH offset paths: the unlimited
+  * watermark rides the batch aggregate pushdown (max(mtime_ms) folded
+  * into the walk, one partial row per subtree), and the bounded path
+  * fans the top-n-mtime walk out across subtrees and merges the ≤ n
+  * heads per subtree on the driver — the driver lists only the root,
+  * once per batch, regardless of backlog depth. */
 private final class InventoryMicroBatchStream(root: String,
     hadoopConf: Map[String, String], pushed: Array[Filter], required: StructType,
     maxFilesPerTrigger: Option[Int] = None, distributedOffsets: Boolean = false)
@@ -437,6 +451,7 @@ private final class InventoryMicroBatchStream(root: String,
       while (stack.nonEmpty) {
         val d = stack.pop()
         InventoryDataSource.dirsListed.incrementAndGet()
+        InventoryDataSource.driverWalkDirs.incrementAndGet()
         fs.listStatus(d).foreach { st =>
           mx = math.max(mx, st.getModificationTime)
           if (st.isDirectory) stack.push(st.getPath)
@@ -455,38 +470,91 @@ private final class InventoryMicroBatchStream(root: String,
   // loop as source-side admission control). The watermark is a TIME, so
   // entries SHARING the boundary mtime are all admitted — a batch can
   // exceed n by the tie count, never split a timestamp across batches
-  // (splitting would make redelivery-on-restart ambiguous).
+  // (splitting would make redelivery-on-restart ambiguous). The bound
+  // counts ENTRIES (files AND folders — folder rows are delivered rows of
+  // this source, unlike Spark's file stream where only files are data):
+  // a folder-heavy slice of the backlog admits fewer files than n, never
+  // more entries than n + ties. Option keeps the familiar Spark name.
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
 
   override def latestOffset(start: StreamingOffset, limit: ReadLimit): StreamingOffset = {
     val s = start.asInstanceOf[InventoryOffset].ms
     limit match {
-      case mf: ReadMaxFiles =>
-        // n smallest mtimes past the watermark via one bounded max-heap
-        // walk; offset = the n-th smallest (or the global max if fewer)
-        val n = mf.maxFiles()
-        val (fs, rootPath) = fsAndRoot
-        val heap = new java.util.PriorityQueue[java.lang.Long](
-          math.max(1, n), java.util.Comparator.reverseOrder[java.lang.Long]())
-        val stack = scala.collection.mutable.Stack[Path](rootPath)
-        while (stack.nonEmpty) {
-          val d = stack.pop()
-          InventoryDataSource.dirsListed.incrementAndGet()
-          fs.listStatus(d).foreach { st =>
-            val m = st.getModificationTime
-            if (m > s && (heap.size < n || m < heap.peek())) {
-              heap.add(m)
-              if (heap.size > n) heap.poll()
-            }
-            if (st.isDirectory) stack.push(st.getPath)
-          }
-        }
-        if (heap.isEmpty) capped(s) else capped(heap.peek())
+      case mf: ReadMaxFiles => capped(boundedNextOffset(s, mf.maxFiles()))
       case _: ReadAllAvailable => latestOffset()
       case _ => latestOffset()
     }
   }
+
+  /** one bounded batch's end watermark: the n-th smallest entry mtime past
+    * `start` (or `start` unchanged if nothing is newer — no progress).
+    *
+    * Default: one driver bounded-heap walk — the same per-batch listing
+    * cost as the unlimited driver path. `distributedOffsets=true`: the
+    * walk FANS OUT like the batch scan (one task per top-level subtree,
+    * driver lists only the root), each task folds its subtree into a
+    * bounded heap of its n smallest past-watermark mtimes, and the driver
+    * merges the ≤ n-per-subtree heads — correct because the global n
+    * smallest are each within their own subtree's n smallest, and cheap
+    * because the merge handles at most n·subtrees timestamps, never
+    * entries. This is the billion-file-backlog configuration: without it,
+    * maxFilesPerTrigger would pay a full driver listing once per
+    * micro-batch × batches-in-backlog — the exact scale the option
+    * exists for. */
+  private def boundedNextOffset(s: Long, n: Int): Long =
+    if (distributedOffsets) {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val parts = InventoryScan(root, hadoopConf, Array.empty,
+        InventoryDataSource.Schema, None)
+        .planInputPartitions().map(_.asInstanceOf[InventoryPartition]).toSeq
+      val r = root; val hc = hadoopConf
+      val heads: Array[Long] = spark.sparkContext
+        .parallelize(parts, math.max(1, parts.size))
+        .map { part =>
+          // the mtime cut rides the same exact pushdown machinery as the
+          // batch readers; entries (files and folders) past the watermark
+          // feed the bounded heap exactly like the driver walk
+          val walk = new InventoryWalk(r, hc,
+            Array[Filter](GreaterThan("mtime_ms", java.lang.Long.valueOf(s))), part)
+          val heap = new java.util.PriorityQueue[java.lang.Long](
+            math.max(1, n), java.util.Comparator.reverseOrder[java.lang.Long]())
+          var e = walk.nextEntry()
+          while (e.isDefined) {
+            val m = e.get._5
+            if (heap.size < n || m < heap.peek()) {
+              heap.add(m)
+              if (heap.size > n) heap.poll()
+            }
+            e = walk.nextEntry()
+          }
+          heap.asScala.toArray.map(_.longValue)
+        }.collect().flatten
+      if (heads.isEmpty) s
+      else {
+        val sorted = heads.sorted
+        sorted(math.min(n, sorted.length) - 1)
+      }
+    } else {
+      val (fs, rootPath) = fsAndRoot
+      val heap = new java.util.PriorityQueue[java.lang.Long](
+        math.max(1, n), java.util.Comparator.reverseOrder[java.lang.Long]())
+      val stack = scala.collection.mutable.Stack[Path](rootPath)
+      while (stack.nonEmpty) {
+        val d = stack.pop()
+        InventoryDataSource.dirsListed.incrementAndGet()
+        InventoryDataSource.driverWalkDirs.incrementAndGet()
+        fs.listStatus(d).foreach { st =>
+          val m = st.getModificationTime
+          if (m > s && (heap.size < n || m < heap.peek())) {
+            heap.add(m)
+            if (heap.size > n) heap.poll()
+          }
+          if (st.isDirectory) stack.push(st.getPath)
+        }
+      }
+      if (heap.isEmpty) s else heap.peek()
+    }
 
   override def planInputPartitions(start: StreamingOffset,
       end: StreamingOffset): Array[InputPartition] = {

@@ -503,6 +503,105 @@ class SourcesSpec extends AnyFunSuite {
     assert(nonEmpty.forall(_ <= 2L), s"a batch exceeded maxFilesPerTrigger: $sizes")
   }
 
+  test("graft-inventory DSv2: bounded drain with distributedOffsets never full-walks on the driver") {
+    // the billion-file-backlog configuration: maxFilesPerTrigger +
+    // distributedOffsets must fan the per-batch top-n-mtime walk out
+    // across subtree tasks — the driver lists only the root during
+    // partition planning, for EVERY batch of the drain. driverWalkDirs
+    // counts only driver-local offset walks (executor walks share the
+    // JVM in local mode, so dirsListed can't pin this).
+    val spark = TestSpark.spark
+    import graft.sources.InventoryDataSource
+    val tmp = buildTree()
+    Seq("a/x.dat" -> 10L, "a/y.dat" -> 20L, "a/sub/z.dat" -> 30L,
+      "b/w.dat" -> 40L, "top.dat" -> 50L).foreach { case (rel, s) =>
+      Files.setLastModifiedTime(Paths.get(s"$tmp/$rel"),
+        java.nio.file.attribute.FileTime.fromMillis(s * 1000L))
+    }
+    Seq("", "/a", "/a/sub", "/b").foreach(d =>
+      Files.setLastModifiedTime(Paths.get(s"$tmp$d"),
+        java.nio.file.attribute.FileTime.fromMillis(0L)))
+    def drain(distributed: Boolean, tag: String): (Set[String], Seq[Long]) = {
+      val ckpt = Files.createTempDirectory(s"graft-inv-ckpt-$tag").toString
+      val out = Files.createTempDirectory(s"graft-inv-out-$tag").toString + "/rows"
+      val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = spark.readStream.format("graft-inventory").option("root", tmp)
+        .option("maxFilesPerTrigger", "2")
+        .option("distributedOffsets", distributed.toString).load()
+        .filter(!col("is_folder"))
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          sizes.synchronized { sizes += batch.count() }
+          batch.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      (spark.read.parquet(out).collect().map(_.getString(0)).toSet, sizes.toSeq)
+    }
+    InventoryDataSource.driverWalkDirs.set(0L)
+    val (got, sizes) = drain(distributed = true, "dist-adm")
+    // same exactly-once bounded delivery as the driver-walk path...
+    assert(got == Set("/a/x.dat", "/a/y.dat", "/a/sub/z.dat", "/b/w.dat", "/top.dat"),
+      s"distributed bounded drain lost or duplicated entries: $got")
+    val nonEmpty = sizes.filter(_ > 0)
+    assert(nonEmpty.size >= 3 && nonEmpty.forall(_ <= 2L),
+      s"distributed bounded drain batch shape drifted: $sizes")
+    // ...with ZERO driver-local listing across the whole multi-batch drain
+    assert(InventoryDataSource.driverWalkDirs.get() == 0L,
+      s"bounded distributed drain walked ${InventoryDataSource.driverWalkDirs.get()} dirs on the driver")
+    // differential: the counter is live — the default path does walk
+    InventoryDataSource.driverWalkDirs.set(0L)
+    val (got2, _) = drain(distributed = false, "drv-adm")
+    assert(got2 == got, s"driver-walk drain disagreed with distributed: $got2")
+    assert(InventoryDataSource.driverWalkDirs.get() > 0L,
+      "driverWalkDirs counter is dead — the default bounded path should use it")
+  }
+
+  test("graft-inventory DSv2: the admission bound counts entries — folder rows occupy interleaved mtime slots") {
+    // folder mtimes BETWEEN file mtimes (the shape the earlier tests
+    // didn't cover): folder rows are data rows of this source, so the
+    // documented bound is entries-per-trigger — every batch holds at most
+    // n entries (files + folders), delivery stays complete and
+    // exactly-once, and folders ride the slice their mtime falls in.
+    val spark = TestSpark.spark
+    val tmp = buildTree()
+    Seq("a/x.dat" -> 10L, "a/y.dat" -> 20L, "a/sub/z.dat" -> 30L,
+      "b/w.dat" -> 40L, "top.dat" -> 50L).foreach { case (rel, s) =>
+      Files.setLastModifiedTime(Paths.get(s"$tmp/$rel"),
+        java.nio.file.attribute.FileTime.fromMillis(s * 1000L))
+    }
+    // /a=15s, /a/sub=25s, /b=35s — interleaved; root pinned low
+    Seq("" -> 0L, "/a" -> 15L, "/a/sub" -> 25L, "/b" -> 35L).foreach { case (d, s) =>
+      Files.setLastModifiedTime(Paths.get(s"$tmp$d"),
+        java.nio.file.attribute.FileTime.fromMillis(s * 1000L))
+    }
+    val ckpt = Files.createTempDirectory("graft-inv-ckpt-ent").toString
+    val out = Files.createTempDirectory("graft-inv-out-ent").toString + "/rows"
+    val q = spark.readStream.format("graft-inventory").option("root", tmp)
+      .option("maxFilesPerTrigger", "2").load()   // NO files-only filter: observe entries
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.withColumn("batch", lit(id)).write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getLong(5))).toSeq
+    // complete + exactly-once over ALL 8 entries
+    assert(rows.map(_._1).sorted == Seq("/a", "/a/sub", "/a/sub/z.dat", "/a/x.dat",
+      "/a/y.dat", "/b", "/b/w.dat", "/top.dat"), s"entry delivery drifted: $rows")
+    // every batch ≤ 2 entries, and batch assignment follows mtime order:
+    // (10,15)(20,25)(30,35)(40,50) — folders in the middle of slices
+    val byBatch = rows.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byBatch.values.forall(_.size <= 2), s"a batch exceeded the entry bound: $byBatch")
+    val batchOf = rows.map { case (n, b) => n -> b }.toMap
+    assert(batchOf("/a") == batchOf("/a/x.dat"), s"folder /a missed its mtime slice: $byBatch")
+    assert(batchOf("/a/sub") == batchOf("/a/y.dat"), s"folder /a/sub missed its slice: $byBatch")
+    assert(batchOf("/b") == batchOf("/a/sub/z.dat"), s"folder /b missed its slice: $byBatch")
+  }
+
   test("graft-inventory DSv2: distributedOffsets computes the watermark via the pushed aggregate") {
     val spark = TestSpark.spark
     import graft.sources.InventoryDataSource
