@@ -646,6 +646,108 @@ object InventoryOps {
         .orderBy("dir", "wave")
     },
 
+    // The FULL re-run migration loop per batch: streaming delta sync
+    // COMPOSED with the op-19 regex exclusions (distcp -filters,
+    // README.md:94-99) and the op-23 identity remap (broadcast lookup
+    // with pass-through fallback) — applied INSIDE foreachBatch, exactly
+    // where MIGRATION.md's loop applies them before the copy sink. The
+    // fixture tree carries the supplier key in each file name (the
+    // invFiles naming), so per-file owners derive deterministically and
+    // the whole composition — wave assignment from the checkpointed
+    // watermark, exclusion drop, remap-or-passthrough — replays from
+    // lineitem ⋈ idmap. A filter applied to the wrong batch, a remap
+    // missed on one wave, or an excluded file leaking all hash-mismatch.
+    GraftQuery("stream_sync_remapped",
+      s"""WITH f AS (SELECT DISTINCT l_partkey AS pk, l_orderkey AS ok,
+         |             l_linenumber AS ln, l_suppkey AS sk
+         |           FROM lineitem WHERE l_partkey % 200 = 0),
+         |$IdMapCte,
+         |kept AS (SELECT pk, ok, ln, sk,
+         |    concat('/data/part=', pk, '/f-', ok, '-', ln, '-', sk, '.dat') AS name
+         |  FROM f
+         |  WHERE NOT regexp_matches(
+         |          concat('/data/part=', pk, '/f-', ok, '-', ln, '-', sk, '.dat'),
+         |          '.*part=1[0-9]00/.*')
+         |    AND NOT regexp_matches(
+         |          concat('/data/part=', pk, '/f-', ok, '-', ln, '-', sk, '.dat'),
+         |          '.*-3\\.dat$$')),
+         |r AS (SELECT concat('/data/part=', pk) AS dir,
+         |             CASE WHEN ok % 1000 < 500 THEN 1 ELSE 2 END AS wave,
+         |             coalesce(m.target, concat('user', sk)) AS owner_mapped,
+         |             ln
+         |      FROM kept LEFT JOIN idmap m
+         |        ON m.itype = 'user' AND m.source = concat('user', sk))
+         |SELECT dir, CAST(wave AS BIGINT) AS wave, owner_mapped,
+         |       CAST(count(*) AS BIGINT) AS n_files, CAST(sum(ln) AS BIGINT) AS bytes
+         |FROM r GROUP BY 1, 2, 3 ORDER BY dir, wave, owner_mapped""".stripMargin) {
+      (spark, sfDir) =>
+      import java.nio.file.{Files, Paths}
+      import java.nio.file.attribute.FileTime
+      val rows = graft.Tables.lineitem(spark, sfDir)
+        .filter(col("l_partkey") % 200 === 0)
+        .select("l_partkey", "l_orderkey", "l_linenumber", "l_suppkey")
+        .distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      val root = Files.createTempDirectory("graft_inv_remap").toString
+      val ckpt = Files.createTempDirectory("graft_inv_remap_ckpt").toString
+      val outBase = Files.createTempDirectory("graft_inv_remap_out").toString
+      def resetDirs(): Unit = {
+        val it = Files.walk(Paths.get(root)).iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (Files.isDirectory(p)) Files.setLastModifiedTime(p, FileTime.fromMillis(0L))
+        }
+      }
+      def writeWave(w: Int): Unit = {
+        rows.filter { case (_, ok, _, _) => (if (ok % 1000 < 500) 1 else 2) == w }
+          .foreach { case (pk, ok, ln, sk) =>
+            val dir = Paths.get(s"$root/data/part=$pk")
+            Files.createDirectories(dir)
+            val f = dir.resolve(s"f-$ok-$ln-$sk.dat")
+            Files.write(f, Array.fill(ln)(0.toByte))
+            Files.setLastModifiedTime(f, FileTime.fromMillis((ok % 1000) * 1000L))
+          }
+        resetDirs()
+      }
+      // op-19 exclusions + op-23 remap, applied PER BATCH (the migration
+      // loop's shape — each delta batch is filtered and remapped before
+      // it ships); the identity map broadcasts, the exclusion is a
+      // map-side predicate, so the composition adds no shuffle
+      val exclusions = Seq(".*part=1[0-9]00/.*", ".*-3\\.dat$")
+      val keep = exclusions.map(p => !col("name").rlike(p)).reduce(_ && _)
+      val users = identityMap(spark, sfDir).filter(col("itype") === "user")
+        .select(col("source"), col("target"))
+      def drain(run: Int): DataFrame = {
+        val out = s"$outBase/run$run"
+        val q = spark.readStream.format("graft-inventory").option("root", root).load()
+          .filter(!col("is_folder"))
+          .writeStream.outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            batch.filter(keep)
+              .withColumn("owner",
+                concat(lit("user"), regexp_extract(col("name"), "-([0-9]+)\\.dat$", 1)))
+              .join(broadcast(users), col("owner") === col("source"), "left")
+              .select(col("parent_directory"), col("length"),
+                coalesce(col("target"), col("owner")).as("owner_mapped"))
+              .write.mode("append").parquet(out)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        if (Files.exists(Paths.get(out))) spark.read.parquet(out)
+        else spark.range(0).select(lit("").as("parent_directory"),
+          lit(0L).as("length"), lit("").as("owner_mapped")).limit(0)
+      }
+      writeWave(1)
+      val b1 = drain(1)
+      writeWave(2)
+      val b2 = drain(2)
+      b1.withColumn("wave", lit(1L)).unionByName(b2.withColumn("wave", lit(2L)))
+        .groupBy(col("parent_directory").as("dir"), col("wave"), col("owner_mapped"))
+        .agg(count(lit(1)).as("n_files"), sum("length").as("bytes"))
+        .orderBy("dir", "wave", "owner_mapped")
+    },
+
     // The ADMISSION-CONTROL slicing itself as a correctness row: one
     // AvailableNow drain of a backlog tree with maxFilesPerTrigger=16,
     // per-BATCH rollups — and the oracle replays the exact watermark

@@ -556,6 +556,14 @@ class CopyExecutorSpec extends AnyFunSuite with CacheDrained {
     // copy EXACTLY the files written between the runs (the streaming
     // watermark, not a preflight probe, is what limits the work), and
     // every copied file must be byte-identical to its source.
+    //
+    // The loop also composes the op-19 regex exclusion and the op-23
+    // identity remap PER BATCH (a real re-run migration filters and
+    // remaps each delta before it ships): .tmp files in either wave must
+    // never reach the destination, and every landed file's ownership
+    // sidecar must carry the REMAPPED owner (aad-u0 for mapped, u1
+    // pass-through for unmapped) — proving the remap ran inside the
+    // foreachBatch body, not on some global frame.
     val spark = TestSpark.spark
     import java.nio.file.{Files => JF, Paths}
     import java.nio.file.attribute.FileTime
@@ -584,13 +592,20 @@ class CopyExecutorSpec extends AnyFunSuite with CacheDrained {
         .filter(!org.apache.spark.sql.functions.col("is_folder"))
         .writeStream.outputMode("append")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          import org.apache.spark.sql.functions.lit
-          val inv = batch.select(
-            org.apache.spark.sql.functions.col("name"),
-            org.apache.spark.sql.functions.col("parent_directory"),
-            org.apache.spark.sql.functions.col("is_folder"),
-            lit("u").as("owner"), lit("g").as("grp"), lit("rwxr-x---").as("perms"),
-            org.apache.spark.sql.functions.col("length"))
+          import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat, lit}
+          import spark.implicits._
+          // op 19: the distcp -filters exclusion, applied to THIS batch
+          val kept = batch.filter(!col("name").rlike("\\.tmp$"))
+          // op 23: broadcast identity remap with pass-through — owners
+          // derive deterministically from the payload (u0 even / u1 odd
+          // length), u0 is mapped, u1 is not
+          val idm = Seq(("u0", "aad-u0")).toDF("source", "target")
+          val inv = kept
+            .withColumn("owner", concat(lit("u"), col("length") % 2))
+            .join(broadcast(idm), col("owner") === col("source"), "left")
+            .select(col("name"), col("parent_directory"), col("is_folder"),
+              coalesce(col("target"), col("owner")).as("owner"),
+              lit("g").as("grp"), lit("rwxr-x---").as("perms"), col("length"))
           val res = CopyExecutor.copyInventory(spark, inv, dstOps,
             parallelism = 2, source = Some(srcOps))
           val ok = res.collect()
@@ -605,6 +620,7 @@ class CopyExecutorSpec extends AnyFunSuite with CacheDrained {
     }
 
     put("/a/x.dat", 300, 10); put("/a/y.dat", 5, 20); put("/b/z.dat", 77, 30)
+    put("/a/skip.tmp", 10, 15) // excluded — rides wave 1's mtime range
     resetDirs()
     sync()
     val firstCopied = copied.flatten.toSet
@@ -613,11 +629,25 @@ class CopyExecutorSpec extends AnyFunSuite with CacheDrained {
     copied.clear()
 
     put("/a/new.dat", 42, 40); put("/c/later.dat", 9, 50)
+    put("/c/drop.tmp", 4, 45) // excluded — rides wave 2's delta
     resetDirs()
     sync()
     val deltaCopied = copied.flatten.toSet
     assert(deltaCopied == Set("/a/new.dat", "/c/later.dat"),
       s"delta sync copied the wrong set: $deltaCopied")
+
+    // the exclusion held in BOTH waves: no .tmp ever landed
+    assert(!JF.exists(Paths.get(s"$dstRoot/a/skip.tmp")) &&
+      !JF.exists(Paths.get(s"$dstRoot/c/drop.tmp")),
+      "excluded .tmp files leaked to the destination")
+    // the remap ran per batch: mapped owner for even lengths (u0 ->
+    // aad-u0), pass-through for odd (u1 unmapped)
+    Seq("/a/x.dat" -> "aad-u0", "/a/new.dat" -> "aad-u0",
+      "/a/y.dat" -> "u1", "/b/z.dat" -> "u1", "/c/later.dat" -> "u1")
+      .foreach { case (rel, owner) =>
+        val acl = new String(JF.readAllBytes(Paths.get(s"$dstRoot$rel.acl")), "UTF-8")
+        assert(acl == s"$owner:g:rwxr-x---", s"$rel ownership sidecar drifted: $acl")
+      }
 
     // byte-exactness of everything on the destination
     Seq("/a/x.dat" -> 300, "/a/y.dat" -> 5, "/b/z.dat" -> 77,
