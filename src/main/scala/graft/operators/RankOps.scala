@@ -23,13 +23,17 @@ object RankOps {
   // at object-init time — a forward val reads as 0 and the chain vanishes)
   private val LpaRounds = 4
 
-  // k-core over the WEIGHTED co-purchase graph (edges = part pairs sharing
-  // ≥ KCoreMinW orders — the unthresholded graph is too dense to peel:
-  // min degree 49 at sf0.001). K/rounds probed: the peel takes 9 rounds at
-  // sf0.01 (1892 → 1055 nodes) and ≤ 3 at the other sfs, so 14 unrolled
-  // oracle rounds hold a 5-round margin; the engine exits at the exact
+  // k-core over the WEIGHTED co-purchase graph. graph_kcore derives its
+  // weight threshold FROM THE DATA (see the query: w >= 2 backbone only
+  // while repeat pairs are >= 1% of pairs — a fixed MinW goes degenerate
+  // as the catalog widens: empty at sf0.1, too-dense-to-peel unthresholded
+  // at sf0.001 where min degree is 49). K/rounds probed: the peel takes 9
+  // rounds at sf0.01 (1892 → 1055 nodes) and ≤ 3 at the other sfs, so 14
+  // unrolled oracle rounds hold a margin; the engine exits at the exact
   // fixpoint regardless (post-fixpoint rounds are idempotent, so the
   // fixed-round oracle and the early-exiting engine agree by construction).
+  // KCoreMinW remains the FIXED hub-control threshold of link prediction,
+  // where 1/log scoring makes sub-threshold pairs negligible anyway.
   private val KCoreK = 3
   private val KCoreMinW = 2
   private val KCoreRounds = 14
@@ -318,10 +322,14 @@ object RankOps {
     // by endpoint each round — the state is one node column, never the
     // corpus.
     GraftQuery("graph_kcore",
-      s"""WITH ue AS (SELECT l1.l_partkey AS u, l2.l_partkey AS v
+      s"""WITH uw AS MATERIALIZED (SELECT l1.l_partkey AS u, l2.l_partkey AS v,
+         |              CAST(count(*) AS BIGINT) AS w
          |            FROM lineitem l1 JOIN lineitem l2
          |              ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
-         |            GROUP BY 1, 2 HAVING count(*) >= $KCoreMinW),
+         |            GROUP BY 1, 2),
+         |thr AS (SELECT CASE WHEN 100 * count(*) FILTER (WHERE w >= 2) >= count(*)
+         |               THEN 2 ELSE 1 END AS t FROM uw),
+         |ue AS (SELECT u, v FROM uw WHERE w >= (SELECT t FROM thr)),
          |e AS MATERIALIZED (SELECT u AS a, v AS b FROM ue UNION ALL SELECT v, u FROM ue),
          |v0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM e),
          |$kcoreRoundsSql,
@@ -332,18 +340,29 @@ object RankOps {
          |SELECT node, core_degree FROM df ORDER BY node""".stripMargin,
       bench = true) { (spark, sfDir) =>
       val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
-      val ue = li.as("l1").join(li.as("l2"),
+      val uw = li.as("l1").join(li.as("l2"),
           col("l1.l_orderkey") === col("l2.l_orderkey") &&
             col("l1.l_partkey") < col("l2.l_partkey"))
         .groupBy(col("l1.l_partkey").as("u"), col("l2.l_partkey").as("v"))
         .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= KCoreMinW)
-        .select("u", "v")
-        // the peel probes the edge list every round — one-shot build,
-        // persisted inside kCore (which re-persists the bidirectional
-        // form); this upstream frame is consumed once there
+        // consumed twice (threshold scalar + filtered edge list), and the
+        // peel probes the filtered list every round — one-shot build
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.CacheTracker.track(ue)
+      // DATA-derived weight threshold (a bounded 2-cell aggregate, not a
+      // constant): keep the repeat-co-purchase backbone (w >= 2) only
+      // while repeat pairs are >= 1% of all pairs. Pair density falls as
+      // the catalog widens (P[two orders share a pair] ~ 1/parts²), so a
+      // fixed MinW=2 that peels a 1055-node core at sf0.01 leaves an
+      // EMPTY graph at sf0.1 — the benched peel was measuring convergence
+      // to nothing. Below the 1% line the raw co-purchase graph IS the
+      // backbone (measured: repeat share 27.6% / 3.1% / 0.32% at
+      // sf0.001/0.01/0.1) and the peel runs on it. Integer-exact on both
+      // sides: 100·n₂ ≥ n, no division.
+      val cnt = uw.agg(count(lit(1)).as("n"),
+        sum(when(col("w") >= 2, 1L).otherwise(0L)).as("n2")).first()
+      val thr = if (100L * cnt.getLong(1) >= cnt.getLong(0)) 2L else 1L
+      val ue = uw.filter(col("w") >= thr).select("u", "v")
+      graft.CacheTracker.track(uw)
       GraphOps.kCore(ue, KCoreK, KCoreRounds).orderBy("node")
     },
 
