@@ -108,12 +108,23 @@ object TrainPrepOps {
         .orderBy("doc_id")
     },
 
-    // repetition filter (the Gopher-style degenerate-text gate): duplicate-
-    // bigram fraction and most-frequent-bigram fraction per document, with
-    // the keep verdict at the probed 0.1/0.1 thresholds (corpus q99 ≈ 0.10
-    // for both — the gate drops the true ~1% repetitive tail). One
-    // explode + two hash aggregations; the keep comparison uses the
-    // unrounded IEEE quotient on both engines so the boolean cannot drift.
+    // repetition filter (the Gopher-style degenerate-text gate,
+    // Rae et al. 2021 §A1.1): duplicate-bigram fraction and
+    // most-frequent-bigram fraction per document, with the keep verdict
+    // at the probed 0.1/0.1 thresholds (corpus q99 ≈ 0.10 for both — the
+    // gate drops the true ~1% repetitive tail). One explode + two hash
+    // aggregations; the keep comparison uses the unrounded IEEE quotient
+    // on both engines so the boolean cannot drift.
+    //
+    // Plan choice, MEASURED (r10): the "obvious" zero-shuffle rewrite —
+    // array_sort the per-row bigram array and read total/distinct/top off
+    // it with an aggregate() fold — is 3.7× SLOWER at sf0.1 (2.7 s vs
+    // 0.73 s warm): lambda HOFs evaluate interpreted (no whole-stage
+    // codegen, boxed per element), while the explode + partial hash-agg
+    // path is fully codegen'd and collapses duplicate bigrams MAP-SIDE,
+    // so the exchange carries (doc, distinct-bigram) pairs, not the raw
+    // stream. Shuffle-count is not the objective function — wall clock
+    // is; the exchange here is the cheap part.
     GraftQuery("text_repetition",
       """WITH t AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks
         |  FROM documents),
