@@ -44,6 +44,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    root's own files): the recursive listing fans out across the
   *    cluster exactly like the reference's parallel scan, and partition
   *    planning itself lists only ONE directory on the driver.
+  *    `.option("minPartitions", n)` raises the fan-out floor for
+  *    top-heavy namespaces (three top-level dirs must not mean three
+  *    tasks against 100 TB): subtree partitions split breadth-first —
+  *    the split dir becomes an own-files partition, its child dirs new
+  *    subtree partitions — until the plan holds n partitions or one per
+  *    directory; planning lists exactly the dirs it split.
   *
   * Hadoop-FS-backed, so file://, hdfs://, abfss:// and the test
   * graftfs:// scheme all work; `hadoop.`-prefixed options travel to the
@@ -153,7 +159,8 @@ private final class InventoryTable(root: String, hadoopConf: Map[String, String]
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new InventoryScanBuilder(root, hadoopConf,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-      options.getBoolean("distributedOffsets", false))
+      options.getBoolean("distributedOffsets", false),
+      options.getInt("minPartitions", 1))
 
   /** the WRITE path: a frame of (name, parent_directory, is_folder,
     * length[, mtime_ms]) rows MATERIALIZES the tree under root — mkdirs
@@ -223,7 +230,8 @@ private final class InventoryWriter(root: String, hadoopConf: Map[String, String
 }
 
 private final class InventoryScanBuilder(root: String, hadoopConf: Map[String, String],
-    maxFilesPerTrigger: Option[Int] = None, distributedOffsets: Boolean = false)
+    maxFilesPerTrigger: Option[Int] = None, distributedOffsets: Boolean = false,
+    minPartitions: Int = 1)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
@@ -303,14 +311,15 @@ private final class InventoryScanBuilder(root: String, hadoopConf: Map[String, S
 
   override def build(): Scan =
     InventoryScan(root, hadoopConf, pushed, agg.map(_.schema).getOrElse(required), agg,
-      maxFilesPerTrigger, distributedOffsets)
+      maxFilesPerTrigger, distributedOffsets, minPartitions)
 }
 
 private final case class InventoryScan(root: String, hadoopConf: Map[String, String],
     pushed: Array[Filter], required: StructType,
     agg: Option[InventoryDataSource.PushedAgg],
     maxFilesPerTrigger: Option[Int] = None,
-    distributedOffsets: Boolean = false) extends Scan with Batch {
+    distributedOffsets: Boolean = false,
+    minPartitions: Int = 1) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -323,8 +332,6 @@ private final case class InventoryScan(root: String, hadoopConf: Map[String, Str
     val conf = InventoryScan.configuration(hadoopConf)
     val fs = new Path(root).getFileSystem(conf)
     val rootPath = fs.makeQualified(new Path(root))
-    InventoryDataSource.dirsListed.incrementAndGet()
-    val children = fs.listStatus(rootPath)
     // a subtree rooted at dir D can only contain parent_directory and
     // name values with prefix D — compatible with every pushed prefix /
     // equality / IN constraint iff one side is a prefix of the other (the
@@ -332,15 +339,36 @@ private final case class InventoryScan(root: String, hadoopConf: Map[String, Str
     // the walk's per-entry matching in lockstep)
     val constraints = InventoryWalk.pathConstraints(pushed)
     def compatible(dir: String): Boolean = constraints.dirCompatible(dir)
-    val subtrees = children.filter(_.isDirectory)
-      .map(st => InventoryScan.relative(rootPath, st.getPath))
-      .filter(compatible)
-      .map(d => InventoryPartition(d, ownFilesOnly = false))
-    // the root's immediate files belong to parent_directory "/"
-    val rootFiles =
-      if (compatible("/")) Array(InventoryPartition("/", ownFilesOnly = true))
-      else Array.empty[InventoryPartition]
-    (rootFiles ++ subtrees).toArray[InputPartition]
+    def childDirs(dir: String): Array[String] = {
+      InventoryDataSource.dirsListed.incrementAndGet()
+      fs.listStatus(if (dir == "/") rootPath else new Path(rootPath, dir.stripPrefix("/")))
+        .filter(_.isDirectory)
+        .map(st => InventoryScan.relative(rootPath, st.getPath))
+        .filter(compatible)
+    }
+    // Default plan: one subtree partition per top-level child + an
+    // own-files partition for the root — the driver lists ONE directory.
+    // `.option("minPartitions", n)` fixes the fan-out floor when the
+    // namespace is top-heavy (three top-level dirs must not mean three
+    // tasks against 100 TB): subtree partitions split BREADTH-FIRST —
+    // the split dir becomes an own-files partition (its immediate
+    // entries) and each child dir a new subtree partition — until the
+    // plan reaches n partitions or bottoms out at one partition per
+    // directory. Coverage stays exactly-once by construction (a dir's
+    // own row is always emitted by whichever partition lists its
+    // parent); the driver lists exactly the dirs it split, so planning
+    // cost is O(partitions), never O(tree).
+    val done = scala.collection.mutable.ArrayBuffer.empty[InventoryPartition]
+    if (compatible("/")) done += InventoryPartition("/", ownFilesOnly = true)
+    val queue = scala.collection.mutable.Queue.empty[String]
+    queue ++= childDirs("/")
+    while (queue.nonEmpty && done.size + queue.size < minPartitions) {
+      val d = queue.dequeue()
+      queue ++= childDirs(d)
+      done += InventoryPartition(d, ownFilesOnly = true)
+    }
+    (done.toArray ++ queue.map(d => InventoryPartition(d, ownFilesOnly = false)))
+      .toArray[InputPartition]
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -359,7 +387,7 @@ private final case class InventoryScan(root: String, hadoopConf: Map[String, Str
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     require(agg.isEmpty, "aggregate pushdown is a batch-only optimization")
     new InventoryMicroBatchStream(root, hadoopConf, pushed, required,
-      maxFilesPerTrigger, distributedOffsets)
+      maxFilesPerTrigger, distributedOffsets, minPartitions)
   }
 }
 
@@ -401,7 +429,8 @@ private final case class InventoryOffset(ms: Long) extends StreamingOffset {
   * once per batch, regardless of backlog depth. */
 private final class InventoryMicroBatchStream(root: String,
     hadoopConf: Map[String, String], pushed: Array[Filter], required: StructType,
-    maxFilesPerTrigger: Option[Int] = None, distributedOffsets: Boolean = false)
+    maxFilesPerTrigger: Option[Int] = None, distributedOffsets: Boolean = false,
+    minPartitions: Int = 1)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -506,7 +535,7 @@ private final class InventoryMicroBatchStream(root: String,
     if (distributedOffsets) {
       val spark = org.apache.spark.sql.SparkSession.active
       val parts = InventoryScan(root, hadoopConf, Array.empty,
-        InventoryDataSource.Schema, None)
+        InventoryDataSource.Schema, None, minPartitions = minPartitions)
         .planInputPartitions().map(_.asInstanceOf[InventoryPartition]).toSeq
       val r = root; val hc = hadoopConf
       val heads: Array[Long] = spark.sparkContext
@@ -561,8 +590,10 @@ private final class InventoryMicroBatchStream(root: String,
     val s = start.asInstanceOf[InventoryOffset].ms
     val e = end.asInstanceOf[InventoryOffset].ms
     if (e <= s) return Array.empty
-    // same subtree fan-out as the batch scan; the range rides the readers
-    InventoryScan(root, hadoopConf, pushed, required, None).planInputPartitions()
+    // same subtree fan-out (and minPartitions split) as the batch scan;
+    // the range rides the readers
+    InventoryScan(root, hadoopConf, pushed, required, None,
+      minPartitions = minPartitions).planInputPartitions()
       .map(p => InventoryStreamPartition(p.asInstanceOf[InventoryPartition], s, e))
   }
 

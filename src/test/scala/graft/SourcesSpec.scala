@@ -707,6 +707,46 @@ class SourcesSpec extends AnyFunSuite {
       "name-prefixed rollup leaked row-level rows")
   }
 
+  test("graft-inventory DSv2: minPartitions splits subtrees breadth-first with exactly-once coverage") {
+    // a top-heavy namespace (2 top-level dirs) must not cap the fan-out
+    // at 3 tasks: minPartitions=6 forces the breadth-first split until
+    // every directory is its own own-files partition (4 here — "/", /a,
+    // /b, /a/sub — the tree bottoms out below 6), and the split plan must
+    // deliver EXACTLY the same rows as the default plan.
+    val spark = TestSpark.spark
+    val tmp = buildTree()
+    import org.apache.spark.sql.connector.catalog.SupportsRead
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val props = new java.util.HashMap[String, String]()
+    props.put("root", tmp); props.put("minPartitions", "6")
+    val opts = new CaseInsensitiveStringMap(props)
+    val provider = new graft.sources.InventoryDataSource
+    val table = provider.getTable(provider.inferSchema(opts), Array.empty, props)
+    val batch = table.asInstanceOf[SupportsRead].newScanBuilder(opts).build().toBatch
+    val parts = batch.planInputPartitions()
+    assert(parts.length == 4, s"expected the tree to bottom out at 4 partitions, got ${parts.length}")
+    // every partition is an own-files listing of one directory — maximal split
+    assert(parts.map(_.toString).forall(_.contains("true")),
+      s"split left a recursive subtree partition: ${parts.mkString(",")}")
+    val dflt = spark.read.format("graft-inventory").option("root", tmp).load()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2), r.getLong(3))).toSet
+    val split = spark.read.format("graft-inventory").option("root", tmp)
+      .option("minPartitions", "6").load()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2), r.getLong(3))).toSet
+    assert(split == dflt, s"split plan drifted from the default plan: $split")
+    // the split composes with pushed filters: pruning still applies and
+    // exactness still holds (no residual re-evaluation)
+    import graft.sources.InventoryDataSource
+    InventoryDataSource.rowsEmitted.set(0L)
+    val filtered = spark.read.format("graft-inventory").option("root", tmp)
+      .option("minPartitions", "6").load()
+      .filter(!col("is_folder") && col("length") >= 5L)
+    assert(filtered.collect().map(_.getString(0)).toSet ==
+      Set("/a/y.dat", "/a/sub/z.dat", "/b/w.dat"))
+    assert(InventoryDataSource.rowsEmitted.get() == 3L,
+      "split plan leaked non-matching rows to a residual filter")
+  }
+
   test("graft-inventory DSv2: conflicting pushed is_folder filters apply as a conjunction (empty), never first-wins") {
     // Catalyst's BooleanSimplification collapses `is_folder = true AND
     // NOT(is_folder = true)` before it ever reaches the source, so this
