@@ -46,10 +46,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    planning itself lists only ONE directory on the driver.
   *    `.option("minPartitions", n)` raises the fan-out floor for
   *    top-heavy namespaces (three top-level dirs must not mean three
-  *    tasks against 100 TB): subtree partitions split breadth-first —
-  *    the split dir becomes an own-files partition, its child dirs new
-  *    subtree partitions — until the plan holds n partitions or one per
-  *    directory; planning lists exactly the dirs it split.
+  *    tasks against 100 TB): directory levels split level-synchronously
+  *    into own-files + child-subtree units until the units reach n or
+  *    the tree bottoms out, then the units round-robin into at most n
+  *    multi-directory partitions — balanced fan-out without task-count
+  *    explosion; planning lists exactly the levels it split.
   *
   * Hadoop-FS-backed, so file://, hdfs://, abfss:// and the test
   * graftfs:// scheme all work; `hadoop.`-prefixed options travel to the
@@ -350,24 +351,32 @@ private final case class InventoryScan(root: String, hadoopConf: Map[String, Str
     // own-files partition for the root — the driver lists ONE directory.
     // `.option("minPartitions", n)` fixes the fan-out floor when the
     // namespace is top-heavy (three top-level dirs must not mean three
-    // tasks against 100 TB): subtree partitions split BREADTH-FIRST —
-    // the split dir becomes an own-files partition (its immediate
-    // entries) and each child dir a new subtree partition — until the
-    // plan reaches n partitions or bottoms out at one partition per
-    // directory. Coverage stays exactly-once by construction (a dir's
-    // own row is always emitted by whichever partition lists its
-    // parent); the driver lists exactly the dirs it split, so planning
-    // cost is O(partitions), never O(tree).
-    val done = scala.collection.mutable.ArrayBuffer.empty[InventoryPartition]
-    if (compatible("/")) done += InventoryPartition("/", ownFilesOnly = true)
-    val queue = scala.collection.mutable.Queue.empty[String]
-    queue ++= childDirs("/")
-    while (queue.nonEmpty && done.size + queue.size < minPartitions) {
-      val d = queue.dequeue()
-      queue ++= childDirs(d)
-      done += InventoryPartition(d, ownFilesOnly = true)
+    // tasks against 100 TB): directory LEVELS split level-synchronously —
+    // every dir at the current depth becomes an own-files unit and its
+    // children form the next level (whole levels, so sibling subtrees
+    // can never end up asymmetrically split and one task left holding a
+    // monolith) — until the units reach n or the tree bottoms out; the
+    // units are then round-robined into (at most) n multi-directory
+    // partitions, so raising the floor never explodes the task count.
+    // Coverage stays exactly-once by construction (a dir's own row is
+    // always emitted by whichever unit lists its parent); the driver
+    // lists exactly the levels it split, so planning cost is
+    // O(split units), never O(tree).
+    val own = scala.collection.mutable.ArrayBuffer.empty[InventoryPartition]
+    if (compatible("/")) own += InventoryPartition("/", ownFilesOnly = true)
+    var level: Seq[String] = childDirs("/").toSeq
+    val naturalUnits = own.size + level.size
+    while (level.nonEmpty && own.size + level.size < minPartitions) {
+      val next = level.flatMap(childDirs)
+      own ++= level.map(d => InventoryPartition(d, ownFilesOnly = true))
+      level = next
     }
-    (done.toArray ++ queue.map(d => InventoryPartition(d, ownFilesOnly = false)))
+    val units = own.toSeq ++ level.map(d => InventoryPartition(d, ownFilesOnly = false))
+    val nGroups =
+      if (minPartitions <= 1 || units.isEmpty) units.size
+      else math.min(units.size, math.max(minPartitions, naturalUnits))
+    units.zipWithIndex.groupBy(_._2 % math.max(nGroups, 1)).toSeq.sortBy(_._1)
+      .map { case (_, us) => InventoryPartitionGroup(us.map(_._1)) }
       .toArray[InputPartition]
   }
 
@@ -377,9 +386,9 @@ private final case class InventoryScan(root: String, hadoopConf: Map[String, Str
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
         a match {
           case Some(pa) => new InventoryAggReader(r, hc, p, pa,
-            partition.asInstanceOf[InventoryPartition])
+            partition.asInstanceOf[InventoryPartitionGroup].parts)
           case None => new InventoryReader(r, hc, p, req,
-            partition.asInstanceOf[InventoryPartition])
+            partition.asInstanceOf[InventoryPartitionGroup].parts)
         }
     }
   }
@@ -534,28 +543,31 @@ private final class InventoryMicroBatchStream(root: String,
   private def boundedNextOffset(s: Long, n: Int): Long =
     if (distributedOffsets) {
       val spark = org.apache.spark.sql.SparkSession.active
-      val parts = InventoryScan(root, hadoopConf, Array.empty,
+      val groups = InventoryScan(root, hadoopConf, Array.empty,
         InventoryDataSource.Schema, None, minPartitions = minPartitions)
-        .planInputPartitions().map(_.asInstanceOf[InventoryPartition]).toSeq
+        .planInputPartitions().map(_.asInstanceOf[InventoryPartitionGroup]).toSeq
       val r = root; val hc = hadoopConf
       val heads: Array[Long] = spark.sparkContext
-        .parallelize(parts, math.max(1, parts.size))
-        .map { part =>
+        .parallelize(groups, math.max(1, groups.size))
+        .map { group =>
           // the mtime cut rides the same exact pushdown machinery as the
           // batch readers; entries (files and folders) past the watermark
           // feed the bounded heap exactly like the driver walk
-          val walk = new InventoryWalk(r, hc,
-            Array[Filter](GreaterThan("mtime_ms", java.lang.Long.valueOf(s))), part)
           val heap = new java.util.PriorityQueue[java.lang.Long](
             math.max(1, n), java.util.Comparator.reverseOrder[java.lang.Long]())
-          var e = walk.nextEntry()
-          while (e.isDefined) {
-            val m = e.get._5
-            if (heap.size < n || m < heap.peek()) {
-              heap.add(m)
-              if (heap.size > n) heap.poll()
+          val (fs, rootPath) = InventoryScan.fsAndRoot(r, hc)
+          group.parts.foreach { part =>
+            val walk = new InventoryWalk(fs, rootPath,
+              Array[Filter](GreaterThan("mtime_ms", java.lang.Long.valueOf(s))), part)
+            var e = walk.nextEntry()
+            while (e.isDefined) {
+              val m = e.get._5
+              if (heap.size < n || m < heap.peek()) {
+                heap.add(m)
+                if (heap.size > n) heap.poll()
+              }
+              e = walk.nextEntry()
             }
-            e = walk.nextEntry()
           }
           heap.asScala.toArray.map(_.longValue)
         }.collect().flatten
@@ -594,7 +606,7 @@ private final class InventoryMicroBatchStream(root: String,
     // the range rides the readers
     InventoryScan(root, hadoopConf, pushed, required, None,
       minPartitions = minPartitions).planInputPartitions()
-      .map(p => InventoryStreamPartition(p.asInstanceOf[InventoryPartition], s, e))
+      .map(p => InventoryStreamPartition(p.asInstanceOf[InventoryPartitionGroup], s, e))
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -607,7 +619,7 @@ private final class InventoryMicroBatchStream(root: String,
         val range: Array[Filter] = Array(
           GreaterThan("mtime_ms", java.lang.Long.valueOf(sp.startMs)),
           LessThanOrEqual("mtime_ms", java.lang.Long.valueOf(sp.endMs)))
-        new InventoryReader(r, hc, p ++ range, req, sp.part)
+        new InventoryReader(r, hc, p ++ range, req, sp.group.parts)
       }
     }
   }
@@ -618,7 +630,7 @@ private final class InventoryMicroBatchStream(root: String,
   override def stop(): Unit = ()
 }
 
-private final case class InventoryStreamPartition(part: InventoryPartition,
+private final case class InventoryStreamPartition(group: InventoryPartitionGroup,
     startMs: Long, endMs: Long) extends InputPartition
 
 private object InventoryScan {
@@ -626,6 +638,14 @@ private object InventoryScan {
     val c = new Configuration()
     extra.foreach { case (k, v) => c.set(k, v) }
     c
+  }
+
+  /** one (FileSystem, qualified root) per caller — the FS instance is
+    * Hadoop-cache-shared, the Configuration is built exactly once */
+  def fsAndRoot(root: String, hadoopConf: Map[String, String]): (FileSystem, Path) = {
+    val conf = configuration(hadoopConf)
+    val fs = new Path(root).getFileSystem(conf)
+    (fs, fs.makeQualified(new Path(root)))
   }
 
   /** path relative to the inventory root, leading slash, no trailing */
@@ -638,6 +658,12 @@ private object InventoryScan {
 }
 
 private final case class InventoryPartition(startDir: String, ownFilesOnly: Boolean)
+    extends InputPartition
+
+/** one Spark task's work: a round-robin group of walk units (a unit is a
+  * whole subtree or one directory's own files — see planInputPartitions'
+  * minPartitions split). The default plan holds one unit per group. */
+private final case class InventoryPartitionGroup(parts: Seq[InventoryPartition])
     extends InputPartition
 
 private object InventoryWalk {
@@ -732,12 +758,8 @@ private object InventoryWalk {
   * per entry — see [[InventoryWalk.isExact]]), which is what lets the
   * scan builder keep pushed filters out of the residual set. Shared by
   * the row reader and the aggregating reader. */
-private final class InventoryWalk(root: String, hadoopConf: Map[String, String],
+private final class InventoryWalk(fs: FileSystem, rootPath: Path,
     pushed: Array[Filter], part: InventoryPartition) {
-
-  private val conf = InventoryScan.configuration(hadoopConf)
-  private val fs: FileSystem = new Path(root).getFileSystem(conf)
-  private val rootPath = fs.makeQualified(new Path(root))
 
   private val constraints = InventoryWalk.pathConstraints(pushed)
   // ALL is_folder constraints, applied as a conjunction (like rangePred):
@@ -807,16 +829,33 @@ private final class InventoryWalk(root: String, hadoopConf: Map[String, String],
 }
 
 private final class InventoryReader(root: String, hadoopConf: Map[String, String],
-    pushed: Array[Filter], required: StructType, part: InventoryPartition)
+    pushed: Array[Filter], required: StructType, parts: Seq[InventoryPartition])
     extends PartitionReader[InternalRow] {
 
-  private val walk = new InventoryWalk(root, hadoopConf, pushed, part)
+  // ONE Configuration + FileSystem per reader, shared by every walk unit
+  // in the group: Configuration construction parses XML resources and a
+  // multi-unit group would otherwise pay it per directory (measured: the
+  // dominant cost of a wide minPartitions scan)
+  private val (fs, rootPath) = InventoryScan.fsAndRoot(root, hadoopConf)
+  private val remaining = parts.iterator
+  private var walk: InventoryWalk = null
   private var current: (String, String, Boolean, Long, Long) = _
 
-  override def next(): Boolean = walk.nextEntry() match {
-    case Some(e) => current = e; InventoryDataSource.rowsEmitted.incrementAndGet(); true
-    case None => false
+  @scala.annotation.tailrec
+  private def advance(): Boolean = {
+    if (walk == null) {
+      if (!remaining.hasNext) return false
+      walk = new InventoryWalk(fs, rootPath, pushed, remaining.next())
+    }
+    walk.nextEntry() match {
+      case Some(e) => current = e; true
+      case None => walk = null; advance()
+    }
   }
+
+  override def next(): Boolean =
+    if (advance()) { InventoryDataSource.rowsEmitted.incrementAndGet(); true }
+    else false
 
   override def get(): InternalRow = {
     val vals = required.fields.map(_.name).map[Any] {
@@ -838,7 +877,8 @@ private final class InventoryReader(root: String, hadoopConf: Map[String, String
   * number of DISTINCT GROUPS in this subtree (directories, typically),
   * not by file count. */
 private final class InventoryAggReader(root: String, hadoopConf: Map[String, String],
-    pushed: Array[Filter], agg: InventoryDataSource.PushedAgg, part: InventoryPartition)
+    pushed: Array[Filter], agg: InventoryDataSource.PushedAgg,
+    parts: Seq[InventoryPartition])
     extends PartitionReader[InternalRow] {
 
   import InventoryDataSource.AggSpec
@@ -857,29 +897,34 @@ private final class InventoryAggReader(root: String, hadoopConf: Map[String, Str
   }
 
   private lazy val groups: Iterator[InternalRow] = {
-    val walk = new InventoryWalk(root, hadoopConf, pushed, part)
+    // one accumulator map across ALL units of the group — merging locally
+    // means a multi-unit task still emits one partial row per group key
     val acc = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Array[Long]]
-    var e = walk.nextEntry()
-    while (e.isDefined) {
-      val entry = e.get
-      val key = agg.groupCols.map(c => colOf(entry, c))
-      val cells = acc.getOrElseUpdate(key, agg.aggs.map {
-        case AggSpec.MinCol(_) => Long.MaxValue
-        case AggSpec.MaxCol(_) => Long.MinValue
-        case _ => 0L
-      }.toArray)
-      var i = 0
-      agg.aggs.foreach { a =>
-        a match {
-          case AggSpec.CountAll | AggSpec.CountCol(_) => cells(i) += 1L
-          case AggSpec.MinCol(c) => cells(i) = math.min(cells(i), longOf(entry, c))
-          case AggSpec.MaxCol(c) => cells(i) = math.max(cells(i), longOf(entry, c))
-          case AggSpec.SumCol(c) =>
-            cells(i) = InventoryDataSource.addExactSum(cells(i), longOf(entry, c), c)
+    val (fs, rootPath) = InventoryScan.fsAndRoot(root, hadoopConf)
+    parts.foreach { part =>
+      val walk = new InventoryWalk(fs, rootPath, pushed, part)
+      var e = walk.nextEntry()
+      while (e.isDefined) {
+        val entry = e.get
+        val key = agg.groupCols.map(c => colOf(entry, c))
+        val cells = acc.getOrElseUpdate(key, agg.aggs.map {
+          case AggSpec.MinCol(_) => Long.MaxValue
+          case AggSpec.MaxCol(_) => Long.MinValue
+          case _ => 0L
+        }.toArray)
+        var i = 0
+        agg.aggs.foreach { a =>
+          a match {
+            case AggSpec.CountAll | AggSpec.CountCol(_) => cells(i) += 1L
+            case AggSpec.MinCol(c) => cells(i) = math.min(cells(i), longOf(entry, c))
+            case AggSpec.MaxCol(c) => cells(i) = math.max(cells(i), longOf(entry, c))
+            case AggSpec.SumCol(c) =>
+              cells(i) = InventoryDataSource.addExactSum(cells(i), longOf(entry, c), c)
+          }
+          i += 1
         }
-        i += 1
+        e = walk.nextEntry()
       }
-      e = walk.nextEntry()
     }
     acc.iterator.map { case (key, cells) =>
       InventoryDataSource.rowsEmitted.incrementAndGet()
