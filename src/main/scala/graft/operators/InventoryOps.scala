@@ -544,6 +544,30 @@ object InventoryOps {
         .orderBy("dir")
     },
 
+    // The minPartitions SPLIT plan end-to-end through the oracle: same
+    // tree, same per-directory files-only rollup, but planned at a
+    // 64-partition fan-out floor (level-synchronous split + round-robin
+    // grouping) with the is_folder filter and the aggregate both pushed —
+    // a wrong group boundary, a dir double-walked across units, or a
+    // partial merged twice would all hash-mismatch against the plain
+    // lineitem replay.
+    GraftQuery("inv_scan_split",
+      """WITH f AS (SELECT l_partkey AS pk, l_linenumber
+        |           FROM lineitem WHERE l_partkey % 200 = 0)
+        |SELECT concat('/data/part=', pk) AS dir,
+        |       CAST(count(*) AS BIGINT) AS n_files,
+        |       CAST(sum(l_linenumber) AS BIGINT) AS bytes
+        |FROM f GROUP BY pk ORDER BY dir""".stripMargin) { (spark, sfDir) =>
+      val root = dsv2FixtureTree(spark, sfDir)
+      spark.read.format("graft-inventory").option("root", root)
+        .option("minPartitions", "64").load()
+        .filter(!col("is_folder"))
+        .groupBy(col("parent_directory"))
+        .agg(count(lit(1)).as("n_files"), sum("length").as("bytes"))
+        .withColumnRenamed("parent_directory", "dir")
+        .orderBy("dir")
+    },
+
     // `name` prefix pushdown — the literal anchor of every regex
     // exclusion (op 19: distcp -filters patterns like `.*part=1[0-9]/.*`
     // anchor at a path literal, README.md:94-99) and of "find this
