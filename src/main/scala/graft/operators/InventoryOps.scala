@@ -568,6 +568,36 @@ object InventoryOps {
         .orderBy("dir")
     },
 
+    // The filelist-driven scan: inventory JOIN (dimension of directories
+    // derived from the fact table) — the unit-manifest shape of the
+    // reference's per-filelist distcp loop. At execution the scan's
+    // SupportsRuntimeFiltering surface receives the dim's observed keys
+    // as a dynamic IN filter and prunes the TREE WALK to the joined
+    // directories (SourcesSpec pins the pruning; this row pins the
+    // answer — DPP must never change it).
+    GraftQuery("inv_dpp_join",
+      """WITH f AS (SELECT l_partkey AS pk, l_linenumber
+        |           FROM lineitem WHERE l_partkey % 200 = 0),
+        |d AS (SELECT DISTINCT l_partkey AS pk FROM lineitem WHERE l_partkey % 400 = 0)
+        |SELECT concat('/data/part=', pk) AS dir,
+        |       CAST(count(*) AS BIGINT) AS n_files,
+        |       CAST(sum(l_linenumber) AS BIGINT) AS bytes
+        |FROM f JOIN d USING (pk) GROUP BY pk ORDER BY dir""".stripMargin) {
+      (spark, sfDir) =>
+      val root = dsv2FixtureTree(spark, sfDir)
+      val dims = graft.Tables.lineitem(spark, sfDir)
+        .filter(col("l_partkey") % 400 === 0)
+        .select(concat(lit("/data/part="), col("l_partkey")).as("parent_directory"))
+        .distinct()
+      spark.read.format("graft-inventory").option("root", root).load()
+        .filter(!col("is_folder"))
+        .join(dims, "parent_directory")
+        .groupBy(col("parent_directory"))
+        .agg(count(lit(1)).as("n_files"), sum("length").as("bytes"))
+        .withColumnRenamed("parent_directory", "dir")
+        .orderBy("dir")
+    },
+
     // `name` prefix pushdown — the literal anchor of every regex
     // exclusion (op 19: distcp -filters patterns like `.*part=1[0-9]/.*`
     // anchor at a path literal, README.md:94-99) and of "find this

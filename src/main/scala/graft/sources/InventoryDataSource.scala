@@ -320,7 +320,41 @@ private final case class InventoryScan(root: String, hadoopConf: Map[String, Str
     agg: Option[InventoryDataSource.PushedAgg],
     maxFilesPerTrigger: Option[Int] = None,
     distributedOffsets: Boolean = false,
-    minPartitions: Int = 1) extends Scan with Batch {
+    minPartitions: Int = 1) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  /** RUNTIME filters (dynamic partition pruning, the V2 flavor): when
+    * this scan is the probe side of a join on a path column (the
+    * filelist-driven copy shape, "walk only the directories this unit
+    * manifest names") — Spark evaluates the build side first, converts
+    * the observed keys into an IN filter, and calls [[filter]] before
+    * (re-)planning input partitions at EXECUTION time. Only exactly-
+    * appliable shapes are accepted (same isExact contract as the static
+    * pushdown: prefix/equality/IN on the path columns, and runtime DPP
+    * only ever sends equality/IN); everything else is ignored — runtime
+    * filters are an optimization, Spark re-applies the join itself, so
+    * ignoring is always sound (and over-applying never is, hence the
+    * exactness gate). The accepted filters prune partition planning AND
+    * ride the walk per entry, so a 3-directory manifest join walks 3
+    * directories of a million-directory namespace. */
+  private var runtime: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[NamedReference] =
+    // only columns that SURVIVED pruning: Spark resolves these against the
+    // scan's (pruned) output and fails analysis on a column the projection
+    // dropped — a runtime filter can only arrive on a join key, and a join
+    // key is necessarily in the output
+    Seq("parent_directory", "name")
+      .filter(required.fieldNames.contains(_))
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters.filter(InventoryWalk.isExact)
+
+  /** static pushdown + runtime DPP filters — every walk consumer uses
+    * this set, so pruning and per-entry matching stay in lockstep */
+  private def effective: Array[Filter] = pushed ++ runtime
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -338,7 +372,7 @@ private final case class InventoryScan(root: String, hadoopConf: Map[String, Str
     // equality / IN constraint iff one side is a prefix of the other (the
     // filters are a conjunction; the shared helper keeps this pruning and
     // the walk's per-entry matching in lockstep)
-    val constraints = InventoryWalk.pathConstraints(pushed)
+    val constraints = InventoryWalk.pathConstraints(effective)
     def compatible(dir: String): Boolean = constraints.dirCompatible(dir)
     def childDirs(dir: String): Array[String] = {
       InventoryDataSource.dirsListed.incrementAndGet()
@@ -381,7 +415,10 @@ private final case class InventoryScan(root: String, hadoopConf: Map[String, Str
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val r = root; val hc = hadoopConf; val p = pushed; val req = required; val a = agg
+    // `effective` (static + runtime) captured HERE: BatchScanExec applies
+    // runtime filters while planning its filtered partitions, before it
+    // builds the reader factory, so the executors see the pruned set
+    val r = root; val hc = hadoopConf; val p = effective; val req = required; val a = agg
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
         a match {

@@ -707,6 +707,43 @@ class SourcesSpec extends AnyFunSuite {
       "name-prefixed rollup leaked row-level rows")
   }
 
+  test("graft-inventory DSv2: a runtime (DPP) filter from a dimension join prunes the tree walk") {
+    // the filelist-driven copy shape: inventory JOIN (small dim of
+    // directories) — SupportsRuntimeFiltering lets Spark evaluate the
+    // broadcast side first and hand the observed keys to the scan as an
+    // IN filter BEFORE partitions are planned, so the walk lists only
+    // the joined directories. The dim must be file-backed with a
+    // selective predicate (a filtered LocalRelation constant-folds away
+    // before the PartitionPruning rule can see it).
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.sources.InventoryDataSource
+    val tmp = Files.createTempDirectory("graft-dsv2-dpp").toString
+    (0 until 20).foreach { d =>
+      Files.createDirectories(Paths.get(s"$tmp/d$d"))
+      (0 until 5).foreach(f =>
+        Files.write(Paths.get(s"$tmp/d$d/f$f.dat"), Array.fill(f + 1)(1.toByte)))
+    }
+    val dimPath = Files.createTempDirectory("graft-dsv2-dpp-dim").toString + "/dim"
+    Seq("/d3", "/d7", "/zz").toDF("parent_directory").write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+      .filter(col("parent_directory").startsWith("/d"))
+    InventoryDataSource.dirsListed.set(0L)
+    val full = spark.read.format("graft-inventory").option("root", tmp).load().count()
+    val fullListed = InventoryDataSource.dirsListed.get()
+    assert(full == 120L) // 20 dirs + 100 files
+    val j = spark.read.format("graft-inventory").option("root", tmp).load()
+      .join(dim, "parent_directory")
+    InventoryDataSource.dirsListed.set(0L)
+    assert(j.count() == 10L, "runtime-filtered join lost rows")
+    val joinListed = InventoryDataSource.dirsListed.get()
+    assert(joinListed < fullListed / 2,
+      s"runtime filter did not prune the walk: $joinListed vs $fullListed")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"no DPP expression reached the scan:\n${plan.take(1500)}")
+  }
+
   test("graft-inventory DSv2: minPartitions splits subtrees breadth-first with exactly-once coverage") {
     // a top-heavy namespace (2 top-level dirs) must not cap the fan-out
     // at 3 tasks: minPartitions=6 forces the breadth-first split until
