@@ -16,6 +16,13 @@ object GraphOps {
   /** label every vertex of the (a, b) pair graph with the minimum vertex id
     * of its component; returns (id, cluster) for every vertex that appears
     * in at least one pair */
+  /** pair-count ceiling for the driver union-find fast path: 4M (a, b)
+    * longs ≈ 64 MB collected — a bounded constant like the codebook
+    * collects, NOT corpus-proportional (above it the distributed loop
+    * runs; near-dup pair graphs at real scale are exactly when you want
+    * that loop) */
+  private val DriverCcPairCap = 4000000L
+
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col("a"), col("b"))
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
@@ -23,7 +30,44 @@ object GraphOps {
     // materialize the (possibly expensive) pair pipeline in isolation NOW:
     // every loop iteration then plans against the tiny cached edge list
     // instead of interleaving its jobs with the upstream's memory peak
-    edges.count()
+    val directedCount = edges.count()
+    // FAST PATH, byte-gated: the distributed loop pays ~(diameter) rounds
+    // of join+checkpoint fixed cost, which DOMINATES when the pair graph
+    // is small (measured: pipeline_corpus_prep's τ=0.8 graph at sf0.1 is
+    // a few hundred pairs under a multi-second loop). Below the cap —
+    // and only for long ids, so the returned schema matches the loop's —
+    // collect the edges once and run union-find with min-label roots on
+    // the driver: identical output contract (every vertex labeled with
+    // its component's min id), zero rounds. The result is a LocalRelation,
+    // so downstream joins see a broadcastable side for free.
+    val longIds = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && directedCount <= 2L * DriverCcPairCap) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist(blocking = false)
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(ra) = rb
+      }
+      val minOf = scala.collection.mutable.HashMap.empty[Long, Long]
+      parent.keysIterator.foreach { v =>
+        val r = find(v)
+        minOf(r) = math.min(minOf.getOrElse(r, v), v)
+      }
+      return parent.keysIterator.map(v => (v, minOf(find(v)))).toSeq
+        .toDF("id", "cluster")
+    }
     // Each round MUST truncate lineage (localCheckpoint), not merely
     // persist: a persisted frame still carries its full logical plan, so
     // labels_n would embed labels_{n-1} twice (union + join) and the plan
