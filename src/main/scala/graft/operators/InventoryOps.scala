@@ -360,8 +360,14 @@ object InventoryOps {
          |SELECT name, owner, length, v FROM r WHERE rn = 1 ORDER BY name""".stripMargin,
       bench = true) {
       (spark, sfDir) =>
+      // base is consumed 4x (key-check probe on both sides, the anti-join,
+      // the union, and upd derives from it) and each evaluation re-derives
+      // the name strings from lineitem — one materialization amortizes the
+      // concat-heavy projection across all of them
       val base = inventory(spark, sfDir).filter(!col("is_folder"))
         .select(col("name"), col("owner"), col("length"), lit(1L).as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(base)
       val upd = base.filter(col("length") % 10 < 3)
         .select(col("name"), concat(lit("migrated-"), col("owner")).as("owner"),
           (col("length") + 4096).as("length"), lit(2L).as("v"))
