@@ -88,11 +88,80 @@ final class GraftFsFileSystem extends FileSystem {
     new Path(s"file:$rootDir$rel")
   }
 
-  /** file:<root>/a/b → graftfs://account/a/b (for statuses we hand back) */
-  private def fromLocal(st: FileStatus): FileStatus = {
+  /** file:<root>/a/b → graftfs://account/a/b (for statuses we hand back),
+    * annotated with the store's ownership record for the entry (cloud
+    * stores return owner/group/permissions in every listing — this is the
+    * graftfs analogue; `own` is the parent directory's ownership map,
+    * loaded once per listing) */
+  private def fromLocal(st: FileStatus, own: Map[String, (String, String, String)]): FileStatus = {
     val p = st.getPath.toUri.getPath.stripPrefix(rootDir)
+    val base = st.getPath.getName
+    val (owner, group, perms) = own.getOrElse(base,
+      ("graft", "graft", if (st.isDirectory) "rwxr-xr-x" else "rw-r--r--"))
     new FileStatus(st.getLen, st.isDirectory, st.getReplication, st.getBlockSize,
-      st.getModificationTime, new Path(s"graftfs://$account${if (p.isEmpty) "/" else p}"))
+      st.getModificationTime, 0L,
+      FsPermission.valueOf((if (st.isDirectory) "d" else "-") + perms), owner, group,
+      new Path(s"graftfs://$account${if (p.isEmpty) "/" else p}"))
+  }
+
+  // ---- ownership records -------------------------------------------
+  // A real cloud store keeps owner/group/permissions server-side and
+  // returns them with every listing; graftfs keeps them in ONE hidden
+  // sidecar per directory (`_graftfs_owners`: name\towner\tgroup\tperms
+  // lines) in the local backing tree — on-disk, so every process and
+  // every executor sees the same answer, and one extra read per LISTED
+  // DIRECTORY (never per entry). setOwner/setPermission read-modify-write
+  // the parent's sidecar under a JVM-wide lock; concurrent writers from
+  // different JVMs would race, which matches the test scheme's local-mode
+  // scope (a real store serializes these server-side).
+
+  private def sidecar(localDir: Path): Path =
+    new Path(localDir, GraftFsFileSystem.OwnerSidecar)
+
+  private def readOwners(localDir: Path): Map[String, (String, String, String)] = {
+    val sc = sidecar(localDir)
+    if (!local.exists(sc)) Map.empty
+    else {
+      val in = local.open(sc)
+      try {
+        val bytes = new Array[Byte](local.getFileStatus(sc).getLen.toInt)
+        in.readFully(0, bytes)
+        new String(bytes, "UTF-8").split("\n").iterator.filter(_.nonEmpty).map { line =>
+          val f = line.split("\t", -1)
+          require(f.length == 4, s"malformed ownership record: $line")
+          f(0) -> ((f(1), f(2), f(3)))
+        }.toMap
+      } finally in.close()
+    }
+  }
+
+  private def writeOwners(localDir: Path, own: Map[String, (String, String, String)]): Unit = {
+    val out = local.create(sidecar(localDir), true)
+    try out.write(own.toSeq.sortBy(_._1).map { case (n, (o, g, p)) => s"$n\t$o\t$g\t$p" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def updateOwner(f: Path, change: (String, String, String) => (String, String, String)): Unit =
+    GraftFsFileSystem.sidecarLock.synchronized {
+      val lp = toLocal(f)
+      val st = local.getFileStatus(lp) // fails loudly on a missing path
+      val dir = lp.getParent
+      val own = readOwners(dir)
+      val cur = own.getOrElse(lp.getName,
+        ("graft", "graft", if (st.isDirectory) "rwxr-xr-x" else "rw-r--r--"))
+      writeOwners(dir, own + (lp.getName -> change.tupled(cur)))
+    }
+
+  override def setOwner(f: Path, username: String, groupname: String): Unit = {
+    requireAuth()
+    updateOwner(f, (o, g, p) =>
+      (if (username != null) username else o, if (groupname != null) groupname else g, p))
+  }
+
+  override def setPermission(f: Path, permission: FsPermission): Unit = {
+    requireAuth()
+    updateOwner(f, (o, g, _) => (o, g, permission.toString))
   }
 
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
@@ -120,7 +189,12 @@ final class GraftFsFileSystem extends FileSystem {
   }
 
   override def listStatus(f: Path): Array[FileStatus] = {
-    requireAuth(); local.listStatus(toLocal(f)).map(fromLocal)
+    requireAuth()
+    val lp = toLocal(f)
+    val own = readOwners(lp)
+    local.listStatus(lp)
+      .filter(_.getPath.getName != GraftFsFileSystem.OwnerSidecar)
+      .map(fromLocal(_, own))
   }
 
   override def setWorkingDirectory(dir: Path): Unit = { workingDir = dir }
@@ -131,6 +205,15 @@ final class GraftFsFileSystem extends FileSystem {
   }
 
   override def getFileStatus(f: Path): FileStatus = {
-    requireAuth(); fromLocal(local.getFileStatus(toLocal(f)))
+    requireAuth()
+    val lp = toLocal(f)
+    val own = Option(lp.getParent).map(readOwners).getOrElse(Map.empty)
+    fromLocal(local.getFileStatus(lp), own)
   }
+}
+
+object GraftFsFileSystem {
+  /** hidden per-directory ownership record (never listed) */
+  private[exec] val OwnerSidecar = "_graftfs_owners"
+  private val sidecarLock = new Object
 }

@@ -16,12 +16,22 @@ object GraphOps {
   /** label every vertex of the (a, b) pair graph with the minimum vertex id
     * of its component; returns (id, cluster) for every vertex that appears
     * in at least one pair */
-  /** pair-count ceiling for the driver union-find fast path: 4M (a, b)
-    * longs ≈ 64 MB collected — a bounded constant like the codebook
-    * collects, NOT corpus-proportional (above it the distributed loop
-    * runs; near-dup pair graphs at real scale are exactly when you want
-    * that loop) */
+  /** pair-count ceiling for the driver union-find fast path. The driver
+    * never holds an edge ARRAY at all — pairs stream through
+    * `toLocalIterator` (one partition resident at a time) straight into
+    * the union-find — so the transient footprint is one partition of Rows
+    * plus the parent map. The map is the real budget: a HashMap[Long,Long]
+    * over ≤ 2·pairs vertices costs ~50 B/entry boxed, ≈ 400 MB at the cap
+    * — bounded and NOT corpus-proportional, but a default-1g driver should
+    * lower the cap (above it the distributed loop runs; near-dup pair
+    * graphs at real scale are exactly when you want that loop). */
   private val DriverCcPairCap = 4000000L
+
+  /** canonical pairs streamed through the driver fast path by the last
+    * [[connectedComponents]] call — the spec observable pinning that the
+    * driver sees each undirected pair ONCE (never the doubled edge list).
+    * Test hook only; local mode. */
+  private[graft] val driverCcPairsSeen = new java.util.concurrent.atomic.AtomicLong(0L)
 
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col("a"), col("b"))
@@ -36,17 +46,19 @@ object GraphOps {
     // is small (measured: pipeline_corpus_prep's τ=0.8 graph at sf0.1 is
     // a few hundred pairs under a multi-second loop). Below the cap —
     // and only for long ids, so the returned schema matches the loop's —
-    // collect the edges once and run union-find with min-label roots on
-    // the driver: identical output contract (every vertex labeled with
-    // its component's min id), zero rounds. The result is a LocalRelation,
+    // stream the CANONICAL pairs (a <= b picks one direction of each
+    // doubled edge; union-find needs each pair once, and a self-loop
+    // surviving twice is harmless) through toLocalIterator into a driver
+    // union-find with min-label roots: identical output contract (every
+    // vertex labeled with its component's min id), zero rounds, and the
+    // driver never materializes an edge array — one partition of Rows at
+    // a time feeds the streaming union. The result is a LocalRelation,
     // so downstream joins see a broadcastable side for free.
     val longIds = edges.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
     if (longIds && directedCount <= 2L * DriverCcPairCap) {
       val spark = pairs.sparkSession
       import spark.implicits._
-      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
-      edges.unpersist(blocking = false)
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -55,11 +67,17 @@ object GraphOps {
         while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
         r
       }
-      es.foreach { case (a, b) =>
+      driverCcPairsSeen.set(0L)
+      val it = edges.filter(col("a") <= col("b")).toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        driverCcPairsSeen.incrementAndGet()
+        val a = row.getLong(0); val b = row.getLong(1)
         parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
         val ra = find(a); val rb = find(b)
         if (ra != rb) parent(ra) = rb
       }
+      edges.unpersist(blocking = false)
       val minOf = scala.collection.mutable.HashMap.empty[Long, Long]
       parent.keysIterator.foreach { v =>
         val r = find(v)
@@ -284,11 +302,17 @@ object GraphOps {
   /** the orientation step of [[triangles]], exposed for the skew spec:
     * each undirected (u, v) edge becomes (src, dst, ddst) directed from
     * its lower-(degree, id) endpoint, ddst = degree(dst) */
-  /** edge-count ceiling under which the degree table / oriented edge list
-    * broadcast (≈16 B/row → ~64 MB at the cap, comfortably inside the
-    * driver and executor budgets). Above it the joins fall back to
-    * shuffles — a web-scale graph's edge list is not a broadcast side. */
+  /** edge-count ceiling under which the broadcast GATE is even considered
+    * (a cheap pre-filter: above it, don't bother counting vertices). */
   private val BroadcastEdgeCap = 4000000L
+
+  /** vertex-count ceiling for broadcasting the degree table. The gate is
+    * on |V| measured, not the |V| ≤ 2|E| bound, because the broadcast
+    * footprint is per-VERTEX: a HashedRelation costs ~50 B/entry (boxed
+    * key + row + table slack), so 2M vertices ≈ 100 MB on the driver
+    * (build) and on every executor — the realistic budget, sized against
+    * HashedRelation overhead rather than raw payload bytes. */
+  private val BroadcastVertexCap = 2000000L
 
   private[graft] def orientByDegree(ue: DataFrame): DataFrame =
     orientByDegree(ue, edgeCount = Long.MaxValue)
@@ -298,10 +322,17 @@ object GraphOps {
     val deg0 = e0.select(col("u").as("node"))
       .unionByName(e0.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    // |V| <= 2|E|: below the cap the degree table rides broadcast hash
-    // joins and the whole orientation is map-side over the cached edge
-    // list (zero extra shuffles); above it, shuffle joins
-    val deg = if (edgeCount <= BroadcastEdgeCap) broadcast(deg0) else deg0
+    // Below the caps the degree table rides broadcast hash joins and the
+    // whole orientation is map-side over the cached edge list (zero extra
+    // shuffles); above them, shuffle joins. The vertex count is measured
+    // (one cheap agg over the caller-cached edge list, persisted so the
+    // two orientation joins reuse the same blocks) — never inferred from
+    // the 2|E| bound, which overshoots 4x on a dense graph.
+    val deg = if (edgeCount <= BroadcastEdgeCap) {
+      val d = deg0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheTracker.track(d)
+      if (d.count() <= BroadcastVertexCap) broadcast(d) else d
+    } else deg0
     val withDeg = e0
       .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
@@ -423,19 +454,25 @@ object GraphOps {
   }
 
   def triangles(ue: DataFrame): DataFrame = {
-    // one cheap count on the (caller-cached) canonical edge list gates
-    // the degree-join broadcast: below the cap the orientation is
-    // entirely map-side over the cached edges (no exchange of the edge
-    // list to decorate it with two degree columns); above it, shuffle
-    // joins — the only correct shape when the graph outgrows a broadcast
-    // side. Measured at sf0.1 (1.196M edges): wall-neutral locally (the
-    // wedge self-join dominates; exchanges of 1.2M longs are cheap on one
-    // box) — the win is the two removed edge-list exchanges, which price
-    // in network, not CPU. Broadcasting the CLOSURE side was also tried
-    // and measured ~15% SLOWER (probing a 1.2M-entry broadcast map per
-    // wedge loses to the sort-merge the wedge stream needs anyway), so
-    // the closure stays a shuffle join.
-    val m = ue.count()
+    // one cheap count on the canonical edge list gates the degree-join
+    // broadcast: below the cap the orientation is entirely map-side over
+    // the cached edges (no exchange of the edge list to decorate it with
+    // two degree columns); above it, shuffle joins — the only correct
+    // shape when the graph outgrows a broadcast side. The count is taken
+    // ONLY when the caller cached `ue` (graph-family callers do): on an
+    // uncached frame it would recompute the whole upstream edge pipeline
+    // just to choose a join hint, which can cost more than the hint buys
+    // — so an uncached input defaults straight to the shuffle-join path,
+    // which is correct at every size. Measured at sf0.1 (1.196M edges):
+    // wall-neutral locally (the wedge self-join dominates; exchanges of
+    // 1.2M longs are cheap on one box) — the win is the two removed
+    // edge-list exchanges, which price in network, not CPU. Broadcasting
+    // the CLOSURE side was also tried and measured ~15% SLOWER (probing a
+    // 1.2M-entry broadcast map per wedge loses to the sort-merge the
+    // wedge stream needs anyway), so the closure stays a shuffle join.
+    val m =
+      if (ue.storageLevel != org.apache.spark.storage.StorageLevel.NONE) ue.count()
+      else Long.MaxValue
     val oriented = orientByDegree(ue, edgeCount = m)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val o1 = oriented.select(col("src"), col("dst").as("b"), col("ddst").as("db"))

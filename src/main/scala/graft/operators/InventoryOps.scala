@@ -67,6 +67,19 @@ object InventoryOps {
       .withColumn("aid", when(col("nf") === 4, element_at(col("parts"), 3))
         .otherwise(element_at(col("parts"), 2)))
 
+  /** DuckDB twin of [[ownershipTree]]'s record set (every column a pure
+    * function of the DISTINCT name keys, so the duplicated lineitem tuple
+    * writes byte-identical records and the replay is unambiguous) */
+  private val OwnTreeCte: String =
+    """owntree AS (
+      |  SELECT concat('/data/part=', l_partkey, '/f-', l_orderkey, '-', l_linenumber, '-', l_suppkey, '.dat') AS name,
+      |         concat('user', l_suppkey) AS owner,
+      |         concat('grp', l_partkey % 7) AS grp,
+      |         CASE WHEN l_suppkey % 3 = 0 THEN 'rwxr-x---' ELSE 'rw-r--r--' END AS perms,
+      |         CAST(l_linenumber AS BIGINT) AS length
+      |  FROM (SELECT DISTINCT l_partkey, l_orderkey, l_linenumber, l_suppkey
+      |        FROM lineitem WHERE l_partkey % 200 = 0))""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
 
     // op 16: inventory projection — dirname/basename/depth derivations
@@ -685,6 +698,9 @@ object InventoryOps {
       def drain(run: Int): DataFrame = {
         val out = s"$outBase/run$run"
         val q = spark.readStream.format("graft-inventory").option("root", root).load()
+          // project away the ownership columns: pruning reaches the walk,
+          // which otherwise pays a per-entry permission probe on local FS
+          .select("parent_directory", "is_folder", "length")
           .filter(!col("is_folder"))
           .writeStream.outputMode("append")
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -694,7 +710,8 @@ object InventoryOps {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
         q.awaitTermination()
         if (Files.exists(Paths.get(out))) spark.read.parquet(out)
-        else spark.read.format("graft-inventory").option("root", root).load().limit(0)
+        else spark.read.format("graft-inventory").option("root", root).load()
+          .select("parent_directory", "is_folder", "length").limit(0)
       }
       writeWave(1)
       val b1 = drain(1)
@@ -780,6 +797,7 @@ object InventoryOps {
       def drain(run: Int): DataFrame = {
         val out = s"$outBase/run$run"
         val q = spark.readStream.format("graft-inventory").option("root", root).load()
+          .select("name", "parent_directory", "is_folder", "length")
           .filter(!col("is_folder"))
           .writeStream.outputMode("append")
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -857,6 +875,7 @@ object InventoryOps {
       val q = spark.readStream.format("graft-inventory").option("root", root)
         .option("maxFilesPerTrigger", "16")
         .option("distributedOffsets", "true").load()
+        .select("parent_directory", "is_folder", "length")
         .filter(!col("is_folder"))
         .writeStream.outputMode("append")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -870,8 +889,128 @@ object InventoryOps {
         .groupBy("batch")
         .agg(count(lit(1)).as("n_files"), sum("length").as("bytes"))
         .orderBy("batch")
+    },
+
+    // ---- the ownership-aware source (r11): owner/grp/perms are REAL
+    // FileStatus columns of the V2 inventory schema (HDFS/ABFS return
+    // them from the server; the reference's inventory record is exactly
+    // this projection, adls_copy_utils.py:76-86), so the op-12/13/23
+    // identity family runs against the real source instead of synthetic
+    // frames. The fixture tree lives on graftfs:// — the raw local FS
+    // cannot represent arbitrary principals — and is materialized through
+    // the V2 WRITE path (create + setOwner + setPermission, the
+    // reference's copy + setAccessControl phases), so write-side
+    // ownership and read-side surfacing pin each other.
+
+    // "files owned by X" — the identity-sweep probe. owner IN (...) is an
+    // exactly-pushed filter: the walk drops non-matching entries off the
+    // FileStatus before a row is built (claimed, no post-scan Filter), so
+    // at 100 TB the sweep ships only the matching records.
+    GraftQuery("inv_owner_scan",
+      s"""WITH $OwnTreeCte
+         |SELECT name, owner, grp, perms, length FROM owntree
+         |WHERE owner IN ('user1', 'user2', 'user3')
+         |ORDER BY name""".stripMargin) { (spark, sfDir) =>
+      readOwned(spark, sfDir)
+        .filter(!col("is_folder") && col("owner").isin("user1", "user2", "user3"))
+        .select("name", "owner", "grp", "perms", "length")
+        .orderBy("name")
+    },
+
+    // capacity accounting per GROUP — aggregate pushdown composed with
+    // the files-only filter, grouped by an ownership column: the walk
+    // folds count/sum per grp during the listing, one partial row per
+    // (partition, grp) back to Spark. The "bytes per principal" audit
+    // every migration runs before cutover.
+    GraftQuery("inv_owner_rollup",
+      s"""WITH $OwnTreeCte
+         |SELECT grp, CAST(count(*) AS BIGINT) AS n_files,
+         |       CAST(sum(length) AS BIGINT) AS bytes
+         |FROM owntree GROUP BY grp ORDER BY grp""".stripMargin) { (spark, sfDir) =>
+      readOwned(spark, sfDir)
+        .filter(!col("is_folder"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_files"), sum("length").as("bytes"))
+        .orderBy("grp")
+    },
+
+    // op 13/23 riding the REAL source: the identity remap
+    // (identity-mapper.py:9-35) over owner/grp read from FileStatus —
+    // broadcast dimension join, unmapped principals pass through. Same
+    // shape as inv_remap_owners, but the fact side is the V2 scan.
+    GraftQuery("inv_remap_owners_src",
+      s"""WITH $OwnTreeCte, $IdMapCte
+         |SELECT t.name,
+         |       coalesce(mu.target, t.owner) AS new_owner,
+         |       coalesce(mg.target, t.grp) AS new_grp,
+         |       (mu.target IS NOT NULL OR mg.target IS NOT NULL) AS changed
+         |FROM owntree t
+         |LEFT JOIN idmap mu ON mu.itype = 'user' AND mu.source = t.owner
+         |LEFT JOIN idmap mg ON mg.itype = 'group' AND mg.source = t.grp
+         |ORDER BY name""".stripMargin) { (spark, sfDir) =>
+      val idm = identityMap(spark, sfDir)
+      val mu = idm.filter(col("itype") === "user")
+        .select(col("source").as("u_source"), col("target").as("u_target"))
+      val mg = idm.filter(col("itype") === "group")
+        .select(col("source").as("g_source"), col("target").as("g_target"))
+      readOwned(spark, sfDir)
+        .filter(!col("is_folder"))
+        .select("name", "owner", "grp")
+        .join(broadcast(mu), col("owner") === col("u_source"), "left")
+        .join(broadcast(mg), col("grp") === col("g_source"), "left")
+        .select(col("name"),
+          coalesce(col("u_target"), col("owner")).as("new_owner"),
+          coalesce(col("g_target"), col("grp")).as("new_grp"),
+          (col("u_target").isNotNull || col("g_target").isNotNull).as("changed"))
+        .orderBy("name")
     }
   )
+
+  /** memoized per (session, sfDir): a graftfs:// tree whose files carry
+    * deterministic ownership, materialized through the V2 write path.
+    * Returns (root URI, hadoop options to replay on every read). */
+  private val ownerTreeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, Map[String, String])]
+
+  private def ownershipTree(spark: SparkSession, sfDir: String): (String, Map[String, String]) =
+    ownerTreeCache.getOrElseUpdate((spark, sfDir), {
+      val backing = java.nio.file.Files.createTempDirectory("graft_own_inv").toString
+      // account unique per backing dir: Hadoop's FileSystem cache keys on
+      // (scheme, authority) and would otherwise pin a stale root binding
+      val acct = "own" + java.lang.Long.toUnsignedString(backing.hashCode.toLong & 0xffffffffL)
+      val hc = Map(
+        "fs.graftfs.impl" -> "graft.exec.GraftFsFileSystem",
+        s"fs.graftfs.root.$acct" -> backing,
+        "fs.graftfs.token.provider" -> "graft.exec.CountingTokenProvider")
+      val rootUri = s"graftfs://$acct/"
+      val rows = graft.Tables.lineitem(spark, sfDir)
+        .filter(col("l_partkey") % 200 === 0)
+        .select("l_partkey", "l_orderkey", "l_linenumber", "l_suppkey")
+        .distinct()
+        .select(
+          concat(lit("/data/part="), col("l_partkey"), lit("/f-"), col("l_orderkey"),
+            lit("-"), col("l_linenumber"), lit("-"), col("l_suppkey"), lit(".dat")).as("name"),
+          lit(false).as("is_folder"),
+          col("l_linenumber").cast("long").as("length"),
+          concat(lit("user"), col("l_suppkey")).as("owner"),
+          concat(lit("grp"), col("l_partkey") % 7).as("grp"),
+          when(col("l_suppkey") % 3 === 0, lit("rwxr-x---"))
+            .otherwise(lit("rw-r--r--")).as("perms"))
+      val w = hc.foldLeft(
+        rows.write.format("graft-inventory").option("root", rootUri).mode("append")) {
+        case (wr, (k, v)) => wr.option("hadoop." + k, v)
+      }
+      w.save()
+      (rootUri, hc)
+    })
+
+  /** the ownership tree read back through the V2 source */
+  private def readOwned(spark: SparkSession, sfDir: String): DataFrame = {
+    val (rootUri, hc) = ownershipTree(spark, sfDir)
+    hc.foldLeft(spark.read.format("graft-inventory").option("root", rootUri)) {
+      case (r, (k, v)) => r.option("hadoop." + k, v)
+    }.load()
+  }
 
   /** memoized per (session, sfDir): the on-disk fixture tree inv_scan_dsv2
     * reads — deterministic file set derived from lineitem, content length

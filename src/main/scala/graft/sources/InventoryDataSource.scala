@@ -64,23 +64,45 @@ final class InventoryDataSource extends TableProvider
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     InventoryDataSource.Schema
 
+  /** external metadata accepted so the WRITE path validates against the
+    * input frame's schema (a tree materialization needs only
+    * name/is_folder/length, optionally + the ownership trio — demanding
+    * all 8 read columns of a frame that SUPPLIES the tree would be
+    * backwards). Reads never pass a schema; they infer the full record. */
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val root = properties.get("root")
     require(root != null && root.nonEmpty, "graft-inventory requires .option(\"root\", dir)")
     val hadoopConf = properties.asScala.toMap
       .collect { case (k, v) if k.startsWith("hadoop.") => k.stripPrefix("hadoop.") -> v }
-    new InventoryTable(root, hadoopConf)
+    new InventoryTable(root, hadoopConf, schema)
   }
 }
 
 object InventoryDataSource {
+  /** The inventory record. owner / grp / perms come from the Hadoop
+    * `FileStatus` (getOwner / getGroup / getPermission — HDFS and ABFS
+    * return them from the server; the reference's inventory record,
+    * adls_copy_utils.py:76-86, is exactly this projection). They are
+    * materialized LAZILY: only when the projection or a pushed filter
+    * touches them does the walk read them off the status — on Hadoop's
+    * local FS, permission info is lazy-loaded per file (a fork of `ls`
+    * without native libs), so a scan that never asks must never pay. */
   val Schema: StructType = new StructType()
     .add("name", StringType, nullable = false)
     .add("parent_directory", StringType, nullable = false)
     .add("is_folder", BooleanType, nullable = false)
     .add("length", LongType, nullable = false)
     .add("mtime_ms", LongType, nullable = false)
+    .add("owner", StringType, nullable = false)
+    .add("grp", StringType, nullable = false)
+    .add("perms", StringType, nullable = false)
+
+  /** the columns whose materialization costs a per-entry status probe on
+    * some filesystems — the lazy set behind [[Schema]]'s contract */
+  private[sources] val OwnershipCols = Set("owner", "grp", "perms")
 
   /** directories actually listed across all readers — the observable the
     * pushdown spec pins (subtree pruning must shrink this, not just the
@@ -150,10 +172,13 @@ object InventoryDataSource {
   }
 }
 
-private final class InventoryTable(root: String, hadoopConf: Map[String, String])
+private final class InventoryTable(root: String, hadoopConf: Map[String, String],
+    tableSchema: StructType = InventoryDataSource.Schema)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-inventory($root)"
-  override def schema(): StructType = InventoryDataSource.Schema
+  // the externally-supplied schema (write path: the input frame's) or the
+  // full inventory record (read path: inferSchema)
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ)
@@ -161,14 +186,21 @@ private final class InventoryTable(root: String, hadoopConf: Map[String, String]
     new InventoryScanBuilder(root, hadoopConf,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       options.getBoolean("distributedOffsets", false),
-      options.getInt("minPartitions", 1))
+      options.getInt("minPartitions", 1),
+      options.getBoolean("admitFilesOnly", false))
 
   /** the WRITE path: a frame of (name, parent_directory, is_folder,
-    * length[, mtime_ms]) rows MATERIALIZES the tree under root — mkdirs
-    * for folder rows, zero-filled files of `length` bytes for file rows
-    * (the CopyExecutor mkdir+create phases as a V2 sink). Each task
-    * writes its partition directly through the Hadoop FS (same fan-out
-    * as the executor copy loop); creation is idempotent, so task retries
+    * length[, mtime_ms][, owner, grp, perms]) rows MATERIALIZES the tree
+    * under root — mkdirs for folder rows, zero-filled files of `length`
+    * bytes for file rows (the CopyExecutor mkdir+create phases as a V2
+    * sink). When ALL THREE ownership columns are present, each entry's
+    * ownership is applied after creation via the FileSystem's
+    * setOwner/setPermission — the real HDFS/ABFS calls (the reference's
+    * setAccessControl phase, copy-acls.py:35-46); on filesystems that
+    * cannot represent arbitrary principals (raw local FS) the call fails
+    * loudly rather than dropping silently. Each task writes its partition
+    * directly through the Hadoop FS (same fan-out as the executor copy
+    * loop); creation and ownership-set are idempotent, so task retries
     * are safe and commit is a no-op. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val s = info.schema()
@@ -177,12 +209,16 @@ private final class InventoryTable(root: String, hadoopConf: Map[String, String]
         s"graft-inventory write needs column $c (got ${s.fieldNames.mkString(",")})"))
     val (ni, fi, li) =
       (s.fieldIndex("name"), s.fieldIndex("is_folder"), s.fieldIndex("length"))
+    val ownIdx: Option[(Int, Int, Int)] =
+      if (InventoryDataSource.OwnershipCols.forall(s.fieldNames.contains))
+        Some((s.fieldIndex("owner"), s.fieldIndex("grp"), s.fieldIndex("perms")))
+      else None
     val r = root; val hc = hadoopConf
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-            InventoryWriterFactory(r, hc, ni, fi, li)
+            InventoryWriterFactory(r, hc, ni, fi, li, ownIdx)
           override def commit(messages: Array[WriterCommitMessage]): Unit = ()
           override def abort(messages: Array[WriterCommitMessage]): Unit = ()
         }
@@ -192,16 +228,18 @@ private final class InventoryTable(root: String, hadoopConf: Map[String, String]
 }
 
 private final case class InventoryWriterFactory(root: String,
-    hadoopConf: Map[String, String], nameIdx: Int, folderIdx: Int, lenIdx: Int)
+    hadoopConf: Map[String, String], nameIdx: Int, folderIdx: Int, lenIdx: Int,
+    ownIdx: Option[(Int, Int, Int)])
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new InventoryWriter(root, hadoopConf, nameIdx, folderIdx, lenIdx)
+    new InventoryWriter(root, hadoopConf, nameIdx, folderIdx, lenIdx, ownIdx)
 }
 
 private final case class InventoryCommit() extends WriterCommitMessage
 
 private final class InventoryWriter(root: String, hadoopConf: Map[String, String],
-    nameIdx: Int, folderIdx: Int, lenIdx: Int) extends DataWriter[InternalRow] {
+    nameIdx: Int, folderIdx: Int, lenIdx: Int, ownIdx: Option[(Int, Int, Int)])
+    extends DataWriter[InternalRow] {
   private val conf = InventoryScan.configuration(hadoopConf)
   private val fs = new Path(root).getFileSystem(conf)
   private val rootPath = fs.makeQualified(new Path(root))
@@ -223,6 +261,14 @@ private final class InventoryWriter(root: String, hadoopConf: Map[String, String
         }
       } finally out.close()
     }
+    ownIdx.foreach { case (oi, gi, pi) =>
+      val p = abs(rel)
+      fs.setOwner(p, row.getUTF8String(oi).toString, row.getUTF8String(gi).toString)
+      // perms is the 9-char symbolic triad ("rwxr-x---"), the same string
+      // the read side surfaces from FsPermission.toString
+      fs.setPermission(p, org.apache.hadoop.fs.permission.FsPermission.valueOf(
+        (if (row.getBoolean(folderIdx)) "d" else "-") + row.getUTF8String(pi).toString))
+    }
   }
 
   override def commit(): WriterCommitMessage = InventoryCommit()
@@ -232,7 +278,7 @@ private final class InventoryWriter(root: String, hadoopConf: Map[String, String
 
 private final class InventoryScanBuilder(root: String, hadoopConf: Map[String, String],
     maxFilesPerTrigger: Option[Int] = None, distributedOffsets: Boolean = false,
-    minPartitions: Int = 1)
+    minPartitions: Int = 1, admitFilesOnly: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
@@ -312,7 +358,7 @@ private final class InventoryScanBuilder(root: String, hadoopConf: Map[String, S
 
   override def build(): Scan =
     InventoryScan(root, hadoopConf, pushed, agg.map(_.schema).getOrElse(required), agg,
-      maxFilesPerTrigger, distributedOffsets, minPartitions)
+      maxFilesPerTrigger, distributedOffsets, minPartitions, admitFilesOnly)
 }
 
 private final case class InventoryScan(root: String, hadoopConf: Map[String, String],
@@ -320,7 +366,8 @@ private final case class InventoryScan(root: String, hadoopConf: Map[String, Str
     agg: Option[InventoryDataSource.PushedAgg],
     maxFilesPerTrigger: Option[Int] = None,
     distributedOffsets: Boolean = false,
-    minPartitions: Int = 1) extends Scan with Batch
+    minPartitions: Int = 1,
+    admitFilesOnly: Boolean = false) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   /** RUNTIME filters (dynamic partition pruning, the V2 flavor): when
@@ -433,7 +480,7 @@ private final case class InventoryScan(root: String, hadoopConf: Map[String, Str
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     require(agg.isEmpty, "aggregate pushdown is a batch-only optimization")
     new InventoryMicroBatchStream(root, hadoopConf, pushed, required,
-      maxFilesPerTrigger, distributedOffsets, minPartitions)
+      maxFilesPerTrigger, distributedOffsets, minPartitions, admitFilesOnly)
   }
 }
 
@@ -464,7 +511,9 @@ private final case class InventoryOffset(ms: Long) extends StreamingOffset {
   * setting each batch's end watermark to the n-th smallest entry mtime
   * past the start (one bounded-heap walk; mtime TIES are all admitted,
   * so a timestamp is never split across batches; the bound counts
-  * ENTRIES — folder rows are data rows of this source). By default every
+  * ENTRIES — folder rows are data rows of this source — unless
+  * `.option("admitFilesOnly", true)` restricts the budget to file rows,
+  * the right mode for folder-heavy namespaces). By default every
   * `latestOffset` walks the tree on the driver — the listing cost every
   * file stream source pays per batch. `.option("distributedOffsets",
   * true)` is the billion-file shape for BOTH offset paths: the unlimited
@@ -476,7 +525,7 @@ private final case class InventoryOffset(ms: Long) extends StreamingOffset {
 private final class InventoryMicroBatchStream(root: String,
     hadoopConf: Map[String, String], pushed: Array[Filter], required: StructType,
     maxFilesPerTrigger: Option[Int] = None, distributedOffsets: Boolean = false,
-    minPartitions: Int = 1)
+    minPartitions: Int = 1, admitFilesOnly: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -565,58 +614,98 @@ private final class InventoryMicroBatchStream(root: String,
   /** one bounded batch's end watermark: the n-th smallest entry mtime past
     * `start` (or `start` unchanged if nothing is newer — no progress).
     *
+    * `admitFilesOnly=true` counts only FILE rows toward n — what the
+    * option name promises on a folder-heavy namespace. Folder rows whose
+    * mtime falls inside the chosen window still ride the batch (they are
+    * data rows of this source); they just don't consume budget. When no
+    * file remains past the watermark but folder entries do, the boundary
+    * jumps to the largest remaining entry mtime — one final batch flushes
+    * the folder tail (unbounded by n, by definition of files-only), so an
+    * AvailableNow drain always terminates. Tie rule unchanged: all FILES
+    * sharing the boundary mtime are admitted, a timestamp is never split.
+    *
+    * NOTE on composition with pushed batch filters: BOTH offset paths
+    * admit by entries past the watermark, deliberately ignoring the
+    * query's pushed filters — a heavily-filtered stream can admit batches
+    * that deliver few rows. The two paths agree (no divergence), and the
+    * recurrence oracle pins the behavior; filter-aware admission would
+    * make the watermark sequence depend on the query shape, so a restart
+    * with a different projection would re-slice history.
+    *
     * Default: one driver bounded-heap walk — the same per-batch listing
     * cost as the unlimited driver path. `distributedOffsets=true`: the
     * walk FANS OUT like the batch scan (one task per top-level subtree,
     * driver lists only the root), each task folds its subtree into a
-    * bounded heap of its n smallest past-watermark mtimes, and the driver
-    * merges the ≤ n-per-subtree heads — correct because the global n
-    * smallest are each within their own subtree's n smallest, and cheap
-    * because the merge handles at most n·subtrees timestamps, never
-    * entries. This is the billion-file-backlog configuration: without it,
-    * maxFilesPerTrigger would pay a full driver listing once per
-    * micro-batch × batches-in-backlog — the exact scale the option
-    * exists for. */
+    * bounded heap of its n smallest past-watermark mtimes, and partial
+    * merges bound every step at n. This is the billion-file-backlog
+    * configuration: without it, maxFilesPerTrigger would pay a full
+    * driver listing once per micro-batch × batches-in-backlog — the
+    * exact scale the option exists for. */
   private def boundedNextOffset(s: Long, n: Int): Long =
     if (distributedOffsets) {
       val spark = org.apache.spark.sql.SparkSession.active
       val groups = InventoryScan(root, hadoopConf, Array.empty,
         InventoryDataSource.Schema, None, minPartitions = minPartitions)
         .planInputPartitions().map(_.asInstanceOf[InventoryPartitionGroup]).toSeq
-      val r = root; val hc = hadoopConf
-      val heads: Array[Long] = spark.sparkContext
+      if (groups.isEmpty) return s
+      val r = root; val hc = hadoopConf; val filesOnly = admitFilesOnly
+      // Each task emits (its subtree group's n smallest past-watermark
+      // admissible mtimes SORTED, max past-watermark entry mtime); partial
+      // merges (treeReduce) combine two sorted heads into the n smallest
+      // of their union, so every merge — and the single array reaching
+      // the driver — is bounded by n, never by n × subtree-count (with
+      // 10^5 files/trigger over 10^3 subtrees a flat collect would buffer
+      // 10^8 longs on the driver; the tree merge caps it at n per step
+      // regardless of fan-out).
+      val (merged, maxEntry) = spark.sparkContext
         .parallelize(groups, math.max(1, groups.size))
         .map { group =>
           // the mtime cut rides the same exact pushdown machinery as the
-          // batch readers; entries (files and folders) past the watermark
-          // feed the bounded heap exactly like the driver walk
+          // batch readers; admissible entries past the watermark feed the
+          // bounded heap exactly like the driver walk
           val heap = new java.util.PriorityQueue[java.lang.Long](
             math.max(1, n), java.util.Comparator.reverseOrder[java.lang.Long]())
+          var mx = Long.MinValue
           val (fs, rootPath) = InventoryScan.fsAndRoot(r, hc)
           group.parts.foreach { part =>
             val walk = new InventoryWalk(fs, rootPath,
               Array[Filter](GreaterThan("mtime_ms", java.lang.Long.valueOf(s))), part)
             var e = walk.nextEntry()
             while (e.isDefined) {
-              val m = e.get._5
-              if (heap.size < n || m < heap.peek()) {
+              val m = e.get.mtime
+              mx = math.max(mx, m)
+              if ((!filesOnly || !e.get.isFolder) && (heap.size < n || m < heap.peek())) {
                 heap.add(m)
                 if (heap.size > n) heap.poll()
               }
               e = walk.nextEntry()
             }
           }
-          heap.asScala.toArray.map(_.longValue)
-        }.collect().flatten
-      if (heads.isEmpty) s
-      else {
-        val sorted = heads.sorted
-        sorted(math.min(n, sorted.length) - 1)
-      }
+          val a = heap.asScala.toArray.map(_.longValue)
+          java.util.Arrays.sort(a)
+          (a, mx)
+        }.treeReduce { (x, y) =>
+          val out = new Array[Long](math.min(n, x._1.length + y._1.length))
+          var i = 0; var j = 0; var k = 0
+          while (k < out.length) {
+            if (j >= y._1.length || (i < x._1.length && x._1(i) <= y._1(j))) {
+              out(k) = x._1(i); i += 1
+            } else { out(k) = y._1(j); j += 1 }
+            k += 1
+          }
+          (out, math.max(x._2, y._2))
+        }
+      // merged = the global n smallest admissible (sorted); the boundary
+      // is the n-th smallest, the largest available when fewer than n
+      // remain, or — files-only with a folder-only tail — the flush point
+      if (merged.nonEmpty) merged.last
+      else if (maxEntry > s) maxEntry
+      else s
     } else {
       val (fs, rootPath) = fsAndRoot
       val heap = new java.util.PriorityQueue[java.lang.Long](
         math.max(1, n), java.util.Comparator.reverseOrder[java.lang.Long]())
+      var maxEntry = Long.MinValue
       val stack = scala.collection.mutable.Stack[Path](rootPath)
       while (stack.nonEmpty) {
         val d = stack.pop()
@@ -624,14 +713,20 @@ private final class InventoryMicroBatchStream(root: String,
         InventoryDataSource.driverWalkDirs.incrementAndGet()
         fs.listStatus(d).foreach { st =>
           val m = st.getModificationTime
-          if (m > s && (heap.size < n || m < heap.peek())) {
-            heap.add(m)
-            if (heap.size > n) heap.poll()
+          if (m > s) {
+            maxEntry = math.max(maxEntry, m)
+            if ((!admitFilesOnly || !st.isDirectory) &&
+                (heap.size < n || m < heap.peek())) {
+              heap.add(m)
+              if (heap.size > n) heap.poll()
+            }
           }
           if (st.isDirectory) stack.push(st.getPath)
         }
       }
-      if (heap.isEmpty) s else heap.peek()
+      if (!heap.isEmpty) heap.peek()
+      else if (maxEntry > s) maxEntry
+      else s
     }
 
   override def planInputPartitions(start: StreamingOffset,
@@ -703,6 +798,12 @@ private final case class InventoryPartition(startDir: String, ownFilesOnly: Bool
 private final case class InventoryPartitionGroup(parts: Seq[InventoryPartition])
     extends InputPartition
 
+/** one walked entry — the full inventory record (ownership fields are ""
+  * when the walk was told nobody will observe them) */
+private[sources] final case class InvEntry(name: String, parent: String,
+    isFolder: Boolean, length: Long, mtime: Long,
+    owner: String, grp: String, perms: String)
+
 private object InventoryWalk {
   /** Filters whose FULL semantics the walk applies to every emitted entry
     * — the exactness contract behind pushFilters' non-residual claim.
@@ -712,7 +813,8 @@ private object InventoryWalk {
     * directory), name constraints via `nameMatches` (per entry), folder
     * equality via the `folderOk` conjunction, length / mtime_ms ranges
     * via `rangePred` (folders carry length 0 and their directory's
-    * modification time). */
+    * modification time), owner / grp / perms equality and IN via the
+    * `ownershipPred` conjunction (per entry, off the FileStatus). */
   def isExact(f: Filter): Boolean = f match {
     case StringStartsWith("parent_directory", _) => true
     // "exactly this directory" / "exactly these directories" — the most
@@ -737,6 +839,15 @@ private object InventoryWalk {
     // `!is_folder` reaches the source as Not(EqualTo(is_folder, true));
     // is_folder is non-null, so the negation is the flipped equality
     case Not(EqualTo("is_folder", _: java.lang.Boolean)) => true
+    // ownership probes — "files owned by X", the identity-remap /
+    // ACL-sweep driver query. No descent pruning (ownership does not
+    // constrain paths); exactness is the per-entry check against the
+    // FileStatus, and accepting them keeps the post-scan Filter out of
+    // the plan so aggregate pushdown composes ("bytes per owner under
+    // this prefix" folds entirely into the walk).
+    case EqualTo("owner" | "grp" | "perms", _: String) => true
+    case In("owner" | "grp" | "perms", vs) =>
+      vs.nonEmpty && vs.forall(_.isInstanceOf[String])
     case GreaterThan("length" | "mtime_ms", _: java.lang.Long) => true
     case GreaterThanOrEqual("length" | "mtime_ms", _: java.lang.Long) => true
     case LessThan("length" | "mtime_ms", _: java.lang.Long) => true
@@ -788,17 +899,39 @@ private object InventoryWalk {
   }
 }
 
-/** depth-first walk of one subtree as a lazy iterator of
-  * (name, parent, isFolder, length, mtime) entries; pushed filters prune
-  * descent (prefix) and drop entries (is_folder / length) before a row is
-  * ever built. The drop is EXACT (every pushed filter's semantics applied
-  * per entry — see [[InventoryWalk.isExact]]), which is what lets the
-  * scan builder keep pushed filters out of the residual set. Shared by
-  * the row reader and the aggregating reader. */
+/** depth-first walk of one subtree as a lazy iterator of [[InvEntry]]
+  * records; pushed filters prune descent (prefix) and drop entries
+  * (is_folder / length / ownership) before a row is ever built. The drop
+  * is EXACT (every pushed filter's semantics applied per entry — see
+  * [[InventoryWalk.isExact]]), which is what lets the scan builder keep
+  * pushed filters out of the residual set. Shared by the row reader and
+  * the aggregating reader.
+  *
+  * `wantOwnership`: the caller's projection observes owner/grp/perms.
+  * Ownership is read off the FileStatus only when that flag is set OR an
+  * ownership filter was pushed — on Hadoop's local FS the permission
+  * info is lazy-loaded per file (a fork without native libs), so a scan
+  * that never asks never pays. Unmaterialized entries carry "". */
 private final class InventoryWalk(fs: FileSystem, rootPath: Path,
-    pushed: Array[Filter], part: InventoryPartition) {
+    pushed: Array[Filter], part: InventoryPartition,
+    wantOwnership: Boolean = false) {
 
   private val constraints = InventoryWalk.pathConstraints(pushed)
+  // ownership equality/IN constraints, one value-set conjunction per
+  // column (two conflicting equalities = empty conjunction = no rows)
+  private val ownerSets: Map[String, Seq[Set[String]]] =
+    InventoryDataSource.OwnershipCols.iterator.map { c =>
+      c -> pushed.toSeq.collect {
+        case EqualTo(`c`, v: String) => Set(v)
+        case In(`c`, vs) => vs.collect { case s: String => s }.toSet
+      }
+    }.toMap
+  private val hasOwnerPreds = ownerSets.valuesIterator.exists(_.nonEmpty)
+  private val materializeOwnership = wantOwnership || hasOwnerPreds
+  private def ownershipOk(owner: String, grp: String, perms: String): Boolean =
+    ownerSets("owner").forall(_.contains(owner)) &&
+      ownerSets("grp").forall(_.contains(grp)) &&
+      ownerSets("perms").forall(_.contains(perms))
   // ALL is_folder constraints, applied as a conjunction (like rangePred):
   // Catalyst's BooleanSimplification collapses duplicates today, but the
   // exactness contract must not depend on that — two conflicting pushed
@@ -827,7 +960,7 @@ private final class InventoryWalk(fs: FileSystem, rootPath: Path,
   private def dirMatches(dir: String): Boolean = constraints.dirMatches(dir)
 
   private val stack = scala.collection.mutable.Stack[String](part.startDir)
-  private var queued: List[(String, String, Boolean, Long, Long)] = Nil
+  private var queued: List[InvEntry] = Nil
 
   private def abs(rel: String): Path =
     if (rel == "/") rootPath else new Path(rootPath, rel.stripPrefix("/"))
@@ -838,17 +971,29 @@ private final class InventoryWalk(fs: FileSystem, rootPath: Path,
       InventoryDataSource.dirsListed.incrementAndGet()
       val entries = fs.listStatus(abs(dir))
       val emitHere = dirMatches(dir)
-      val rows = scala.collection.mutable.ListBuffer.empty[(String, String, Boolean, Long, Long)]
+      val rows = scala.collection.mutable.ListBuffer.empty[InvEntry]
+      def emit(st: org.apache.hadoop.fs.FileStatus, rel: String, isDir: Boolean,
+          len: Long): Unit = {
+        // ownership read LAST, only for entries that survive every cheap
+        // predicate — the status probe is the one per-entry cost that can
+        // fork on local FS, so the cheap filters fence it
+        val (ow, gr, pe) =
+          if (materializeOwnership)
+            (st.getOwner, st.getGroup, st.getPermission.toString)
+          else ("", "", "")
+        if (!materializeOwnership || ownershipOk(ow, gr, pe))
+          rows += InvEntry(rel, dir, isDir, len, st.getModificationTime, ow, gr, pe)
+      }
       entries.foreach { st =>
         val rel = InventoryScan.relative(rootPath, st.getPath)
         if (st.isDirectory) {
           if (!part.ownFilesOnly && dirCompatible(rel)) stack.push(rel)
           if (emitHere && constraints.nameMatches(rel) && folderOk(true) &&
               lenPred(0L) && mtimePred(st.getModificationTime))
-            rows += ((rel, dir, true, 0L, st.getModificationTime))
+            emit(st, rel, isDir = true, 0L)
         } else if (emitHere && constraints.nameMatches(rel) && folderOk(false) &&
             lenPred(st.getLen) && mtimePred(st.getModificationTime)) {
-          rows += ((rel, dir, false, st.getLen, st.getModificationTime))
+          emit(st, rel, isDir = false, st.getLen)
         }
       }
       queued = rows.toList
@@ -856,7 +1001,7 @@ private final class InventoryWalk(fs: FileSystem, rootPath: Path,
   }
 
   /** advance; Some(entry) or None when the subtree is exhausted */
-  def nextEntry(): Option[(String, String, Boolean, Long, Long)] = {
+  def nextEntry(): Option[InvEntry] = {
     fill()
     queued match {
       case h :: t => queued = t; Some(h)
@@ -874,15 +1019,17 @@ private final class InventoryReader(root: String, hadoopConf: Map[String, String
   // multi-unit group would otherwise pay it per directory (measured: the
   // dominant cost of a wide minPartitions scan)
   private val (fs, rootPath) = InventoryScan.fsAndRoot(root, hadoopConf)
+  private val wantOwnership =
+    required.fieldNames.exists(InventoryDataSource.OwnershipCols)
   private val remaining = parts.iterator
   private var walk: InventoryWalk = null
-  private var current: (String, String, Boolean, Long, Long) = _
+  private var current: InvEntry = _
 
   @scala.annotation.tailrec
   private def advance(): Boolean = {
     if (walk == null) {
       if (!remaining.hasNext) return false
-      walk = new InventoryWalk(fs, rootPath, pushed, remaining.next())
+      walk = new InventoryWalk(fs, rootPath, pushed, remaining.next(), wantOwnership)
     }
     walk.nextEntry() match {
       case Some(e) => current = e; true
@@ -896,11 +1043,14 @@ private final class InventoryReader(root: String, hadoopConf: Map[String, String
 
   override def get(): InternalRow = {
     val vals = required.fields.map(_.name).map[Any] {
-      case "name" => UTF8String.fromString(current._1)
-      case "parent_directory" => UTF8String.fromString(current._2)
-      case "is_folder" => current._3
-      case "length" => current._4
-      case "mtime_ms" => current._5
+      case "name" => UTF8String.fromString(current.name)
+      case "parent_directory" => UTF8String.fromString(current.parent)
+      case "is_folder" => current.isFolder
+      case "length" => current.length
+      case "mtime_ms" => current.mtime
+      case "owner" => UTF8String.fromString(current.owner)
+      case "grp" => UTF8String.fromString(current.grp)
+      case "perms" => UTF8String.fromString(current.perms)
     }
     InternalRow.fromSeq(vals.toIndexedSeq)
   }
@@ -920,16 +1070,19 @@ private final class InventoryAggReader(root: String, hadoopConf: Map[String, Str
 
   import InventoryDataSource.AggSpec
 
-  private def colOf(e: (String, String, Boolean, Long, Long), c: String): Any = c match {
-    case "name" => e._1
-    case "parent_directory" => e._2
-    case "is_folder" => e._3
-    case "length" => e._4
-    case "mtime_ms" => e._5
+  private def colOf(e: InvEntry, c: String): Any = c match {
+    case "name" => e.name
+    case "parent_directory" => e.parent
+    case "is_folder" => e.isFolder
+    case "length" => e.length
+    case "mtime_ms" => e.mtime
+    case "owner" => e.owner
+    case "grp" => e.grp
+    case "perms" => e.perms
   }
-  private def longOf(e: (String, String, Boolean, Long, Long), c: String): Long = c match {
-    case "length" => e._4
-    case "mtime_ms" => e._5
+  private def longOf(e: InvEntry, c: String): Long = c match {
+    case "length" => e.length
+    case "mtime_ms" => e.mtime
     case other => sys.error(s"non-long aggregate column $other")
   }
 
@@ -938,8 +1091,12 @@ private final class InventoryAggReader(root: String, hadoopConf: Map[String, Str
     // means a multi-unit task still emits one partial row per group key
     val acc = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Array[Long]]
     val (fs, rootPath) = InventoryScan.fsAndRoot(root, hadoopConf)
+    // grouping by an ownership column needs it materialized even when no
+    // ownership filter was pushed ("bytes per owner" — the audit rollup)
+    val wantOwnership =
+      agg.groupCols.exists(InventoryDataSource.OwnershipCols)
     parts.foreach { part =>
-      val walk = new InventoryWalk(fs, rootPath, pushed, part)
+      val walk = new InventoryWalk(fs, rootPath, pushed, part, wantOwnership)
       var e = walk.nextEntry()
       while (e.isDefined) {
         val entry = e.get

@@ -25,6 +25,19 @@ class GraphOpsSpec extends AnyFunSuite with CacheDrained {
     assert(got.size == 19)
   }
 
+  test("driver CC fast path streams each canonical pair ONCE, never the doubled edge list") {
+    // the r10 fast path collected the bidirectional frame (2x the pairs);
+    // the streamed union-find must see exactly one row per undirected pair
+    val pairs = Seq((7L, 3L), (3L, 9L), (20L, 21L), (40L, 41L), (41L, 42L))
+      .toDF("a", "b")
+    val got = GraphOps.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(7L -> 3L, 3L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L,
+      40L -> 40L, 41L -> 40L, 42L -> 40L), s"labels drifted: $got")
+    assert(GraphOps.driverCcPairsSeen.get() == 5L,
+      s"driver saw ${GraphOps.driverCcPairsSeen.get()} rows for 5 pairs — " +
+        "the fast path must stream canonical pairs, not the doubled edges")
+  }
+
   test("linkPredict: scores non-adjacent pairs by shared-neighbor 1/log2 mass") {
     // square 1-2-3-4-1 plus a pendant 5 on node 1: degrees 3,2,2,2,1 →
     // per-hinge contributions 500000 (bits 2) and 1000000 (bits 1)

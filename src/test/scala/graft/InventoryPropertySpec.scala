@@ -23,7 +23,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class InventoryPropertySpec extends AnyFunSuite {
 
   private case class Entry(name: String, parent: String, isFolder: Boolean,
-      length: Long, mtimeMs: Long)
+      length: Long, mtimeMs: Long,
+      owner: String = "graft", grp: String = "graft", perms: String = "")
 
   /** build a random tree on disk; returns (root, model rows) */
   private def buildTree(rnd: scala.util.Random): (String, Seq[Entry]) = {
@@ -123,6 +124,10 @@ class InventoryPropertySpec extends AnyFunSuite {
         InventoryDataSource.rowsEmitted.set(0L)
         val got = spark.read.format("graft-inventory").option("root", root)
           .option("minPartitions", minParts).load()
+          // project away the ownership trio: local-FS trees surface the
+          // process owner (environment-dependent), and pruning must keep
+          // the walk from materializing it at all
+          .select("name", "parent_directory", "is_folder", "length", "mtime_ms")
           .filter(cond)
           .collect()
           .map(r => (r.getString(0), r.getString(1), r.getBoolean(2),
@@ -134,6 +139,97 @@ class InventoryPropertySpec extends AnyFunSuite {
           s"tree=$tree combo=$combo: exactness violated — emitted " +
             s"${InventoryDataSource.rowsEmitted.get()} for ${expect.size} " +
             s"result rows (residual re-evaluation would hide wrong rows); cond=$cond")
+      }
+    }
+  }
+
+  /** one random OWNERSHIP predicate (owner/grp/perms equality or IN) as
+    * (Column, model evaluator) — the r11 pushdown family */
+  private def genOwnerPred(rnd: scala.util.Random, owners: Seq[String],
+      grps: Seq[String], perms: Seq[String]): (Column, Entry => Boolean) =
+    rnd.nextInt(4) match {
+      case 0 =>
+        val o = owners(rnd.nextInt(owners.size))
+        (col("owner") === o, e => e.owner == o)
+      case 1 =>
+        val os = Seq.fill(1 + rnd.nextInt(2))(owners(rnd.nextInt(owners.size))).distinct
+        (col("owner").isin(os: _*), e => os.contains(e.owner))
+      case 2 =>
+        val g = grps(rnd.nextInt(grps.size))
+        (col("grp") === g, e => e.grp == g)
+      case _ =>
+        val p = perms(rnd.nextInt(perms.size))
+        (col("perms") === p, e => e.perms == p)
+    }
+
+  test("random graftfs trees × random ownership+path conjunctions: scan ≡ model, zero residual rows") {
+    val spark = TestSpark.spark
+    import graft.sources.InventoryDataSource
+    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.fs.permission.FsPermission
+    val rnd = new scala.util.Random(20260911L) // fixed seed: reproducible
+    val owners = Seq("alice", "bob", "carol", "dave")
+    val grps = Seq("eng", "ops", "research")
+    val permChoices = Seq("rw-r--r--", "rwxr-x---", "rw-------")
+    (1 to 10).foreach { tree =>
+      // a random LOCAL tree mounted as a graftfs account (the backing-dir
+      // binding), so ownership lives in the store's per-directory records
+      val (backing, model0) = buildTree(rnd)
+      val acct = s"prop$tree" + java.lang.Long.toUnsignedString(
+        backing.hashCode.toLong & 0xffffffffL)
+      val hc = Map(
+        "fs.graftfs.impl" -> "graft.exec.GraftFsFileSystem",
+        s"fs.graftfs.root.$acct" -> backing,
+        "fs.graftfs.token.provider" -> "graft.exec.CountingTokenProvider")
+      val conf = new org.apache.hadoop.conf.Configuration()
+      hc.foreach { case (k, v) => conf.set(k, v) }
+      val rootUri = s"graftfs://$acct/"
+      val fs = new Path(rootUri).getFileSystem(conf)
+      // random ownership on ~half the entries; the rest keep store defaults
+      val model = model0.map { e =>
+        if (rnd.nextInt(2) == 0) {
+          val o = owners(rnd.nextInt(owners.size))
+          val g = grps(rnd.nextInt(grps.size))
+          val p = permChoices(rnd.nextInt(permChoices.size))
+          fs.setOwner(new Path(rootUri.stripSuffix("/") + e.name), o, g)
+          fs.setPermission(new Path(rootUri.stripSuffix("/") + e.name),
+            FsPermission.valueOf((if (e.isFolder) "d" else "-") + p))
+          e.copy(owner = o, grp = g, perms = p)
+        } else e.copy(perms = if (e.isFolder) "rwxr-xr-x" else "rw-r--r--")
+      }
+      // sidecar writes bumped parent-dir mtimes: re-stamp dirs from the
+      // model, deepest-first (the buildTree trick), root back to 0
+      model.filter(_.isFolder).sortBy(-_.name.length).foreach { d =>
+        Files.setLastModifiedTime(Paths.get(backing + d.name),
+          FileTime.fromMillis(d.mtimeMs))
+      }
+      Files.setLastModifiedTime(Paths.get(backing), FileTime.fromMillis(0L))
+      (1 to 3).foreach { combo =>
+        val nPreds = 1 + rnd.nextInt(3)
+        val preds = Seq.fill(nPreds)(
+          if (rnd.nextBoolean()) genOwnerPred(rnd, owners, grps, permChoices)
+          else genPred(rnd, model))
+        val cond = preds.map(_._1).reduce(_ && _)
+        val expect = model.filter(e => preds.forall(_._2(e)))
+          .map(e => (e.name, e.isFolder, e.length, e.mtimeMs, e.owner, e.grp, e.perms))
+          .toSet
+        val minParts = Seq("1", "2", "7")(rnd.nextInt(3))
+        InventoryDataSource.rowsEmitted.set(0L)
+        val got = hc.foldLeft(spark.read.format("graft-inventory")
+          .option("root", rootUri).option("minPartitions", minParts)) {
+          case (r, (k, v)) => r.option("hadoop." + k, v)
+        }.load()
+          .select("name", "is_folder", "length", "mtime_ms", "owner", "grp", "perms")
+          .filter(cond)
+          .collect()
+          .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2), r.getLong(3),
+            r.getString(4), r.getString(5), r.getString(6))).toSet
+        assert(got == expect,
+          s"tree=$tree combo=$combo minParts=$minParts cond=$cond\n" +
+            s"missing=${expect -- got}\nextra=${got -- expect}")
+        assert(InventoryDataSource.rowsEmitted.get() == expect.size.toLong,
+          s"tree=$tree combo=$combo: ownership exactness violated — emitted " +
+            s"${InventoryDataSource.rowsEmitted.get()} for ${expect.size} rows; cond=$cond")
       }
     }
   }

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.InventoryDataSource
+
+/** The permissions-aware inventory source (r11): owner/grp/perms as real
+  * FileStatus columns of the V2 schema, exact ownership pushdown, the V2
+  * write path's setOwner/setPermission phase, and graftfs's server-side
+  * ownership records (per-directory sidecars, hidden from listings).
+  */
+class OwnershipSourceSpec extends AnyFunSuite {
+
+  /** fresh graftfs account over a temp backing dir; returns (rootUri, conf) */
+  private def freshAccount(tag: String): (String, Map[String, String]) = {
+    val backing = java.nio.file.Files.createTempDirectory(s"graft-own-$tag").toString
+    val acct = tag + java.lang.Long.toUnsignedString(backing.hashCode.toLong & 0xffffffffL)
+    val hc = Map(
+      "fs.graftfs.impl" -> "graft.exec.GraftFsFileSystem",
+      s"fs.graftfs.root.$acct" -> backing,
+      "fs.graftfs.token.provider" -> "graft.exec.CountingTokenProvider")
+    (s"graftfs://$acct/", hc)
+  }
+
+  private def hadoopFs(rootUri: String, hc: Map[String, String]) = {
+    val conf = new Configuration()
+    hc.foreach { case (k, v) => conf.set(k, v) }
+    new Path(rootUri).getFileSystem(conf)
+  }
+
+  private def readOwned(rootUri: String, hc: Map[String, String]) = {
+    val spark = TestSpark.spark
+    hc.foldLeft(spark.read.format("graft-inventory").option("root", rootUri)) {
+      case (r, (k, v)) => r.option("hadoop." + k, v)
+    }.load()
+  }
+
+  private def writeTree(rootUri: String, hc: Map[String, String]): Unit = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = Seq(
+      ("/a/x.dat", false, 3L, "alice", "eng", "rw-r-----"),
+      ("/a/y.dat", false, 5L, "bob", "eng", "rw-r--r--"),
+      ("/b/z.dat", false, 7L, "alice", "ops", "rwxr-x---"),
+      ("/b/w.dat", false, 11L, "carol", "ops", "rw-r--r--"))
+      .toDF("name", "is_folder", "length", "owner", "grp", "perms")
+    hc.foldLeft(rows.write.format("graft-inventory")
+      .option("root", rootUri).mode("append")) {
+      case (w, (k, v)) => w.option("hadoop." + k, v)
+    }.save()
+  }
+
+  test("V2 write sets ownership; the scan reads it back off the FileStatus") {
+    val (rootUri, hc) = freshAccount("rt")
+    writeTree(rootUri, hc)
+    val back = readOwned(rootUri, hc)
+      .filter(!col("is_folder"))
+      .select("name", "owner", "grp", "perms", "length")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSet
+    assert(back == Set(
+      ("/a/x.dat", "alice", "eng", "rw-r-----", 3L),
+      ("/a/y.dat", "bob", "eng", "rw-r--r--", 5L),
+      ("/b/z.dat", "alice", "ops", "rwxr-x---", 7L),
+      ("/b/w.dat", "carol", "ops", "rw-r--r--", 11L)), s"ownership drifted: $back")
+    // entries never setOwner'd (the implicitly-created folders) surface
+    // the store defaults — never nulls, never the local process user
+    val dirs = readOwned(rootUri, hc).filter(col("is_folder"))
+      .select("name", "owner", "grp", "perms")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(dirs == Set(("/a", "graft", "graft", "rwxr-xr-x"),
+      ("/b", "graft", "graft", "rwxr-xr-x")), s"folder defaults drifted: $dirs")
+  }
+
+  test("owner equality / IN / perms equality push down EXACTLY: walk-side drop, no residual Filter") {
+    val (rootUri, hc) = freshAccount("px")
+    writeTree(rootUri, hc)
+    // equality
+    InventoryDataSource.rowsEmitted.set(0L)
+    val eq = readOwned(rootUri, hc).filter(col("owner") === "alice")
+    val eqNames = eq.collect().map(_.getString(0)).toSet
+    assert(eqNames == Set("/a/x.dat", "/b/z.dat"), s"owner equality drifted: $eqNames")
+    assert(InventoryDataSource.rowsEmitted.get() == 2L,
+      "owner equality not applied inside the walk")
+    assert(eq.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }.isEmpty, "owner equality left a residual post-scan Filter")
+    // IN + grp conjunction
+    InventoryDataSource.rowsEmitted.set(0L)
+    val in = readOwned(rootUri, hc)
+      .filter(col("owner").isin("alice", "carol") && col("grp") === "ops")
+      .collect().map(_.getString(0)).toSet
+    assert(in == Set("/b/z.dat", "/b/w.dat"), s"owner IN × grp drifted: $in")
+    assert(InventoryDataSource.rowsEmitted.get() == 2L,
+      "owner IN × grp not applied inside the walk")
+    // perms probe (the world-readable audit shape)
+    InventoryDataSource.rowsEmitted.set(0L)
+    val rr = readOwned(rootUri, hc).filter(col("perms") === "rw-r--r--")
+      .collect().map(_.getString(0)).toSet
+    assert(rr == Set("/a/y.dat", "/b/w.dat"), s"perms equality drifted: $rr")
+    assert(InventoryDataSource.rowsEmitted.get() == 2L,
+      "perms equality not applied inside the walk")
+  }
+
+  test("aggregate pushdown grouped by an ownership column composes with pushed filters") {
+    val (rootUri, hc) = freshAccount("ag")
+    writeTree(rootUri, hc)
+    val df = readOwned(rootUri, hc).filter(!col("is_folder"))
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum("length").as("bytes"))
+    InventoryDataSource.rowsEmitted.set(0L)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("eng", 2L, 8L), ("ops", 2L, 18L)), s"grp rollup drifted: $got")
+    // one partial row per (subtree-partition, grp): /a → eng, /b → ops
+    assert(InventoryDataSource.rowsEmitted.get() == 2L,
+      s"per-grp rollup leaked row-level rows: ${InventoryDataSource.rowsEmitted.get()}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation"), s"grp rollup not pushed:\n$plan")
+  }
+
+  test("graftfs ownership records: setOwner/setPermission persist; the sidecar never appears in listings") {
+    val (rootUri, hc) = freshAccount("fs")
+    val fs = hadoopFs(rootUri, hc)
+    val f = new Path(rootUri + "d/file.dat")
+    val out = fs.create(f, true); out.write(Array[Byte](1, 2, 3)); out.close()
+    fs.setOwner(f, "dave", "research")
+    fs.setPermission(f, FsPermission.valueOf("-rwx------"))
+    val st = fs.getFileStatus(f)
+    assert(st.getOwner == "dave" && st.getGroup == "research" &&
+      st.getPermission.toString == "rwx------",
+      s"ownership record drifted: ${st.getOwner}:${st.getGroup}:${st.getPermission}")
+    // partial updates compose: a later setOwner must not clobber perms
+    fs.setOwner(f, "erin", null)
+    val st2 = fs.getFileStatus(f)
+    assert(st2.getOwner == "erin" && st2.getGroup == "research" &&
+      st2.getPermission.toString == "rwx------",
+      s"partial setOwner clobbered: ${st2.getOwner}:${st2.getGroup}:${st2.getPermission}")
+    // the sidecar is store metadata, not data: listings must not show it
+    val names = fs.listStatus(new Path(rootUri + "d")).map(_.getPath.getName).toSet
+    assert(names == Set("file.dat"), s"ownership sidecar leaked into listing: $names")
+  }
+
+  test("projection pruning keeps ownership unmaterialized (ReadSchema excludes the trio)") {
+    val (rootUri, hc) = freshAccount("pr")
+    writeTree(rootUri, hc)
+    val df = readOwned(rootUri, hc).select("name", "length")
+    val scanOut = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.output.map(_.name)
+    }.flatten
+    assert(scanOut.toSet == Set("name", "length"),
+      s"ownership columns not pruned from the scan output: $scanOut")
+    assert(df.collect().length == 6) // 4 files + 2 folders
+  }
+}

@@ -588,7 +588,7 @@ class SourcesSpec extends AnyFunSuite {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
     val rows = spark.read.parquet(out).collect()
-      .map(r => (r.getString(0), r.getLong(5))).toSeq
+      .map(r => (r.getAs[String]("name"), r.getAs[Long]("batch"))).toSeq
     // complete + exactly-once over ALL 8 entries
     assert(rows.map(_._1).sorted == Seq("/a", "/a/sub", "/a/sub/z.dat", "/a/x.dat",
       "/a/y.dat", "/b", "/b/w.dat", "/top.dat"), s"entry delivery drifted: $rows")
