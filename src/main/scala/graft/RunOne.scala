@@ -2,7 +2,7 @@ package graft
 
 
 /** Dev helper: run a single registered query and show plan + rows.
-  * Usage: runMain graft.RunOne <queryName> [sfDir] [explain]
+  * Usage: runMain graft.RunOne <queryName> [sfDir] [explain] [conf:k=v ...]
   */
 object RunOne {
   def main(args: Array[String]): Unit = {
@@ -11,6 +11,11 @@ object RunOne {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
+    // ad-hoc runtime confs for A/B splits, e.g. conf:spark.graft.merge.checkKeys=false
+    args.filter(_.startsWith("conf:")).foreach { a =>
+      val kv = a.stripPrefix("conf:").split("=", 2)
+      spark.conf.set(kv(0), kv(1))
+    }
     val df = SparkEntry.queries(name)(spark, sfDir)
     if (args.contains("explain")) df.explain("formatted")
     (1 to 3).foreach { it =>

@@ -40,11 +40,16 @@ object InventoryOps {
     val check = base.sparkSession.conf
       .getOption("spark.graft.merge.checkKeys").forall(_.toBoolean)
     if (check) {
-      val nb = base.groupBy(col(key)).agg(count(lit(1)).as("n_base"))
-      val nu = updates.groupBy(col(key)).agg(count(lit(1)).as("n_upd"))
-      val bad = nb.join(nu, Seq(key), "full_outer")
-        .filter(coalesce(col("n_upd"), lit(0L)) > 1 ||
-          (col("n_upd").isNull && col("n_base") > 1))
+      // one tagged union + ONE hash agg (was: two aggs + a full-outer
+      // join — a second full exchange of the base keys; measured 58 s of
+      // a 78 s sf10 run). Partial aggregation collapses each partition's
+      // duplicates map-side, so the exchange carries ~one row per
+      // distinct key per partition.
+      val bad = base.select(col(key), lit(0L).as("__upd"))
+        .unionByName(updates.select(col(key), lit(1L).as("__upd")))
+        .groupBy(col(key))
+        .agg(sum("__upd").as("n_upd"), count(lit(1)).as("n_all"))
+        .filter(col("n_upd") > 1 || (col("n_upd") === 0 && col("n_all") > 1))
         .limit(1).collect()
       require(bad.isEmpty,
         s"mergeUpsert: $key '${bad.headOption.map(_.get(0)).orNull}' has no " +
