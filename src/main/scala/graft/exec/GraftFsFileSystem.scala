@@ -200,6 +200,12 @@ final class GraftFsFileSystem extends FileSystem {
   override def setWorkingDirectory(dir: Path): Unit = { workingDir = dir }
   override def getWorkingDirectory: Path = workingDir
 
+  /** mtime control (streaming fixtures pin watermarks with it); atime is
+    * ignored like most cloud stores */
+  override def setTimes(f: Path, mtime: Long, atime: Long): Unit = {
+    requireAuth(); local.setTimes(toLocal(f), mtime, atime)
+  }
+
   override def mkdirs(f: Path, permission: FsPermission): Boolean = {
     requireAuth(); local.mkdirs(toLocal(f), permission)
   }

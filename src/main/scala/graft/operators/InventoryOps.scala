@@ -968,6 +968,117 @@ object InventoryOps {
           coalesce(col("g_target"), col("grp")).as("new_grp"),
           (col("u_target").isNotNull || col("g_target").isNotNull).as("changed"))
         .orderBy("name")
+    },
+
+    // The re-run migration loop riding the REAL ownership source: the
+    // streaming delta sync (mtime watermark in the checkpoint, two
+    // AvailableNow drains over a two-wave tree) where the op-23 identity
+    // remap consumes the owner COLUMN the V2 scan reads off the
+    // FileStatus — not a name-derived stand-in (stream_sync_remapped's
+    // shape). The fixture is materialized through the V2 write path's
+    // setOwner phase on graftfs, mtimes pinned via setTimes, so wave
+    // assignment, per-file owners, and the remap-or-passthrough all
+    // replay from lineitem ⋈ idmap. An owner misread off the status, a
+    // remap against the wrong batch, or a watermark leak all
+    // hash-mismatch.
+    GraftQuery("stream_owned_sync",
+      s"""WITH f AS (SELECT DISTINCT l_partkey AS pk, l_orderkey AS ok,
+         |             l_linenumber AS ln, l_suppkey AS sk
+         |           FROM lineitem WHERE l_partkey % 200 = 0),
+         |$IdMapCte,
+         |r AS (SELECT concat('/data/part=', pk) AS dir,
+         |             CASE WHEN ok % 1000 < 500 THEN 1 ELSE 2 END AS wave,
+         |             coalesce(m.target, concat('user', sk)) AS owner_mapped, ln
+         |      FROM f LEFT JOIN idmap m
+         |        ON m.itype = 'user' AND m.source = concat('user', sk))
+         |SELECT dir, CAST(wave AS BIGINT) AS wave, owner_mapped,
+         |       CAST(count(*) AS BIGINT) AS n_files, CAST(sum(ln) AS BIGINT) AS bytes
+         |FROM r GROUP BY 1, 2, 3 ORDER BY dir, wave, owner_mapped""".stripMargin) {
+      (spark, sfDir) =>
+      import org.apache.hadoop.fs.Path
+      import spark.implicits._
+      // fresh graftfs account per invocation (re-runs need fresh trees;
+      // the FileSystem cache keys on the authority)
+      val backing = java.nio.file.Files.createTempDirectory("graft_own_stream").toString
+      val acct = "ownstr" + java.lang.Long.toUnsignedString(backing.hashCode.toLong & 0xffffffffL)
+      val hc = Map(
+        "fs.graftfs.impl" -> "graft.exec.GraftFsFileSystem",
+        s"fs.graftfs.root.$acct" -> backing,
+        "fs.graftfs.token.provider" -> "graft.exec.CountingTokenProvider")
+      val rootUri = s"graftfs://$acct/"
+      val conf = new org.apache.hadoop.conf.Configuration()
+      hc.foreach { case (k, v) => conf.set(k, v) }
+      val fs = new Path(rootUri).getFileSystem(conf)
+      val keys = graft.Tables.lineitem(spark, sfDir)
+        .filter(col("l_partkey") % 200 === 0)
+        .select("l_partkey", "l_orderkey", "l_linenumber", "l_suppkey").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      // V2 writes and ownership-record updates bump directory mtimes;
+      // pin every dir to 0 after each wave so the watermark tracks files
+      def resetDirs(): Unit = {
+        val it = java.nio.file.Files.walk(java.nio.file.Paths.get(backing)).iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.setLastModifiedTime(p,
+              java.nio.file.attribute.FileTime.fromMillis(0L))
+        }
+      }
+      def writeWave(w: Int): Unit = {
+        val rows = keys.filter { case (_, ok, _, _) => (if (ok % 1000 < 500) 1 else 2) == w }
+        val df = rows.toSeq.toDF("pk", "ok", "ln", "sk").select(
+          concat(lit("/data/part="), col("pk"), lit("/f-"), col("ok"), lit("-"),
+            col("ln"), lit("-"), col("sk"), lit(".dat")).as("name"),
+          lit(false).as("is_folder"),
+          col("ln").cast("long").as("length"),
+          concat(lit("user"), col("sk")).as("owner"),
+          concat(lit("grp"), col("pk") % 7).as("grp"),
+          lit("rw-r--r--").as("perms"))
+        hc.foldLeft(df.write.format("graft-inventory").option("root", rootUri)
+          .mode("append")) { case (wr, (k, v)) => wr.option("hadoop." + k, v) }.save()
+        rows.foreach { case (pk, ok, ln, sk) =>
+          fs.setTimes(new Path(s"${rootUri}data/part=$pk/f-$ok-$ln-$sk.dat"),
+            (ok % 1000) * 1000L, -1L)
+        }
+        resetDirs()
+      }
+      val users = identityMap(spark, sfDir).filter(col("itype") === "user")
+        .select(col("source"), col("target"))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_own_stream_ckpt").toString
+      val outBase = java.nio.file.Files.createTempDirectory("graft_own_stream_out").toString
+      def drain(run: Int): DataFrame = {
+        val out = s"$outBase/run$run"
+        val reader = hc.foldLeft(
+          spark.readStream.format("graft-inventory").option("root", rootUri)) {
+          case (r, (k, v)) => r.option("hadoop." + k, v)
+        }
+        val q = reader.load()
+          .select("parent_directory", "is_folder", "length", "owner")
+          .filter(!col("is_folder"))
+          .writeStream.outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            batch
+              .join(broadcast(users), col("owner") === col("source"), "left")
+              .select(col("parent_directory"), col("length"),
+                coalesce(col("target"), col("owner")).as("owner_mapped"))
+              .write.mode("append").parquet(out)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(out)))
+          spark.read.parquet(out)
+        else spark.range(0).select(lit("").as("parent_directory"),
+          lit(0L).as("length"), lit("").as("owner_mapped")).limit(0)
+      }
+      writeWave(1)
+      val b1 = drain(1)
+      writeWave(2)
+      val b2 = drain(2)
+      b1.withColumn("wave", lit(1L)).unionByName(b2.withColumn("wave", lit(2L)))
+        .groupBy(col("parent_directory").as("dir"), col("wave"), col("owner_mapped"))
+        .agg(count(lit(1)).as("n_files"), sum("length").as("bytes"))
+        .orderBy("dir", "wave", "owner_mapped")
     }
   )
 

@@ -390,8 +390,12 @@ private final case class InventoryScan(root: String, hadoopConf: Map[String, Str
     // only columns that SURVIVED pruning: Spark resolves these against the
     // scan's (pruned) output and fails analysis on a column the projection
     // dropped — a runtime filter can only arrive on a join key, and a join
-    // key is necessarily in the output
-    Seq("parent_directory", "name")
+    // key is necessarily in the output. Path columns prune the walk
+    // itself; ownership columns (r11) can't prune descent but drop
+    // non-matching entries per-entry off the FileStatus, so a
+    // dimension-driven "files owned by these principals" join ships only
+    // the matching records instead of the namespace.
+    Seq("parent_directory", "name", "owner", "grp")
       .filter(required.fieldNames.contains(_))
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
       .toArray
@@ -456,24 +460,32 @@ private final case class InventoryScan(root: String, hadoopConf: Map[String, Str
     val nGroups =
       if (minPartitions <= 1 || units.isEmpty) units.size
       else math.min(units.size, math.max(minPartitions, naturalUnits))
+    // each group CARRIES the effective filter set (static + runtime):
+    // this plan runs after [[filter]] by the runtime-filtering contract,
+    // so embedding here is what ships DPP filters to the readers
     units.zipWithIndex.groupBy(_._2 % math.max(nGroups, 1)).toSeq.sortBy(_._1)
-      .map { case (_, us) => InventoryPartitionGroup(us.map(_._1)) }
+      .map { case (_, us) => InventoryPartitionGroup(us.map(_._1), effective.toSeq) }
       .toArray[InputPartition]
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    // `effective` (static + runtime) captured HERE: BatchScanExec applies
-    // runtime filters while planning its filtered partitions, before it
-    // builds the reader factory, so the executors see the pruned set
-    val r = root; val hc = hadoopConf; val p = effective; val req = required; val a = agg
+    // Readers take their filters FROM THE PARTITIONS, not from a capture
+    // here: BatchScanExec builds the reader factory at PLANNING time (the
+    // columnar-support probe forces it), long before runtime (DPP)
+    // filters arrive via [[filter]] — but it re-plans input partitions
+    // AFTER applying them, so planInputPartitions embedding `effective`
+    // in each group is the only channel that reliably ships runtime
+    // filters to the executors. (Caught by the owner-DPP spec: a capture
+    // here sees only the static pushdown.)
+    val r = root; val hc = hadoopConf; val req = required; val a = agg
     new PartitionReaderFactory {
-      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val g = partition.asInstanceOf[InventoryPartitionGroup]
         a match {
-          case Some(pa) => new InventoryAggReader(r, hc, p, pa,
-            partition.asInstanceOf[InventoryPartitionGroup].parts)
-          case None => new InventoryReader(r, hc, p, req,
-            partition.asInstanceOf[InventoryPartitionGroup].parts)
+          case Some(pa) => new InventoryAggReader(r, hc, g.pushed.toArray, pa, g.parts)
+          case None => new InventoryReader(r, hc, g.pushed.toArray, req, g.parts)
         }
+      }
     }
   }
 
@@ -747,11 +759,12 @@ private final class InventoryMicroBatchStream(root: String,
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
         val sp = partition.asInstanceOf[InventoryStreamPartition]
         // (start, end] as two exactly-applied mtime range filters — the
-        // walk prunes and filters with the same machinery as the batch scan
+        // walk prunes and filters with the same machinery as the batch
+        // scan; the group carries the stream's static pushdown
         val range: Array[Filter] = Array(
           GreaterThan("mtime_ms", java.lang.Long.valueOf(sp.startMs)),
           LessThanOrEqual("mtime_ms", java.lang.Long.valueOf(sp.endMs)))
-        new InventoryReader(r, hc, p ++ range, req, sp.group.parts)
+        new InventoryReader(r, hc, sp.group.pushed.toArray ++ range, req, sp.group.parts)
       }
     }
   }
@@ -794,8 +807,10 @@ private final case class InventoryPartition(startDir: String, ownFilesOnly: Bool
 
 /** one Spark task's work: a round-robin group of walk units (a unit is a
   * whole subtree or one directory's own files — see planInputPartitions'
-  * minPartitions split). The default plan holds one unit per group. */
-private final case class InventoryPartitionGroup(parts: Seq[InventoryPartition])
+  * minPartitions split), plus the effective (static + runtime) filters
+  * the group's walks apply. The default plan holds one unit per group. */
+private final case class InventoryPartitionGroup(parts: Seq[InventoryPartition],
+    pushed: Seq[Filter] = Nil)
     extends InputPartition
 
 /** one walked entry — the full inventory record (ownership fields are ""

@@ -144,6 +144,32 @@ class OwnershipSourceSpec extends AnyFunSuite {
     assert(names == Set("file.dat"), s"ownership sidecar leaked into listing: $names")
   }
 
+  test("a runtime (DPP) filter on owner drops non-matching records inside the walk") {
+    // "files owned by these principals" as a dimension join: the build
+    // side evaluates first and hands the observed owners to the scan as
+    // an IN filter. Ownership can't prune DESCENT (the walk still lists
+    // everything), but the per-entry drop means only matching records
+    // ship — rowsEmitted is the observable.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val (rootUri, hc) = freshAccount("dp")
+    writeTree(rootUri, hc)
+    val dimPath = java.nio.file.Files.createTempDirectory("graft-own-dpp").toString + "/dim"
+    Seq("alice", "zed").toDF("owner").write.parquet(dimPath)
+    // file-backed + a selective predicate, or the PartitionPruning rule
+    // never fires (a filtered LocalRelation constant-folds away first)
+    val dim = spark.read.parquet(dimPath).filter(col("owner").startsWith("a"))
+    val j = readOwned(rootUri, hc).join(dim, "owner")
+    InventoryDataSource.rowsEmitted.set(0L)
+    assert(j.count() == 2L, "owner-dimension join lost rows")
+    assert(InventoryDataSource.rowsEmitted.get() == 2L,
+      s"runtime owner filter did not drop inside the walk: " +
+        s"emitted ${InventoryDataSource.rowsEmitted.get()} for 2 matches")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"no DPP expression reached the scan:\n${plan.take(1500)}")
+  }
+
   test("projection pruning keeps ownership unmaterialized (ReadSchema excludes the trio)") {
     val (rootUri, hc) = freshAccount("pr")
     writeTree(rootUri, hc)
