@@ -181,11 +181,36 @@ final class GraftFsFileSystem extends FileSystem {
   }
 
   override def rename(src: Path, dst: Path): Boolean = {
-    requireAuth(); local.rename(toLocal(src), toLocal(dst))
+    requireAuth()
+    val (ls, ld) = (toLocal(src), toLocal(dst))
+    GraftFsFileSystem.sidecarLock.synchronized {
+      val ok = local.rename(ls, ld)
+      // the ownership record moves with the entry (a directory's internal
+      // records live inside it and move with the directory content)
+      if (ok) {
+        val srcOwn = readOwners(ls.getParent)
+        srcOwn.get(ls.getName).foreach { rec =>
+          writeOwners(ls.getParent, srcOwn - ls.getName)
+          writeOwners(ld.getParent, readOwners(ld.getParent) + (ld.getName -> rec))
+        }
+      }
+      ok
+    }
   }
 
   override def delete(f: Path, recursive: Boolean): Boolean = {
-    requireAuth(); local.delete(toLocal(f), recursive)
+    requireAuth()
+    val lp = toLocal(f)
+    GraftFsFileSystem.sidecarLock.synchronized {
+      val ok = local.delete(lp, recursive)
+      // drop the deleted entry's ownership record so a later file at the
+      // same path never inherits a stale owner
+      if (ok && lp.getParent != null) {
+        val own = readOwners(lp.getParent)
+        if (own.contains(lp.getName)) writeOwners(lp.getParent, own - lp.getName)
+      }
+      ok
+    }
   }
 
   override def listStatus(f: Path): Array[FileStatus] = {

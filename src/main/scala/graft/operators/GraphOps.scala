@@ -68,7 +68,13 @@ object GraphOps {
         r
       }
       driverCcPairsSeen.set(0L)
-      val it = edges.filter(col("a") <= col("b")).toLocalIterator()
+      // toLocalIterator runs one job per partition; coalesce so a tiny
+      // pair graph (the common fast-path case) streams in ONE job instead
+      // of shuffle-partition-count jobs (~0.5 s of pure job overhead
+      // measured on pipeline_corpus_prep), while a near-cap graph still
+      // arrives in ≤1M-pair slices — one slice of Rows resident at a time
+      val nSlices = math.max(1L, directedCount / 2000000L).toInt
+      val it = edges.filter(col("a") <= col("b")).coalesce(nSlices).toLocalIterator()
       while (it.hasNext) {
         val row = it.next()
         driverCcPairsSeen.incrementAndGet()

@@ -144,6 +144,24 @@ class OwnershipSourceSpec extends AnyFunSuite {
     assert(names == Set("file.dat"), s"ownership sidecar leaked into listing: $names")
   }
 
+  test("ownership records follow renames and die with deletes (no stale-owner inheritance)") {
+    val (rootUri, hc) = freshAccount("rn")
+    val fs = hadoopFs(rootUri, hc)
+    val a = new Path(rootUri + "d/a.dat"); val b = new Path(rootUri + "d/b.dat")
+    val out = fs.create(a, true); out.write(Array[Byte](1)); out.close()
+    fs.setOwner(a, "alice", "eng")
+    // rename: the record moves with the entry
+    assert(fs.rename(a, b))
+    assert(fs.getFileStatus(b).getOwner == "alice", "record lost on rename")
+    val names = fs.listStatus(new Path(rootUri + "d")).map(s => (s.getPath.getName, s.getOwner)).toMap
+    assert(names == Map("b.dat" -> "alice"), s"rename left a stale record: $names")
+    // delete then recreate at the same path: defaults, never alice
+    assert(fs.delete(b, false))
+    val out2 = fs.create(b, true); out2.write(Array[Byte](2)); out2.close()
+    assert(fs.getFileStatus(b).getOwner == "graft",
+      "a new file inherited a deleted entry's owner")
+  }
+
   test("a runtime (DPP) filter on owner drops non-matching records inside the walk") {
     // "files owned by these principals" as a dimension join: the build
     // side evaluates first and hands the observed owners to the scan as
