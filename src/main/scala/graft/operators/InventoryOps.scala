@@ -1079,6 +1079,26 @@ object InventoryOps {
         .groupBy(col("parent_directory").as("dir"), col("wave"), col("owner_mapped"))
         .agg(count(lit(1)).as("n_files"), sum("length").as("bytes"))
         .orderBy("dir", "wave", "owner_mapped")
+    },
+
+    // The SQL front door over the V2 source: a temp view over the
+    // ownership scan, the principal-capacity probe written in plain SQL.
+    // The pushdown machinery — owner IN and the files-only equality
+    // dropped into the walk, the rollup folded into the listing — is the
+    // same Catalyst path the DataFrame form takes; a SQL user gets the
+    // 100 TB plan for free.
+    GraftQuery("sql_inventory_view",
+      s"""WITH $OwnTreeCte
+         |SELECT grp, CAST(count(*) AS BIGINT) AS n_files,
+         |       CAST(sum(length) AS BIGINT) AS bytes
+         |FROM owntree WHERE owner IN ('user1', 'user2', 'user3', 'user4')
+         |GROUP BY grp ORDER BY grp""".stripMargin) { (spark, sfDir) =>
+      readOwned(spark, sfDir).createOrReplaceTempView("inventory_v")
+      spark.sql(
+        """SELECT grp, count(*) AS n_files, sum(length) AS bytes
+          |FROM inventory_v
+          |WHERE NOT is_folder AND owner IN ('user1', 'user2', 'user3', 'user4')
+          |GROUP BY grp ORDER BY grp""".stripMargin)
     }
   )
 
