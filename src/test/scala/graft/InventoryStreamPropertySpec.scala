@@ -116,6 +116,36 @@ class InventoryStreamPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("admitFilesOnly: a folder-only tail flushes in one final batch and the drain terminates") {
+    // every file mtime BELOW every folder mtime: after the files drain,
+    // only folders remain past the watermark — files-only admission has
+    // no file to bound the batch with, so the boundary must jump to the
+    // max remaining entry (one flush batch) instead of stalling the
+    // AvailableNow drain forever
+    val root = Files.createTempDirectory("graft-ftail").toString
+    Files.createDirectories(Paths.get(s"$root/d0"))
+    Files.createDirectories(Paths.get(s"$root/d1"))
+    Seq("/d0/a.dat" -> 1000L, "/d0/b.dat" -> 2000L, "/d1/c.dat" -> 3000L)
+      .foreach { case (rel, mt) =>
+        Files.write(Paths.get(root + rel), Array[Byte](1))
+        Files.setLastModifiedTime(Paths.get(root + rel), FileTime.fromMillis(mt))
+      }
+    // folders STRICTLY past every file
+    Files.setLastModifiedTime(Paths.get(s"$root/d0"), FileTime.fromMillis(9000L))
+    Files.setLastModifiedTime(Paths.get(s"$root/d1"), FileTime.fromMillis(8000L))
+    Files.setLastModifiedTime(Paths.get(root), FileTime.fromMillis(0L))
+    val entries = Seq(("/d0/a.dat", 1000L, false), ("/d0/b.dat", 2000L, false),
+      ("/d1/c.dat", 3000L, false), ("/d0", 9000L, true), ("/d1", 8000L, true))
+    val expect = replay(entries, 1, filesOnly = true)
+    Seq(false, true).foreach { distributed =>
+      val got = drainBatches(root, 1, distributed, filesOnly = true)
+      assert(got == expect, s"distributed=$distributed\nexpect=$expect\ngot=$got")
+      // the folder tail must be ONE batch, after the three 1-file batches
+      assert(got.length == 4 && got.last == Set("/d0", "/d1"),
+        s"folder-only tail not flushed as one final batch: $got")
+    }
+  }
+
   test("admitFilesOnly: folder-interleaved trees bound FILES per batch in both offset modes") {
     val rnd = new scala.util.Random(1107L)
     (1 to 6).foreach { tree =>
