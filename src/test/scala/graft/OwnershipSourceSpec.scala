@@ -188,6 +188,50 @@ class OwnershipSourceSpec extends AnyFunSuite {
       s"no DPP expression reached the scan:\n${plan.take(1500)}")
   }
 
+  test("random owned trees round-trip the V2 write→scan path exactly (fixed seed)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(20261111L)
+    val owners = Seq("alice", "bob", "carol")
+    val grps = Seq("eng", "ops")
+    val permChoices = Seq("rw-r--r--", "rwxr-x---", "rw-------")
+    (1 to 5).foreach { tree =>
+      val (rootUri, hc) = freshAccount(s"rt$tree")
+      // random dirs (owned or store-default), then files inside them
+      val dirs = scala.collection.mutable.ArrayBuffer[String]("/d0")
+      (1 to 1 + rnd.nextInt(5)).foreach { i =>
+        val parent = dirs(rnd.nextInt(dirs.size))
+        dirs += s"$parent/d$i"
+      }
+      def ownedOrDefault(isDir: Boolean): (String, String, String) =
+        if (rnd.nextBoolean())
+          (owners(rnd.nextInt(owners.size)), grps(rnd.nextInt(grps.size)),
+            permChoices(rnd.nextInt(permChoices.size)))
+        else ("graft", "graft", if (isDir) "rwxr-xr-x" else "rw-r--r--")
+      val dirRows = dirs.toSeq.map { d =>
+        val (o, g, p) = ownedOrDefault(isDir = true)
+        (d, true, 0L, o, g, p)
+      }
+      val fileRows = (0 until 5 + rnd.nextInt(20)).map { i =>
+        val d = dirs(rnd.nextInt(dirs.size))
+        val (o, g, p) = ownedOrDefault(isDir = false)
+        (s"$d/f$i.dat", false, rnd.nextInt(50).toLong, o, g, p)
+      }
+      val rows = dirRows ++ fileRows
+      val df = rows.toDF("name", "is_folder", "length", "owner", "grp", "perms")
+      hc.foldLeft(df.write.format("graft-inventory").option("root", rootUri)
+        .mode("append")) { case (w, (k, v)) => w.option("hadoop." + k, v) }.save()
+      val back = readOwned(rootUri, hc)
+        .select("name", "is_folder", "length", "owner", "grp", "perms")
+        .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2),
+          r.getString(3), r.getString(4), r.getString(5))).toSet
+      // default-owned rows read back as the store defaults they were
+      // written as, owned rows as written — the set must be EXACT
+      assert(back == rows.toSet,
+        s"tree=$tree round trip drifted\nmissing=${rows.toSet -- back}\nextra=${back -- rows.toSet}")
+    }
+  }
+
   test("projection pruning keeps ownership unmaterialized (ReadSchema excludes the trio)") {
     val (rootUri, hc) = freshAccount("pr")
     writeTree(rootUri, hc)
