@@ -293,18 +293,23 @@ object GraphOps {
     * canonical (u, v) pair list (u < v, distinct). Returns one row per
     * triangle, members sorted ascending as (a, b, c).
     *
-    * Execution uses DEGREE-ORDERED orientation: every edge is directed
-    * from its lower-(degree, id) endpoint, wedges are enumerated from each
-    * node's out-edges, and a wedge (b, c) counts only if the oriented edge
-    * b→c exists. Orientation caps every out-degree at O(√m) on any graph,
-    * so wedge fan-out is Σ C(outdeg, 2) = O(m^1.5) worst case — the classic
-    * fix for hub explosion (a celebrity node with degree d contributes
-    * C(d, 2) wedges under id-ordering but ~0 as a wedge CENTER under degree
-    * ordering, because all its edges point INTO it). The oracle enumerates
-    * the same triangle set with the simple id-orientation 3-way join; the
-    * set is orientation-independent, so hash equality holds while the
-    * engine runs the skew-safe plan. Three shuffles total: the degree agg
-    * and the two equi-joins (wedge build + closure probe). */
+    * Execution uses DEGREE-ORDERED orientation + edge-centric adjacency
+    * intersection: every edge is directed from its lower-(degree, id)
+    * endpoint, each node's out-neighbors are collected once, and each
+    * oriented edge (u, v) finds its triangles as N+(u) ∩ N+(v) — exactly
+    * once per triangle, at the one edge whose endpoints both point at the
+    * third node. Orientation caps every out-degree at O(√m) on any graph,
+    * which bounds BOTH the total intersection work (Σ |N+(u)|+|N+(v)| =
+    * O(m^1.5) worst case) and every collected adjacency array — the
+    * classic fix for hub explosion (a celebrity node with degree d points
+    * all its edges inward, so it neither centers wedges nor carries a
+    * hub-sized array). The oracle enumerates the same triangle set with
+    * the simple id-orientation 3-way join; the set is orientation-
+    * independent, so hash equality holds while the engine runs the
+    * skew-safe plan. Every exchange is m-row: the degree agg, the
+    * adjacency agg, and the two decorate joins — the O(m^1.5) wedge set
+    * is never materialized or shuffled (SCALING.md r11: 41M wedges at
+    * sf0.1 cost 5.3 s through the former closure join, 2.2 s here). */
   /** the orientation step of [[triangles]], exposed for the skew spec:
     * each undirected (u, v) edge becomes (src, dst, ddst) directed from
     * its lower-(degree, id) endpoint, ddst = degree(dst) */
@@ -481,14 +486,28 @@ object GraphOps {
       else Long.MaxValue
     val oriented = orientByDegree(ue, edgeCount = m)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val o1 = oriented.select(col("src"), col("dst").as("b"), col("ddst").as("db"))
-    val o2 = oriented.select(col("src"), col("dst").as("c"), col("ddst").as("dc"))
-    val wedges = o1.join(o2, "src")
-      .filter(col("db") < col("dc") || (col("db") === col("dc") && col("b") < col("c")))
-    val closure = oriented.select(col("src").as("b"), col("dst").as("c"))
-    val closed = wedges.join(closure, Seq("b", "c"))
-    val tri = closed
-      .select(array_sort(array(col("src"), col("b"), col("c"))).as("t"))
+    // EDGE-CENTRIC adjacency intersection (the r11 rewrite): for each
+    // oriented edge (u, v), the triangles through it are exactly
+    // N+(u) ∩ N+(v) — each triangle found once, at its single edge whose
+    // endpoints both point at the third node. No wedge frame ever exists:
+    // the former wedge-enumeration plan materialized AND shuffled every
+    // oriented wedge into the closure join (41M rows for 1.2M edges at
+    // sf0.1 — measured 5.3 s of the query's 5.5 s; this plan runs the
+    // same stage in 2.2 s), where this one exchanges only m-row frames
+    // (the adjacency agg and the two decorate joins). The orientation's
+    // O(√m) out-degree cap is doing double duty: it bounds the wedge
+    // count AND each collected adjacency array — a degree-d hub has
+    // out-degree ~0, so no row ever carries a hub-sized neighbor list.
+    // The intersection is computed BELOW the explode (one evaluation per
+    // edge, never re-run per emitted element).
+    val adj = oriented.groupBy("src").agg(collect_list("dst").as("ns"))
+    val tri = oriented.select(col("src"), col("dst"))
+      .join(adj.select(col("src"), col("ns").as("nsrc")), "src")
+      .join(adj.select(col("src").as("dst"), col("ns").as("ndst")), "dst")
+      .select(col("src"), col("dst"),
+        array_intersect(col("nsrc"), col("ndst")).as("inter"))
+      .select(col("src"), col("dst"), explode(col("inter")).as("w"))
+      .select(array_sort(array(col("src"), col("dst"), col("w"))).as("t"))
       .select(col("t").getItem(0).as("a"), col("t").getItem(1).as("b"),
         col("t").getItem(2).as("c"))
     graft.CacheTracker.track(oriented)
