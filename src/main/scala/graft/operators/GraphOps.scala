@@ -24,8 +24,14 @@ object GraphOps {
     * over ≤ 2·pairs vertices costs ~50 B/entry boxed, ≈ 400 MB at the cap
     * — bounded and NOT corpus-proportional, but a default-1g driver should
     * lower the cap (above it the distributed loop runs; near-dup pair
-    * graphs at real scale are exactly when you want that loop). */
+    * graphs at real scale are exactly when you want that loop). The cap
+    * is a runtime conf so a small-driver deployment can lower it — and so
+    * tests can force the distributed loop (set 0) on graphs of any size;
+    * without that knob the loop would be dead code at test scale. */
   private val DriverCcPairCap = 4000000L
+
+  /** conf key overriding [[DriverCcPairCap]] */
+  private[graft] val CcPairCapKey = "spark.graft.cc.driverPairCap"
 
   /** canonical pairs streamed through the driver fast path by the last
     * [[connectedComponents]] call — the spec observable pinning that the
@@ -56,7 +62,9 @@ object GraphOps {
     // so downstream joins see a broadcastable side for free.
     val longIds = edges.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    if (longIds && directedCount <= 2L * DriverCcPairCap) {
+    val pairCap = pairs.sparkSession.conf.getOption(CcPairCapKey)
+      .map(_.toLong).getOrElse(DriverCcPairCap)
+    if (longIds && directedCount <= 2L * pairCap) {
       val spark = pairs.sparkSession
       import spark.implicits._
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]

@@ -115,7 +115,12 @@ class GraphOpsSpec extends AnyFunSuite with CacheDrained {
     def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
     val before = persistedIds
     val chain = (0L until 20L).map(i => (i, i + 1)).toDF("a", "b")
-    val labeled = GraphOps.connectedComponents(chain)
+    // force the DISTRIBUTED loop (~20 rounds): the driver fast path would
+    // otherwise run zero rounds and this hygiene test would pass trivially
+    spark.conf.set(graft.operators.GraphOps.CcPairCapKey, "0")
+    val labeled =
+      try GraphOps.connectedComponents(chain)
+      finally spark.conf.unset(graft.operators.GraphOps.CcPairCapKey)
     labeled.count()
     // ~20 propagation rounds ran; without the in-loop release every
     // round's checkpoint would still be persistent here. Live blocks:
@@ -129,6 +134,24 @@ class GraphOpsSpec extends AnyFunSuite with CacheDrained {
     assert(after.forall(id =>
         sc.getPersistentRDDs.get(id).forall(_.getStorageLevel == StorageLevel.NONE)),
       s"blocks survived releaseAll: $after")
+  }
+
+  test("distributed loop and driver fast path label identically (forced-loop differential)") {
+    // the fast path made every long-id test graph take the union-find
+    // route; this differential keeps the distributed loop itself covered
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }.distinct
+      .toDF("a", "b")
+    val fast = GraphOps.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    CacheTracker.releaseAll(blocking = true)
+    spark.conf.set(graft.operators.GraphOps.CcPairCapKey, "0")
+    val loop =
+      try GraphOps.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+      finally spark.conf.unset(graft.operators.GraphOps.CcPairCapKey)
+    assert(loop == fast,
+      s"loop and fast path diverged; only-loop=${loop.toSet -- fast.toSet} " +
+        s"only-fast=${fast.toSet -- loop.toSet}")
   }
 
   test("triangles: degree-ordered enumeration equals the known triangle set") {
