@@ -508,9 +508,25 @@ object GraphOps {
     // out-degree ~0, so no row ever carries a hub-sized neighbor list.
     // The intersection is computed BELOW the explode (one evaluation per
     // edge, never re-run per emitted element).
-    val adj = oriented.groupBy("src").agg(collect_list("dst").as("ns"))
-    val tri = oriented.select(col("src"), col("dst"))
+    // The decorated frame carries Σ(|N+u|+|N+v|) longs — the wedge-volume
+    // bound in BYTES — so its exchanges must be WIDE enough that one
+    // task's slice fits in memory: at the session default (32 partitions)
+    // an 80M-edge graph put ~1.6 GB of array payload per task and OOM'd a
+    // 16 GB heap. Width scales with the measured edge count (~500k edges
+    // per partition ≈ tens of MB of payload per task at typical degrees),
+    // capped so a huge graph doesn't explode the task count; at bench
+    // scale (1.2M edges) this resolves to the session default, unchanged.
+    val spark = ue.sparkSession
+    val wideParts =
+      if (m == Long.MaxValue) -1
+      else math.max(spark.sessionState.conf.numShufflePartitions,
+        math.min(2048L, m / 500000L).toInt)
+    def widen(df: DataFrame, key: String): DataFrame =
+      if (wideParts > 0) df.repartition(wideParts, col(key)) else df
+    val adj = widen(oriented, "src").groupBy("src").agg(collect_list("dst").as("ns"))
+    val tri = widen(oriented.select(col("src"), col("dst")), "src")
       .join(adj.select(col("src"), col("ns").as("nsrc")), "src")
+      .transform(d => widen(d, "dst"))
       .join(adj.select(col("src").as("dst"), col("ns").as("ndst")), "dst")
       .select(col("src"), col("dst"),
         array_intersect(col("nsrc"), col("ndst")).as("inter"))

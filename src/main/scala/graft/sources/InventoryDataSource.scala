@@ -377,13 +377,16 @@ private final case class InventoryScan(root: String, hadoopConf: Map[String, Str
     * the observed keys into an IN filter, and calls [[filter]] before
     * (re-)planning input partitions at EXECUTION time. Only exactly-
     * appliable shapes are accepted (same isExact contract as the static
-    * pushdown: prefix/equality/IN on the path columns, and runtime DPP
-    * only ever sends equality/IN); everything else is ignored — runtime
-    * filters are an optimization, Spark re-applies the join itself, so
-    * ignoring is always sound (and over-applying never is, hence the
-    * exactness gate). The accepted filters prune partition planning AND
-    * ride the walk per entry, so a 3-directory manifest join walks 3
-    * directories of a million-directory namespace. */
+    * pushdown: prefix/equality/IN on the path columns, equality/IN on
+    * the ownership columns, and runtime DPP only ever sends
+    * equality/IN); everything else is ignored — runtime filters are an
+    * optimization, Spark re-applies the join itself, so ignoring is
+    * always sound (and over-applying never is, hence the exactness
+    * gate). The accepted filters prune partition planning AND ride the
+    * walk per entry (inside the partitions — see planInputPartitions),
+    * so a 3-directory manifest join walks 3 directories of a
+    * million-directory namespace, and an owner-dimension join ships
+    * only the matching records. */
   private var runtime: Array[Filter] = Array.empty
 
   override def filterAttributes(): Array[NamedReference] =
