@@ -523,8 +523,12 @@ object GraphOps {
         math.min(2048L, m / 500000L).toInt)
     def widen(df: DataFrame, key: String): DataFrame =
       if (wideParts > 0) df.repartition(wideParts, col(key)) else df
-    val adj = widen(oriented, "src").groupBy("src").agg(collect_list("dst").as("ns"))
-    val tri = widen(oriented.select(col("src"), col("dst")), "src")
+    // the adjacency build and the decorate probe shuffle the SAME
+    // projection at the same key and width, so AQE plans one exchange
+    // and reuses it for both consumers
+    val bySrc = widen(oriented.select(col("src"), col("dst")), "src")
+    val adj = bySrc.groupBy("src").agg(collect_list("dst").as("ns"))
+    val tri = bySrc
       .join(adj.select(col("src"), col("ns").as("nsrc")), "src")
       .transform(d => widen(d, "dst"))
       .join(adj.select(col("src").as("dst"), col("ns").as("ndst")), "dst")
