@@ -75,6 +75,16 @@ final class InventoryDataSource extends TableProvider
       properties: util.Map[String, String]): Table = {
     val root = properties.get("root")
     require(root != null && root.nonEmpty, "graft-inventory requires .option(\"root\", dir)")
+    // external metadata must still be THIS source's columns: a typo'd
+    // column name ("group", "grp ") or a mistyped length would otherwise
+    // flow through and fail obscurely (or silently no-op) deep in a
+    // reader/writer instead of at analysis
+    schema.fields.foreach { f =>
+      val base = InventoryDataSource.Schema.fields.find(_.name == f.name)
+      require(base.exists(_.dataType == f.dataType),
+        s"graft-inventory has no column `${f.name}` of type ${f.dataType.simpleString} " +
+          s"(schema: ${InventoryDataSource.Schema.simpleString})")
+    }
     val hadoopConf = properties.asScala.toMap
       .collect { case (k, v) if k.startsWith("hadoop.") => k.stripPrefix("hadoop.") -> v }
     new InventoryTable(root, hadoopConf, schema)

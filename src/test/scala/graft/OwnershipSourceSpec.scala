@@ -188,6 +188,19 @@ class OwnershipSourceSpec extends AnyFunSuite {
       s"no DPP expression reached the scan:\n${plan.take(1500)}")
   }
 
+  test("a typo'd column fails loudly at analysis, not deep in a writer") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val (rootUri, hc) = freshAccount("ty")
+    val bad = Seq(("/x.dat", false, 1L, "alice"))
+      .toDF("name", "is_folder", "length", "ownr") // typo: ownr
+    val e = intercept[IllegalArgumentException] {
+      hc.foldLeft(bad.write.format("graft-inventory").option("root", rootUri)
+        .mode("append")) { case (w, (k, v)) => w.option("hadoop." + k, v) }.save()
+    }
+    assert(e.getMessage.contains("ownr"), s"unhelpful error: ${e.getMessage}")
+  }
+
   test("random owned trees round-trip the V2 write→scan path exactly (fixed seed)") {
     val spark = TestSpark.spark
     import spark.implicits._
