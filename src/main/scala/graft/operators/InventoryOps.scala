@@ -931,7 +931,8 @@ object InventoryOps {
       s"""WITH $OwnTreeCte
          |SELECT grp, CAST(count(*) AS BIGINT) AS n_files,
          |       CAST(sum(length) AS BIGINT) AS bytes
-         |FROM owntree GROUP BY grp ORDER BY grp""".stripMargin) { (spark, sfDir) =>
+         |FROM owntree GROUP BY grp ORDER BY grp""".stripMargin,
+      bench = true) { (spark, sfDir) =>
       readOwned(spark, sfDir)
         .filter(!col("is_folder"))
         .groupBy("grp")
