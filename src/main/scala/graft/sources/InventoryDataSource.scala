@@ -350,7 +350,17 @@ private final class InventoryScanBuilder(root: String, hadoopConf: Map[String, S
       case _ => None
     }
     val longCols = Set("length", "mtime_ms")
-    val groups = aggregation.groupByExpressions.toSeq.map(fieldOf)
+    // Group keys must have BOUNDED per-subtree cardinality: the agg
+    // reader holds one accumulator entry per (task, group), so grouping
+    // by `name` (unique per entry) would buffer a whole subtree's
+    // entries in one task's map — at a billion files, an OOM the row
+    // reader's streaming shape never has. length/mtime_ms group-bys are
+    // rejected for the same reason (distinct values grow with the data).
+    // Rejecting is always sound: Spark keeps the aggregate post-scan and
+    // the scan streams rows. parent_directory stays accepted — dirs ≪
+    // files is the namespace invariant the rollup exists for.
+    val groupable = Set("parent_directory", "is_folder", "owner", "grp", "perms")
+    val groups = aggregation.groupByExpressions.toSeq.map(fieldOf(_).filter(groupable))
     if (groups.exists(_.isEmpty)) return false
     val specs: Seq[Option[AggSpec]] = aggregation.aggregateExpressions.toSeq.map {
       case _: CountStar => Some(AggSpec.CountAll)

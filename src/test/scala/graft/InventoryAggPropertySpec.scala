@@ -92,6 +92,28 @@ class InventoryAggPropertySpec extends AnyFunSuite {
       case _ => (min(col("mtime_ms")).as(s"a$idx"), g => g.map(_.mtimeMs).min)
     }
 
+  test("grouping by an unbounded-cardinality column refuses pushdown and stays correct") {
+    // the agg reader holds one accumulator per (task, group): a `name`
+    // group-by would buffer a whole subtree per task, so the source
+    // refuses and Spark aggregates post-scan — same answer, streaming scan
+    val spark = TestSpark.spark
+    val rnd = new scala.util.Random(7L)
+    val (root, model) = buildTree(rnd)
+    Seq("name", "length", "mtime_ms").foreach { gcol =>
+      val q = spark.read.format("graft-inventory").option("root", root).load()
+        .groupBy(col(gcol)).agg(count(lit(1)).as("n"))
+      val got = q.collect().map(r => r.get(0) -> r.getLong(1)).toMap
+      val expect = model.groupBy(e => gcol match {
+        case "name" => e.name
+        case "length" => e.length
+        case _ => e.mtimeMs
+      }).map { case (k, g) => (k: Any) -> g.size.toLong }
+      assert(got == expect, s"group by $gcol drifted")
+      assert(!q.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+        s"group by $gcol was pushed — unbounded per-task accumulators at scale")
+    }
+  }
+
   test("random trees × random group-bys × random aggregates × random filters ≡ model, pushed, partial-bounded") {
     val spark = TestSpark.spark
     import graft.sources.InventoryDataSource
