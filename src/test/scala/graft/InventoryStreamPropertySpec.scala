@@ -80,14 +80,15 @@ class InventoryStreamPropertySpec extends AnyFunSuite {
   }
 
   private def drainBatches(root: String, n: Int, distributed: Boolean,
-      filesOnly: Boolean): Seq[Set[String]] = {
+      filesOnly: Boolean, minParts: Int = 1): Seq[Set[String]] = {
     val spark = TestSpark.spark
     val ckpt = Files.createTempDirectory("graft-sprop-ckpt").toString
     val out = Files.createTempDirectory("graft-sprop-out").toString + "/rows"
     val q = spark.readStream.format("graft-inventory").option("root", root)
       .option("maxFilesPerTrigger", n.toString)
       .option("distributedOffsets", distributed.toString)
-      .option("admitFilesOnly", filesOnly.toString).load()
+      .option("admitFilesOnly", filesOnly.toString)
+      .option("minPartitions", minParts.toString).load()
       .select("name") // prune: local trees must not materialize ownership
       .writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -107,11 +108,14 @@ class InventoryStreamPropertySpec extends AnyFunSuite {
     (1 to 6).foreach { tree =>
       val (root, entries) = buildTree(rnd)
       val n = Seq(1, 2, 3, 5)(rnd.nextInt(4))
+      // a random fan-out floor: the level-synchronous split must never
+      // change WHAT a batch delivers, only how it fans out
+      val mp = Seq(1, 2, 7)(rnd.nextInt(3))
       val expect = replay(entries, n, filesOnly = false)
       Seq(false, true).foreach { distributed =>
-        val got = drainBatches(root, n, distributed, filesOnly = false)
+        val got = drainBatches(root, n, distributed, filesOnly = false, minParts = mp)
         assert(got == expect,
-          s"tree=$tree n=$n distributed=$distributed\nexpect=$expect\ngot=$got")
+          s"tree=$tree n=$n distributed=$distributed minParts=$mp\nexpect=$expect\ngot=$got")
       }
     }
   }
