@@ -49,6 +49,27 @@ object BpeOps {
   /** doc-prefix length encoded by text_bpe_encode (bounds the per-doc fold) */
   private val EncodeChars = 120
 
+  /** FAST-PATH gate: distinct-word count below which the merge loop runs
+    * on the driver over the collected word table (the [[graft.operators.GraphOps]]
+    * CC fast-path pattern). The word table is BOUNDED — it is the corpus
+    * vocabulary, not the corpus — so at the cap the driver holds ~1M
+    * (word, cnt, toks) rows ≈ 0.5 GB; above it the distributed loop runs
+    * unchanged. Rationale (measured, r12): at sf0.1 the loop grinds a
+    * 31-row table through ~60 Spark jobs whose cost is pure driver-side
+    * AQE/planning latency — thread dumps across an entire run show every
+    * executor idle. A 100 TB corpus changes the one corpus-sized pass
+    * (word extraction), not this loop's input size. */
+  private val DriverWordCap = 1000000L
+
+  /** conf key overriding [[DriverWordCap]] (0 forces the distributed
+    * loop — the differential-spec hook, same contract as the CC cap) */
+  private[graft] val WordCapKey = "spark.graft.bpe.driverWordCap"
+
+  /** words resident in the last driver fast-path run (spec observable;
+    * 0 after a distributed-loop run). Test hook only; local mode. */
+  private[graft] val driverBpeWordsSeen =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** token separator inside the fold accumulator: US, not in [a-z_] */
   private val Sep = ""
 
@@ -90,10 +111,89 @@ object BpeOps {
 
   private case class Merge(round: Long, l: String, r: String, c: Long)
 
+  /** greedy non-overlapping left-to-right merge (the scan form; provably
+    * identical to the distributed fold in [[mergeCol]] — a merged token is
+    * strictly longer than `l` so it can never re-match, which makes the
+    * fold exactly this scan; BpeSpec pins both against each other) */
+  private def mergeScan(toks: Array[String], l: String, r: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < toks.length) {
+      if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** driver-side merge loop over the collected word table: identical
+    * pair-count / top-1 tie-break / greedy-merge semantics to the
+    * distributed loop, zero Spark jobs per round */
+  private def trainOnDriver(
+      spark: SparkSession,
+      words: Array[(String, Long, Array[String])]): (Seq[Merge], DataFrame) = {
+    val toks = words.map(_._3)
+    val merges = Seq.newBuilder[Merge]
+    for (round <- 1 to Rounds) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var w = 0
+      while (w < toks.length) {
+        val t = toks(w); val c = words(w)._2
+        var i = 0
+        while (i + 1 < t.length) {
+          val k = (t(i), t(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+        w += 1
+      }
+      // deterministic top pair: count desc, then (l, r) ascending — ASCII
+      // order, which for the [a-z_] token alphabet equals Spark's
+      // UTF8String binary asc ordering
+      var bl: String = null; var br: String = null; var bc = -1L
+      counts.foreach { case ((l, r), c) =>
+        if (c > bc || (c == bc &&
+            (l < bl || (l == bl && r < br)))) { bl = l; br = r; bc = c }
+      }
+      merges += Merge(round.toLong, bl, br, bc)
+      w = 0
+      while (w < toks.length) {
+        val t = toks(w)
+        var hit = false; var i = 0
+        while (!hit && i + 1 < t.length) {
+          if (t(i) == bl && t(i + 1) == br) hit = true
+          i += 1
+        }
+        if (hit) toks(w) = mergeScan(t, bl, br)
+        w += 1
+      }
+    }
+    import spark.implicits._
+    val finalWords = words.indices
+      .map(w => (words(w)._1, words(w)._2, toks(w).toSeq))
+      .toDF("word", "cnt", "toks")
+    (merges.result(), finalWords)
+  }
+
   /** run the training loop; returns (learned merges, final word table) */
   private def train(spark: SparkSession, sfDir: String): (Seq[Merge], DataFrame) = {
     var checkpointed = wordTable(spark, sfDir).localCheckpoint(true)
     var words = checkpointed
+    // FAST PATH, count-gated: below the cap the merge rounds run on the
+    // driver over the (bounded, vocabulary-sized) word table. Measured
+    // motivation and budget at [[DriverWordCap]]; the distributed loop is
+    // kept live by the forced-loop differential in BpeSpec.
+    val cap = spark.conf.getOption(WordCapKey).map(_.toLong).getOrElse(DriverWordCap)
+    val nWords = checkpointed.count()
+    driverBpeWordsSeen.set(0L)
+    if (nWords <= cap) {
+      val collected = checkpointed.collect().map { r =>
+        (r.getString(0), r.getLong(1), r.getSeq[String](2).toArray)
+      }
+      checkpointed.unpersist(blocking = false)
+      driverBpeWordsSeen.set(collected.length.toLong)
+      return trainOnDriver(spark, collected)
+    }
     val merges = Seq.newBuilder[Merge]
     for (round <- 1 to Rounds) {
       // deterministic top pair: count desc, then lexicographic (ASCII)

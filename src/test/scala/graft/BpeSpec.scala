@@ -57,6 +57,33 @@ class BpeSpec extends AnyFunSuite with CacheDrained {
     assert(expected.exists { case (l, r, _) => (l + r).length > 2 })
   }
 
+  test("forced distributed loop equals the driver fast path (merges + vocab)") {
+    val spark = TestSpark.spark
+    import graft.operators.BpeOps
+    // fast path (default: sf word count is far below the cap)
+    val fastMerges = SparkEntry.queries("text_bpe_merges")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(BpeOps.driverBpeWordsSeen.get() > 0L, "fast path did not engage")
+    val fastVocab = SparkEntry.queries("text_bpe_vocab")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    CacheTracker.releaseAll(blocking = true)
+    // forced distributed loop
+    spark.conf.set(BpeOps.WordCapKey, "0")
+    val (loopMerges, loopVocab) =
+      try {
+        val m = SparkEntry.queries("text_bpe_merges")(spark, TestSpark.Sf)
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+          .sortBy(_._1).toSeq
+        assert(BpeOps.driverBpeWordsSeen.get() == 0L, "loop run took the fast path")
+        val v = SparkEntry.queries("text_bpe_vocab")(spark, TestSpark.Sf)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        (m, v)
+      } finally spark.conf.unset(BpeOps.WordCapKey)
+    assert(loopMerges == fastMerges)
+    assert(loopVocab == fastVocab)
+  }
+
   test("greedy fold handles the l==r run-overlap case like the reference") {
     // "aaa" must merge to [aa, a], not [aa, aa] — the fold's merged token
     // can never re-match l, which is exactly the greedy scan's skip
