@@ -411,18 +411,36 @@ object GraphOps {
     * node with its degree inside the final core. */
   def kCore(ue: DataFrame, k: Int, maxRounds: Int): DataFrame = {
     val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // The edge cache is hash-partitioned by the aggregation key ONCE, so
+    // every peel round's surviving-degree agg reuses the cache's
+    // partitioning instead of re-shuffling the (filtered) edge list —
+    // one m-row exchange up front buys zero edge exchanges per round.
+    // (r12, guide §2.4: measured at sf0.1 the loop ran 2 sort-merge
+    // semi-join shuffles + 1 agg shuffle of the 2.4M-row edge list per
+    // round; with this layout + the survivor broadcasts below, a round
+    // is map-side over the cache.)
     val edges = ue.select(col("u").as("a"), col("v").as("b"))
       .unionByName(ue.select(col("v").as("a"), col("u").as("b")))
+      .repartition(col("a"))
       .persist(mad)
     edges.count()
     var surv = edges.select(col("a").as("node")).distinct().localCheckpoint()
     var prev = surv.count()
+    // The survivor set's count is measured every round anyway (the
+    // fixpoint test), so the broadcast gate is free: below the
+    // HashedRelation-budget vertex cap the two semi-joins build a
+    // broadcast of the one-column survivor frame; above it they fall
+    // back to shuffle joins — the only correct shape when the survivor
+    // set outgrows a broadcast side (same budget rationale as
+    // [[BroadcastVertexCap]] for the degree table).
+    def gated(df: DataFrame, n: Long): DataFrame =
+      if (n <= BroadcastVertexCap) broadcast(df) else df
     var r = 0
     var stable = prev == 0
     while (r < maxRounds && !stable) {
       val next = edges
-        .join(surv.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
-        .join(surv.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .join(gated(surv.withColumnRenamed("node", "a"), prev), Seq("a"), "left_semi")
+        .join(gated(surv.withColumnRenamed("node", "b"), prev), Seq("b"), "left_semi")
         .groupBy("a").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k)
         .select(col("a").as("node"))
@@ -435,8 +453,8 @@ object GraphOps {
       r += 1
     }
     val out = edges
-      .join(surv.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
-      .join(surv.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+      .join(gated(surv.withColumnRenamed("node", "a"), prev), Seq("a"), "left_semi")
+      .join(gated(surv.withColumnRenamed("node", "b"), prev), Seq("b"), "left_semi")
       .groupBy(col("a").as("node")).agg(count(lit(1)).as("core_degree"))
     graft.CacheTracker.track(edges)
     graft.CacheTracker.trackCheckpointed(surv)

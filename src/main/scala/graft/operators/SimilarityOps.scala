@@ -233,8 +233,14 @@ object SimilarityOps {
     // splits the embeddings file happens to have — the bucket join below
     // fans each of these rows out `tables`×, so ITS width must be the
     // session's, not the scan's
+    // persisted: both sides of the bucket self-join (x and the hinted y)
+    // consume these codes — unpersisted, the 64-dim × (tables·bits)
+    // hyperplane hashing ran TWICE per query (r12). One narrow row per
+    // vector, so the cache is id + ≤2 longs per vector at any scale.
     val coded = e.select(col("vec_id"), array(wordCols: _*).as("ws"))
       .repartition(spark.sessionState.conf.numShufflePartitions)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.CacheTracker.track(coded)
     val bands = coded
       .select(col("vec_id"), col("ws"),
         explode(sequence(lit(0), lit(plan.tables - 1))).as("g"))
