@@ -381,9 +381,16 @@ object InventoryOps {
       // base is consumed 4x (key-check probe on both sides, the anti-join,
       // the union, and upd derives from it) and each evaluation re-derives
       // the name strings from lineitem — one materialization amortizes the
-      // concat-heavy projection across all of them
+      // concat-heavy projection across all of them. The cache is
+      // hash-partitioned by the merge key (r12, guide §2.4): the probe's
+      // per-key agg and the anti-join then both reuse the cache's
+      // partitioning (zero exchanges — before, the single-split scan left
+      // the cache in ONE partition, serializing every per-row pass, and
+      // the anti-join shuffled both sides before AQE's late broadcast
+      // conversion could help)
       val base = inventory(spark, sfDir).filter(!col("is_folder"))
         .select(col("name"), col("owner"), col("length"), lit(1L).as("v"))
+        .repartition(col("name"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.CacheTracker.track(base)
       val upd = base.filter(col("length") % 10 < 3)

@@ -172,10 +172,15 @@ object PipelineOps {
         .agg(countDistinct(when(col("unit") > 0, col("unit"))).cast("long").as("n"))
         .select(lit("8_sequences").as("stage"), col("n"))
 
+      // 4_decontam counts the CACHED spl frame, not decon: spl is decon
+      // row-for-row (every decontaminated doc gets exactly one split
+      // label), and counting decon directly re-ran the whole gramsOf
+      // tokenize + contamination join a second time (r12 job audit: a
+      // ~2 s duplicate subtree per run at sf0.1)
       one("1_total", d)
         .unionByName(one("2_clean", surv))
         .unionByName(one("3_dedup", kept))
-        .unionByName(one("4_decontam", decon))
+        .unionByName(one("4_decontam", spl))
         .unionByName(splitCounts)
         .unionByName(nSeq)
         .orderBy("stage")
