@@ -172,7 +172,18 @@ final class GraftFsFileSystem extends FileSystem {
       bufferSize: Int, replication: Short, blockSize: Long,
       progress: Progressable): FSDataOutputStream = {
     requireAuth()
-    local.create(toLocal(f), permission, overwrite, bufferSize, replication,
+    val lp = toLocal(f)
+    // a recreated file is owned by its creator (HDFS semantics): drop any
+    // existing sidecar record for the target so an overwrite never
+    // inherits the previous owner — the delete path already enforces the
+    // same stale-owner invariant (r11 ADVICE)
+    GraftFsFileSystem.sidecarLock.synchronized {
+      if (lp.getParent != null) {
+        val own = readOwners(lp.getParent)
+        if (own.contains(lp.getName)) writeOwners(lp.getParent, own - lp.getName)
+      }
+    }
+    local.create(lp, permission, overwrite, bufferSize, replication,
       blockSize, progress)
   }
 

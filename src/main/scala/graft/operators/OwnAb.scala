@@ -84,7 +84,7 @@ object OwnAb {
       require(pushed == residual, s"pushed $pushed != residual $residual")
       println(s"[ownab] r$round rows: full=$full matches=$pushed; emitted: " +
         s"full=$fullEmitted pushed=$pushedEmitted residual=$residualEmitted " +
-        s"(${residualEmitted / math.max(pushedEmitted, 1)}x shipped without pushdown)")
+        f"(${residualEmitted.toDouble / math.max(pushedEmitted, 1)}%.1fx shipped without pushdown)")
     }
     spark.stop()
   }

@@ -211,7 +211,11 @@ private final class InventoryTable(root: String, hadoopConf: Map[String, String]
     * loudly rather than dropping silently. Each task writes its partition
     * directly through the Hadoop FS (same fan-out as the executor copy
     * loop); creation and ownership-set are idempotent, so task retries
-    * are safe and commit is a no-op. */
+    * are safe and commit is a no-op. Scope note (r11 ADVICE): on the
+    * graftfs TEST scheme, sidecar read-modify-writes are serialized only
+    * by a JVM-wide lock, so concurrent ownership writes to one parent
+    * directory are single-JVM (local-mode) safe — a real store (HDFS/
+    * ABFS) serializes setOwner server-side and has no such limit. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val s = info.schema()
     Seq("name", "is_folder", "length").foreach(c =>
@@ -777,7 +781,9 @@ private final class InventoryMicroBatchStream(root: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val r = root; val hc = hadoopConf; val p = pushed; val req = required
+    // NOTE: the reader takes its filters from sp.group.pushed (the
+    // partitions carry them since r11) — no local capture of `pushed`
+    val r = root; val hc = hadoopConf; val req = required
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
         val sp = partition.asInstanceOf[InventoryStreamPartition]

@@ -160,6 +160,14 @@ class OwnershipSourceSpec extends AnyFunSuite {
     val out2 = fs.create(b, true); out2.write(Array[Byte](2)); out2.close()
     assert(fs.getFileStatus(b).getOwner == "graft",
       "a new file inherited a deleted entry's owner")
+    // DIRECT overwrite (no delete): create(overwrite=true) over an owned
+    // file must also drop the record — a recreated file is owned by its
+    // creator (HDFS semantics; the r11 ADVICE gap)
+    fs.setOwner(b, "bob", "ops")
+    assert(fs.getFileStatus(b).getOwner == "bob")
+    val out3 = fs.create(b, true); out3.write(Array[Byte](3)); out3.close()
+    assert(fs.getFileStatus(b).getOwner == "graft",
+      "an overwritten file inherited the previous owner")
   }
 
   test("a runtime (DPP) filter on owner drops non-matching records inside the walk") {
