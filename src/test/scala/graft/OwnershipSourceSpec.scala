@@ -170,6 +170,35 @@ class OwnershipSourceSpec extends AnyFunSuite {
       "an overwritten file inherited the previous owner")
   }
 
+  test("batched setOwnerships equals the per-entry path (merge, overwrite, missing entry)") {
+    val (rootUri, hc) = freshAccount("bt")
+    val fs = hadoopFs(rootUri, hc).asInstanceOf[graft.exec.GraftFsFileSystem]
+    val dir = new Path(rootUri + "d")
+    (1 to 3).foreach { i =>
+      val out = fs.create(new Path(dir, s"f$i.dat"), true)
+      out.write(Array[Byte](i.toByte)); out.close()
+    }
+    // per-entry record for f1, then a batch that updates f2/f3 — the
+    // batch must MERGE into the existing sidecar, not replace it
+    fs.setOwner(new Path(dir, "f1.dat"), "alice", "eng")
+    fs.setOwnerships(dir, Seq(
+      "f2.dat" -> (("bob", "ops", "rwxr-x---")),
+      "f3.dat" -> (("carol", "eng", "rw-r--r--"))))
+    val byName = fs.listStatus(dir)
+      .map(s => s.getPath.getName -> ((s.getOwner, s.getGroup, s.getPermission.toString))).toMap
+    assert(byName("f1.dat") == (("alice", "eng", "rw-r--r--")))
+    assert(byName("f2.dat") == (("bob", "ops", "rwxr-x---")))
+    assert(byName("f3.dat") == (("carol", "eng", "rw-r--r--")))
+    // last-writer-wins inside and across batches, same as per-entry
+    fs.setOwnerships(dir, Seq("f2.dat" -> (("dave", "ops", "rwxr-x---"))))
+    assert(fs.getFileStatus(new Path(dir, "f2.dat")).getOwner == "dave")
+    // a missing entry fails loudly (the per-entry path's contract)
+    val e = intercept[IllegalArgumentException] {
+      fs.setOwnerships(dir, Seq("nope.dat" -> (("x", "y", "rw-r--r--"))))
+    }
+    assert(e.getMessage.contains("missing entry"))
+  }
+
   test("a runtime (DPP) filter on owner drops non-matching records inside the walk") {
     // "files owned by these principals" as a dimension join: the build
     // side evaluates first and hands the observed owners to the scan as
