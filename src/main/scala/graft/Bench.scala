@@ -2,8 +2,12 @@ package graft
 
 
 /** Per-round benchmark: runs the headline queries (SparkEntry.benchQueries)
-  * against SPARK_GRAFT_SF_DIR and prints one JSON line
-  * {"metric":...,"value":N,"unit":"sec","queries":{...},"cold":{...},"sf":...}.
+  * against SPARK_GRAFT_SF_DIR and prints one COMPACT JSON line
+  * {"metric":...,"value":N,"unit":"sec","queries":{...},"cold_total":...,"sf":...}
+  * as the LAST stdout line; the FULL payload (per-query cold, per-iteration
+  * series, retry histories) is written to SPARK_GRAFT_BENCH_OUT (default
+  * BENCH_LOCAL_c<cpus>.json). Split since r13: the verbose single line had
+  * outgrown the driver's stdout-tail capture (PERF r11+r12 parsed:null).
   *
   * Each query is timed SPARK_GRAFT_BENCH_ITERS times (default 3);
   * `queries` and the total report the per-query MEDIAN — the steady-state
@@ -232,18 +236,34 @@ object Bench {
       else head.take(12)
     } catch { case _: Exception => "unknown" }
     val json = s"""{"metric":"total","value":$total,"unit":"sec","commit":"$sha","queries":$qs,"cold":$colds,"cold_total":$coldTotal,"iters":$iterss,"retries":$retries,"errors":$errs,"retry_errors":$retryErrs,"excluded":$excluded,"warm_anomalies":$warmAnoms,"sf":"$sfDir"}"""
-    println(json)
-    // the committed-artifact copy: the driver captures the stdout tail,
-    // which has twice truncated mid-series (BENCH_r07/r08 each lost ~10
-    // query series) — the file is the authoritative, complete record
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    // The committed-artifact copy holds the FULL payload (per-iteration
+    // series, retry histories): the driver captures only a stdout *tail*,
+    // which truncated the verbose line mid-series in r07/r08 AND r11/r12
+    // (PERF parsed:null two rounds running). Default name is cpus-stamped
+    // so the driver's multi-config runs (32-cpu then 8-cpu) stop clobbering
+    // each other's artifact — the r12 32-cpu run survives only as a
+    // truncated tail because the 8-cpu run overwrote BENCH_LOCAL.json.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"BENCH_LOCAL_c$cpus.json")
     try {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
       System.err.println(s"[bench] full artifact written to $out")
     } catch {
       case e: Exception =>
-        System.err.println(s"[bench] could not write $out: $e (stdout line above is complete)")
+        System.err.println(s"[bench] could not write $out: $e (stdout line below is the compact summary)")
     }
+    // stdout carries a COMPACT one-line summary as the LAST line — same
+    // metric/value/unit/queries/sf contract, same numbers (medians of the
+    // same series), but without the iters/retries arrays that pushed the
+    // line past the driver's tail capture. Medians are rounded to 1 µs:
+    // far below measurement noise, and it halves the line length.
+    def r6(x: Double): String = {
+      val s = f"$x%.6f"
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
+    }
+    val qsC = results.map { case (k, med, _, _, _, _, _) => "\"" + k + "\":" + r6(med) }
+      .mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${r6(total)},"unit":"sec","commit":"$sha","queries":$qsC,"cold_total":${r6(coldTotal)},"errors":$errs,"retry_errors":$retryErrs,"excluded":$excluded,"warm_anomalies":$warmAnoms,"bench_out":"$out","sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -200,21 +200,24 @@ final class GraftFsFileSystem extends FileSystem {
     // a recreated file is owned by its creator (HDFS semantics): drop any
     // existing sidecar record for the target so an overwrite never
     // inherits the previous owner — the delete path already enforces the
-    // same stale-owner invariant (r11 ADVICE). Gated on the target
-    // actually existing: a FRESH create must not touch the sidecar at all
-    // (bulk writers create thousands of files per directory, and an
-    // unconditional read-modify-write here re-introduces the O(k²)
-    // sidecar cost the batched ownership path removes — measured 82 s
-    // for a 16k-file flat build before this gate).
-    GraftFsFileSystem.sidecarLock.synchronized {
-      if (lp.getParent != null &&
-          java.nio.file.Files.exists(java.nio.file.Paths.get(lp.toUri.getPath))) {
-        val own = readOwners(lp.getParent)
-        if (own.contains(lp.getName)) writeOwners(lp.getParent, own - lp.getName)
-      }
-    }
-    local.create(lp, permission, overwrite, bufferSize, replication,
+    // same stale-owner invariant (r11 ADVICE). The drop happens only
+    // AFTER local.create succeeds: a failed create (overwrite=false over
+    // an existing file, or any-overwrite over a directory) must not
+    // mutate ownership state (HDFS: failed create changes nothing — r12
+    // ADVICE). And only when the target pre-existed: a FRESH create must
+    // not touch the sidecar at all (bulk writers create thousands of
+    // files per directory, and an unconditional read-modify-write here
+    // re-introduces the O(k²) sidecar cost the batched ownership path
+    // removes — measured 82 s for a 16k-file flat build before this gate).
+    val existed = lp.getParent != null &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(lp.toUri.getPath))
+    val out = local.create(lp, permission, overwrite, bufferSize, replication,
       blockSize, progress)
+    if (existed) GraftFsFileSystem.sidecarLock.synchronized {
+      val own = readOwners(lp.getParent)
+      if (own.contains(lp.getName)) writeOwners(lp.getParent, own - lp.getName)
+    }
+    out
   }
 
   override def append(f: Path, bufferSize: Int, progress: Progressable): FSDataOutputStream = {

@@ -155,6 +155,11 @@ object BpeOps {
         if (c > bc || (c == bc &&
             (l < bl || (l == bl && r < br)))) { bl = l; br = r; bc = c }
       }
+      // fail-loud contract match: the distributed loop's collect()(0) on an
+      // empty top-1 throws when every word is fully merged before Rounds
+      // complete — the fast path must not silently emit null merges instead
+      require(bc >= 0, s"BPE round $round: no pair left to merge " +
+        s"(corpus vocabulary exhausted before $Rounds rounds)")
       merges += Merge(round.toLong, bl, br, bc)
       w = 0
       while (w < toks.length) {

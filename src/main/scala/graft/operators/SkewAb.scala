@@ -64,8 +64,29 @@ object SkewAb {
     }
 
     val ow = t("oriented wedge count")(orientedWedges(ue))
+    // per-task payload bound evidence (r12 verdict item 8): the decorated
+    // frame carries Σ(|N+u|+|N+v|) longs, so the scale question is the MAX
+    // bytes any one task holds across the intersection stages — tracked as
+    // max task shuffle-read bytes and max task peak execution memory over
+    // the triangles() run at each hub decade
+    val maxShuffleRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val maxPeakMem = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          maxShuffleRead.getAndAccumulate(
+            m.shuffleReadMetrics.totalBytesRead, math.max(_, _))
+          maxPeakMem.getAndAccumulate(m.peakExecutionMemory, math.max(_, _))
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
     val triOriented = t("degree-oriented triangles()")(
       GraphOps.triangles(ue).count())
+    spark.sparkContext.removeSparkListener(listener)
+    println(f"[skew] max task shuffle-read = ${maxShuffleRead.get / 1048576.0}%.1f MiB, " +
+      f"max task peak exec mem = ${maxPeakMem.get / 1048576.0}%.1f MiB")
     graft.CacheTracker.releaseAll(blocking = true)
     val (iw, triId) = t("id-ordered enumeration")(idOrdered(ue))
     println(s"[skew] wedges: oriented=$ow id-ordered=$iw (${iw / math.max(ow, 1)}x)")

@@ -304,6 +304,12 @@ private final class InventoryWriter(root: String, hadoopConf: Map[String, String
       // the read side surfaces from FsPermission.toString
       val perms = row.getUTF8String(pi).toString
       if (graftFs.isDefined) {
+        // validate the triad at buffer time — the per-entry path's
+        // setPermission(FsPermission.valueOf(...)) did this implicitly; a
+        // malformed triad must fail the offending WRITE, not be persisted
+        // silently and break the whole directory's listStatus on read
+        org.apache.hadoop.fs.permission.FsPermission.valueOf(
+          (if (row.getBoolean(folderIdx)) "d" else "-") + perms)
         ownBuf.getOrElseUpdate(p.getParent,
             scala.collection.mutable.HashMap.empty)
           .update(p.getName,

@@ -144,7 +144,8 @@ class ExpressionSpec extends AnyFunSuite {
   }
 
   test("CentroidArgmin ties keep the lowest cluster id; double input matches float") {
-    import TestSpark.spark.implicits._
+    val spark = TestSpark.spark
+    import spark.implicits._
     // duplicate centroids force a tie on every row
     val cents = Array(Array.tabulate(4)(_.toLong), Array.tabulate(4)(_.toLong))
     val rows = Seq(Seq(0.5f, 1.5f, -2.5f, 3.5f), Seq(0f, 0f, 0f, 0f)).toDF("v")

@@ -168,6 +168,14 @@ class OwnershipSourceSpec extends AnyFunSuite {
     val out3 = fs.create(b, true); out3.write(Array[Byte](3)); out3.close()
     assert(fs.getFileStatus(b).getOwner == "graft",
       "an overwritten file inherited the previous owner")
+    // FAILED create mutates nothing (HDFS semantics; the r12 ADVICE gap):
+    // create(overwrite=false) over an existing owned file throws in the
+    // delegate — the surviving file's ownership record must be intact
+    fs.setOwner(b, "carol", "sec")
+    intercept[java.io.IOException] { fs.create(b, false) }
+    val st = fs.getFileStatus(b)
+    assert(st.getOwner == "carol" && st.getGroup == "sec",
+      s"a FAILED create wiped the ownership record: ${st.getOwner}:${st.getGroup}")
   }
 
   test("batched setOwnerships equals the per-entry path (merge, overwrite, missing entry)") {

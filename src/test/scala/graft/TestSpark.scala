@@ -2,20 +2,38 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** one SparkSession shared across all suites (forked test JVM) */
+/** one SparkSession shared across all suites (forked test JVM).
+  *
+  * Guarded against context death: if the shared context has been stopped
+  * (a noisy host can kill it mid-suite — the r12 driver run lost two
+  * unrelated SourcesSpec tests to exactly this), the next access rebuilds
+  * a fresh session instead of handing every downstream suite a dead one.
+  * getOrCreate alone is not enough: the cached default session still
+  * points at the stopped context. */
 object TestSpark {
-  lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[8]")
-      .appName("graft-test")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
+  @volatile private var cached: SparkSession = _
+
+  def spark: SparkSession = {
+    val c = cached
+    if (c != null && !c.sparkContext.isStopped) c
+    else synchronized {
+      if (cached == null || cached.sparkContext.isStopped) {
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        val s = SparkSession.builder()
+          .master("local[8]")
+          .appName("graft-test")
+          .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+          .config("spark.sql.shuffle.partitions", "8")
+          .config("spark.sql.adaptive.enabled", "true")
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        s.sparkContext.setLogLevel("WARN")
+        cached = s
+      }
+      cached
+    }
   }
   val Sf = "/root/testdata/sf0.001"
 }
