@@ -83,8 +83,9 @@ object BpeOps {
       .withColumn("toks",
         expr("array_append(transform(sequence(1, length(word)), i -> substr(word, i, 1)), '_')"))
 
-  /** greedy non-overlapping merge of adjacent (l, r) into l+r, as a fold */
-  private def mergeCol(toks: Column, l: String, r: String): Column =
+  /** greedy non-overlapping merge of adjacent (l, r) into l+r, as a fold
+    * (private[graft] for the encode-path differential spec) */
+  private[graft] def mergeCol(toks: Column, l: String, r: String): Column =
     split(
       aggregate(toks, lit(""), (acc, t) =>
         when((acc === lit(l) || acc.endsWith(Sep + l)) && t === lit(r),
@@ -125,6 +126,36 @@ object BpeOps {
     }
     out.result()
   }
+
+  /** Single-pass encoder: the EncodeChars code-point prefix split to
+    * per-character tokens, then every learned merge applied in training
+    * order via [[mergeScan]] — one JVM scan chain per doc instead of the
+    * former 50 chained `aggregate()` higher-order-function folds, which
+    * are CodegenFallback (interpreted per row; the r13 before-plan is ONE
+    * 39 KB Project expression with zero compiled evaluation) and rebuild
+    * the US-joined accumulator string by O(len²) concats per round.
+    * Semantics are the fold's, exactly: mergeScan ≡ the fold for the
+    * nonempty single-char tokens this path produces (BpeSpec pins both,
+    * plus an encode differential against the legacy expression), the
+    * prefix is taken in CODE POINTS like Spark's substr, a null text
+    * stays null, and an empty prefix returns [""] — the fold's output on
+    * Spark's descending sequence(1, 0) index quirk. */
+  private[graft] def encodeTokens(
+      text: String, ms: Array[(String, String)]): Array[String] =
+    if (text == null) null
+    else {
+      val cps = text.codePoints().limit(EncodeChars.toLong).toArray
+      if (cps.isEmpty) Array("")
+      else {
+        var toks = cps.map(cp => new String(Character.toChars(cp)))
+        var i = 0
+        while (i < ms.length) {
+          toks = mergeScan(toks, ms(i)._1, ms(i)._2)
+          i += 1
+        }
+        toks
+      }
+    }
 
   /** driver-side merge loop over the collected word table: identical
     * pair-count / top-1 tie-break / greedy-merge semantics to the
@@ -327,12 +358,10 @@ object BpeOps {
     GraftQuery("text_bpe_encode", encodeOracle) { (spark, sfDir) =>
       val (merges, words) = train(spark, sfDir)
       words.unpersist(blocking = false)
-      val prefix = substring(col("text"), 1, EncodeChars)
-      val chars = expr(
-        s"transform(sequence(1, length(substr(text, 1, $EncodeChars))), i -> substr(substr(text, 1, $EncodeChars), i, 1))")
-      val toks = merges.foldLeft(chars: Column)((c, m) => mergeCol(c, m.l, m.r))
+      val ms = merges.map(m => (m.l, m.r)).toArray
+      val encode = udf((text: String) => encodeTokens(text, ms))
       Tables.documents(spark, sfDir)
-        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), encode(col("text")).as("toks"))
         .select(col("doc_id"),
           size(col("toks")).cast("long").as("n_tokens"),
           md5(concat_ws(Sep, col("toks"))).as("toks_md5"))

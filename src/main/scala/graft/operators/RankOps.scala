@@ -449,14 +449,31 @@ object RankOps {
          |SELECT u AS item, CAST(rnk AS BIGINT) AS rnk, v AS neighbor, cooc, score_ppm
          |FROM r WHERE rnk <= $RecTop ORDER BY item, rnk""".stripMargin,
       bench = true) { (spark, sfDir) =>
+      // The basket cache is hash-partitioned by the JOIN key before the
+      // distinct (guide §2.4, the kCore/merge-upsert layout): one raw-row
+      // exchange up front, after which the distinct's final aggregation
+      // (grouping (l_orderkey, l_partkey) ⊇ partitioning key) needs no
+      // second exchange and the co-occurrence self-join sees both sides
+      // co-partitioned.
       val d = Tables.lineitem(spark, sfDir)
-        .select("l_orderkey", "l_partkey").distinct()
+        .select("l_orderkey", "l_partkey")
+        .repartition(col("l_orderkey"))
+        .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.CacheTracker.track(d)
       val n = d.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+      // The wedge stream is re-keyed by u BEFORE the pair aggregation so
+      // ONE exchange serves the aggregation (grouping (u, v) ⊇ u), the
+      // per-item TopKPerKey and the rank window (both keyed u) — the
+      // plan previously exchanged the aggregated pairs on (u, v) and then
+      // AGAIN on u for the top-k probe (guide §2.4 "two operations keyed
+      // the same way can share one exchange"). Skew note: the per-u wedge
+      // load is bounded by n(u) × basket size, the same bound the window
+      // exchange on u already carried.
       val co = d.as("a").join(d.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
             col("a.l_partkey") =!= col("b.l_partkey"))
+        .repartition(col("a.l_partkey"))
         .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
         .agg(count(lit(1)).as("cooc"))
       val s = co

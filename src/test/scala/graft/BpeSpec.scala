@@ -108,6 +108,37 @@ class BpeSpec extends AnyFunSuite with CacheDrained {
     assert(rows.exists(r => r.getLong(1) < docs(r.getLong(0)).take(120).length))
   }
 
+  test("text_bpe_encode single-pass encoder equals the legacy fold expression") {
+    // r13 rewrote the encode tail from 50 chained aggregate() HOF folds
+    // (CodegenFallback, O(len²) accumulator concats) to one JVM scan chain
+    // per doc (BpeOps.encodeTokens). This differential keeps the legacy
+    // expression path alive as the semantic pin: identical (doc_id,
+    // n_tokens, toks_md5) on the full sf corpus, plus the two edge cases
+    // the expression form defined implicitly (null text → null row; empty
+    // prefix → the fold's [""] on Spark's descending sequence(1, 0)).
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    import graft.operators.BpeOps
+    val merges = SparkEntry.queries("text_bpe_merges")(spark, TestSpark.Sf)
+      .collect().sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2)))
+    val chars = expr(
+      "transform(sequence(1, length(substr(text, 1, 120))), i -> substr(substr(text, 1, 120), i, 1))")
+    val folded = merges.foldLeft(chars: Column)((c, m) => BpeOps.mergeCol(c, m._1, m._2))
+    val legacy = Tables.documents(spark, TestSpark.Sf)
+      .select(col("doc_id"), size(folded).cast("long").as("n_tokens"),
+        md5(concat_ws("", folded)).as("toks_md5"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    val got = SparkEntry.queries("text_bpe_encode")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(got == legacy)
+    assert(BpeOps.encodeTokens(null, Array(("a", "b"))) == null)
+    assert(BpeOps.encodeTokens("", Array(("a", "b"))).toSeq == Seq(""))
+    // code-point prefix semantics match Spark substr (chars, not UTF-16 units)
+    val astral = "😀" * 130 // 130 code points, 260 UTF-16 units
+    assert(BpeOps.encodeTokens(astral, Array.empty).length == 120)
+  }
+
   test("text_bpe_vocab carries the learned subwords with exact frequencies") {
     val spark = TestSpark.spark
     val corpus = Tables.documents(spark, TestSpark.Sf)

@@ -28,6 +28,9 @@ object TestSpark {
           .config("spark.sql.adaptive.enabled", "true")
           .config("spark.sql.session.timeZone", "UTC")
           .config("spark.ui.enabled", "false")
+          // same codegen-cache sizing rationale as Sessions.local: the
+          // shared test session runs hundreds of distinct plans
+          .config("spark.sql.codegen.cache.maxEntries", "4096")
           .getOrCreate()
         s.sparkContext.setLogLevel("WARN")
         cached = s
